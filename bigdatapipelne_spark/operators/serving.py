@@ -1,0 +1,68 @@
+"""Serving-layer operators (SURVEY.md §2.5 L1-L3, §2.2 P6-P7).
+
+The reference serves flagged transactions from DynamoDB: the consumer
+projects 4 fields and stamps a 30-day epoch-seconds TTL
+(lambda_app/consumer/function.py:11-25); the API does key-equality queries
+and full scans (lambda_app/api/function.py:29-48). Here the serving table is
+a keyed DataFrame (parquet/any table) and the lookups are Catalyst filters —
+partition/file pruning makes the key lookup cheap when the table is written
+partitioned or bucketed by the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TTL_30_DAYS = 30 * 24 * 3600
+
+
+def serving_projection(
+    df: DataFrame,
+    key_col: str = "numero_cartao",
+    id_col: str = "transaction_id",
+    time_col: str = "horario_transacao",
+    value_col: str = "valor",
+    ttl_seconds: int = TTL_30_DAYS,
+    ttl_base: Column | None = None,
+) -> DataFrame:
+    """Project the serving columns + TTL (consumer parity, P6/P7).
+
+    The reference computes TTL from wall-clock ``time()``
+    (consumer/function.py:12); for reproducible pipelines we default the TTL
+    base to the record's own event time (pass ``ttl_base=F.unix_timestamp()``
+    for literal wall-clock parity).
+    """
+    base = ttl_base if ttl_base is not None else F.unix_timestamp(F.col(time_col))
+    return df.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(time_col),
+        F.col(value_col),
+        (base + F.lit(ttl_seconds)).cast("bigint").alias("ttl"),
+    )
+
+
+def key_lookup(df: DataFrame, key_col: str, key_value) -> DataFrame:
+    """L1: all records for one partition key (DynamoDB Query parity)."""
+    return df.filter(F.col(key_col) == F.lit(key_value))
+
+
+def full_scan(df: DataFrame) -> DataFrame:
+    """L2: DynamoDB Scan parity — the whole serving table."""
+    return df
+
+
+def live_view(df: DataFrame, now_epoch: Column | None = None) -> DataFrame:
+    """W7: honor TTL — only records whose TTL has not expired. DynamoDB
+    expires items lazily; we express it as a filter the optimizer can push
+    into the scan."""
+    now = now_epoch if now_epoch is not None else F.unix_timestamp()
+    return df.filter(F.col("ttl") > now)
+
+
+def upsert_batch(serving: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """L3 batch form: last-writer-wins merge of ``updates`` into ``serving``
+    on ``key_cols``. Expressed as anti-join + union — both sides shuffle on
+    the key once; with Delta this becomes MERGE INTO in ``foreachBatch``."""
+    return serving.join(updates, on=key_cols, how="left_anti").unionByName(updates)

@@ -1,0 +1,303 @@
+"""Query registry: every implemented operator as a (Spark, oracle-SQL) pair.
+
+Each entry is a named query over the driver's testdata tables; the Spark
+side is the engine's DataFrame implementation, the oracle side is ANSI SQL
+DuckDB runs on the same parquet. The driver hash-compares the two at
+sf=0.01 (CORRECTNESS_r{N}.json) — see ``__spark_entry__.py``.
+
+Determinism rules used throughout (both sides must produce bit-identical
+values):
+
+- Money/value sums: cast to DECIMAL first (exact, order-independent), sum,
+  then cast the *result* to double. A plain double sum differs across
+  engines/cluster sizes because float addition is not associative.
+- Averages: double(exact decimal sum) / double(count) — one double division
+  of identical operands.
+- Time buckets: epoch-aligned (Spark ``F.window`` aligns to the epoch;
+  oracle uses ``to_timestamp(floor(epoch(ts)/10)*10)``).
+- Top-k: always ordered with a unique tiebreaker key, never bare LIMIT.
+- Column names are aliased identically on both sides (driver sorts columns
+  by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+from bigdatapipelne_spark.sources.testdata import load_table as t  # noqa: E402
+
+
+def OSUM(expr: str, scale: int = 2) -> str:
+    """Oracle-side exact sum surfaced as double.
+
+    The VARCHAR round-trip matters: DuckDB's direct DECIMAL->DOUBLE cast is
+    not correctly rounded (can differ from the true nearest double by 1 ulp),
+    while VARCHAR->DOUBLE uses strtod which is — matching Spark's
+    Decimal.toDouble (BigDecimal.doubleValue, correctly rounded).
+    """
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS VARCHAR) AS DOUBLE)"
+
+
+def OSUM_RAW(expr: str) -> str:
+    """Same VARCHAR-routed conversion for an already-DECIMAL expression."""
+    return f"CAST(CAST(SUM({expr}) AS VARCHAR) AS DOUBLE)"
+
+
+def OAVG(col: str, scale: int = 2) -> str:
+    return f"({OSUM(col, scale)} / CAST(COUNT({col}) AS DOUBLE))"
+
+
+def dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Exact decimal sum surfaced as double (order-independent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+        / F.count(c).cast("double")
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: the medallion pipeline on the `events` stream table.
+# events(event_id, ts, user_id, event_type, value, props-json) plays the role
+# of the card-transaction stream (SURVEY.md §1.2).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stage_events",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value,
+           CAST(props->>'$.k' AS INTEGER) AS prop_k
+    FROM events
+    """,
+)
+def stage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2: project/rename/cast incl. pulling a nested (JSON) field up to a
+    typed top-level column — parity with Glue ApplyMapping + unnest
+    (glue_scripts/stage.py:25-48). Single select → codegen'd projection,
+    scan pruned to the referenced columns."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@query(
+    "spec_rollup",
+    oracle=f"""
+    SELECT event_type, user_id,
+           {OSUM('value')} AS sum_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type, user_id
+    """,
+)
+def spec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: the spec-mart rollup — SUM(value) grouped by dimensions (parity
+    with glue_scripts/spec.py:47-64, which groups 10 dims and sums valor).
+    HashAggregate partial+final; shuffle carries one row per group."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type", "user_id").agg(
+        dsum("value", "sum_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "global_agg",
+    oracle=f"""
+    SELECT {OSUM('value')} AS sum_value,
+           {OAVG('value')} AS avg_value,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 empty-groups branch: global aggregate with no GROUP BY (parity
+    with sparkAggregate's fallback, glue_scripts/spec.py:19-21)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(
+        dsum("value", "sum_value"),
+        davg("value", "avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+FRAUD_THRESHOLD = 50.0
+
+# Oracle time-bucketing note: DuckDB's to_timestamp() yields TIMESTAMPTZ,
+# which collects tz-aware and can hash-mismatch Spark's naive timestamps;
+# time_bucket() stays in naive TIMESTAMP space and its 2000-01-03 origin is
+# 10s-aligned with Spark's epoch-aligned F.window for these durations.
+_FRAUD_WINDOWS_SQL = f"""
+    SELECT user_id,
+           time_bucket(INTERVAL '10 seconds', ts) AS window_start,
+           time_bucket(INTERVAL '10 seconds', ts) + INTERVAL '10 seconds' AS window_end,
+           {OSUM('value')} AS sum_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING {OSUM('value')} > 50.0
+"""
+
+
+@query("fraud_windows", oracle=_FRAUD_WINDOWS_SQL)
+def fraud_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W2/P4 (stated semantics): 10-second tumbling window per user,
+    SUM(value), HAVING sum > threshold — the reference's fraud rule as the
+    README states it (per-card windowed sum > 5000; flink_app/app.py:70-83,
+    README.md:19). Batch form of the streaming job in streaming/fraud.py."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 seconds").alias("w"), "user_id")
+        .agg(dsum("value", "sum_value"), F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("sum_value") > FRAUD_THRESHOLD)
+        .select("user_id", F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "sum_value", "n_events")
+    )
+
+
+@query(
+    "fraud_literal",
+    oracle=f"""
+    SELECT user_id, event_id,
+           time_bucket(INTERVAL '10 seconds', ts) + INTERVAL '10 seconds' AS horario,
+           {OSUM('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING {OSUM('value')} > 50.0
+    """,
+)
+def fraud_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 literal semantics: the reference groups by transaction_id too
+    (flink_app/app.py:78), making each 'window sum' per-single-transaction —
+    we reproduce that quirk faithfully (SURVEY.md §3.2.4): group by
+    (user, event_id, window), project window END as the new event time."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 seconds").alias("w"), "user_id", "event_id")
+        .agg(dsum("value", "sum_value"))
+        .filter(F.col("sum_value") > FRAUD_THRESHOLD)
+        .select("user_id", "event_id", F.col("w.end").alias("horario"), "sum_value")
+    )
+
+
+@query(
+    "serving_lookup",
+    oracle=f"""
+    SELECT * FROM ({_FRAUD_WINDOWS_SQL}) alerts WHERE user_id = 7
+    """,
+)
+def serving_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: key-equality lookup on the serving table (DynamoDB Query parity,
+    lambda_app/api/function.py:38-45) — a pushed-down filter on the key."""
+    return fraud_windows(spark, sf_dir).filter(F.col("user_id") == 7)
+
+
+@query(
+    "serving_ttl",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           CAST(floor(epoch(ts)) + 2592000 AS BIGINT) AS ttl
+    FROM events
+    WHERE value > 50.0
+    """,
+)
+def serving_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7: consumer projection + 30-day epoch-seconds TTL stamp (parity
+    with lambda_app/consumer/function.py:12-24). TTL base is event time for
+    reproducibility (the reference uses wall clock)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(F.col("value") > 50.0).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (F.unix_timestamp("ts") + F.lit(2592000)).cast("bigint").alias("ttl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics surface the engine exposes beyond the reference (joins, sorts,
+# top-k, window functions — "free from Spark if we expose them",
+# SURVEY.md §2.7) — exercised TPC-H-style on the star schema.
+# ---------------------------------------------------------------------------
+
+
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+)
+_CHARGE = _DISC_PRICE + " * (1 + CAST(l_tax AS DECIMAL(6,4)))"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {OSUM('l_quantity')} AS sum_qty,
+           {OSUM('l_extendedprice')} AS sum_base_price,
+           {OSUM_RAW(_DISC_PRICE)} AS sum_disc_price,
+           {OSUM_RAW(_CHARGE)} AS sum_charge,
+           {OAVG('l_quantity')} AS avg_qty,
+           {OAVG('l_extendedprice')} AS avg_price,
+           {OAVG('l_discount', scale=4)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation. The shipdate filter
+    and 8-column projection push into the parquet scan; the aggregation is
+    partial+final so the shuffle is 6 rows regardless of input size."""
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    tax = F.col("l_tax").cast("decimal(6,4)")
+    one = F.lit(1).cast("decimal(5,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", scale=4),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

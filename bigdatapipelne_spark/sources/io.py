@@ -1,0 +1,102 @@
+"""Batch IO: JSON/parquet/CSV readers and partitioned sinks.
+
+Re-expresses the reference's storage layers natively (SURVEY.md §2.1):
+
+- raw layer: newline-delimited, optionally gzipped JSON, Hive-partitioned
+  by ``estado`` (Firehose dynamic partitioning + AppendDelimiterToRecord,
+  ddk_app/custom/historical.py:216-254) -> ``spark.read.json`` with an
+  explicit schema and PERMISSIVE corrupt-record capture (the Firehose
+  ``error/`` prefix becomes a ``_corrupt_record`` column / bad-records path).
+- stage/spec layers: snappy parquet partitioned by a column
+  (glue_scripts/stage.py:51-61, glue_scripts/spec.py:67-77) ->
+  ``df.write.partitionBy(col).parquet``.
+
+Scale notes: explicit schemas avoid a full inference pass over 100 TB of
+JSON; partitioned layout gives Catalyst partition pruning on the partition
+column for free; writers never coalesce to 1 — output parallelism follows
+the upstream plan (AQE coalesces small shuffles on its own).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Read JSON-lines (plain or .gz — Spark decompresses by extension).
+
+    With a schema we run PERMISSIVE and capture undecodable lines in
+    ``_corrupt_record`` (reference parity: Firehose routes failed records to
+    an ``error/`` prefix, historical.py:227). ``keep_corrupt=True`` returns
+    them as a column; otherwise they are filtered out.
+    """
+    reader = spark.read
+    if schema is not None:
+        schema_with_corrupt = StructType(
+            list(schema.fields) + [StructField(CORRUPT_COL, "string")]  # type: ignore[list-item]
+        )
+        reader = reader.schema(schema_with_corrupt).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", CORRUPT_COL
+        )
+        df = reader.json(path)
+        if not keep_corrupt:
+            df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        return df
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | None = None, header: bool = True
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Snappy parquet, Hive-partitioned (stage/spec sink parity: S8/S9)."""
+    writer = df.write.mode(mode).option("compression", "snappy")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "gzip",
+) -> None:
+    """JSON-lines sink, gzip by default (raw-layer parity: S2/S4/S5)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
+def register_table(spark: SparkSession, df: DataFrame, name: str) -> None:
+    """Catalog registration (crawler parity, S10): expose a DataFrame as a
+    SQL-addressable table in the session catalog."""
+    df.createOrReplaceTempView(name)

@@ -1,0 +1,79 @@
+"""Loaders for the driver-generated testdata (TESTDATA.md).
+
+Tables live at ``{sf_dir}/{name}.parquet``. We read them lazily and never
+cache by default — at 100 TB these are straight parquet scans and the win
+comes from column pruning + predicate pushdown, not caching.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@functools.lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Read once from the footer (driver-side, no data IO)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing nanosecond timestamps.
+
+    Parquet TIMESTAMP(NANOS) is unsupported by Spark's parquet reader; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) the column
+    arrives as int64 nanoseconds and we convert to TimestampType with integer
+    division (``div 1000`` — never float division, which loses precision
+    above 2^53 ns). Truncation toward zero matches DuckDB's ns->us handling.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    # The caller may hand us a vanilla session (the correctness driver does);
+    # pin the runtime-settable confs our semantics depend on: UTC so
+    # window/unix_timestamp math is wall-clock-independent, nanosAsLong so
+    # the scan accepts TIMESTAMP(NANOS) files.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table that exists under ``sf_dir`` and register each as a
+    temp view so ``spark.sql`` works against them."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(path):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

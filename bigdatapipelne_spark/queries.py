@@ -261,6 +261,13 @@ _DISC_PRICE = (
 _CHARGE = _DISC_PRICE + " * (1 + CAST(l_tax AS DECIMAL(6,4)))"
 
 
+def _disc_price() -> Column:
+    """Spark-side revenue term matching _DISC_PRICE exactly (decimal space)."""
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    return price * (F.lit(1).cast("decimal(5,4)") - disc)
+
+
 @query(
     "q1_pricing_summary",
     oracle=f"""
@@ -300,4 +307,244 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount", "avg_disc", scale=4),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@query(
+    "q3_top_orders",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_orderdate,
+           {OSUM_RAW(_DISC_PRICE)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters -> 3-way join -> grouped agg ->
+    deterministic top-k (unique tiebreaker, never bare LIMIT — ties would
+    make the result nondeterministic across engines/cluster sizes).
+
+    Scale: the customer side is filtered then joined — Catalyst broadcasts
+    it under AQE when small; lineitem (the 100 TB fact) is never shuffled
+    more than once (join key = group key prefix is o_orderkey)."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           {OSUM_RAW(_DISC_PRICE)} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join (fact lineitem x 5 dims with a cycle
+    condition s_nationkey = c_nationkey). All dimension sides are broadcast
+    (region/nation/supplier are tiny at any SF; customer is <1% of fact) so
+    the 100 TB fact table streams through map-side hash joins — exactly one
+    shuffle, for the final 5-row aggregation."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q4_priority_count",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join — the fact
+    side is reduced to distinct keys before the join, so the semi join
+    shuffles keys, not rows."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "top_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {OSUM('o_totalprice')} AS total_spend,
+           COUNT(*) AS n_orders
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 25
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-join top-k: spend is aggregated on orders FIRST (one
+    row per customer) and only then joined to the dimension — at 100 TB the
+    join input shrinks by orders-per-customer before any wide row moves."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        dsum("o_totalprice", "total_spend"), F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        spend.join(F.broadcast(c), spend.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "distinct_parts_per_brand",
+    oracle="""
+    SELECT p_brand,
+           COUNT(DISTINCT p_type) AS n_types,
+           COUNT(DISTINCT p_size) AS n_sizes,
+           COUNT(*) AS n_parts
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def distinct_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (expand-based in Spark; each distinct adds
+    one aggregation path, still partial+final — no row explosion to the
+    driver)."""
+    p = t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+@query(
+    "user_running_total",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS VARCHAR) AS DOUBLE) AS running_total
+    FROM events
+    """,
+)
+def user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function (rank/lag family — absent from the reference,
+    SURVEY.md §2.7, exposed by our engine): per-user running sum in event
+    order with a unique tiebreaker. One shuffle on user_id; within-partition
+    sort only."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session. The classic
+    pre-aggregation for behavioral pipelines; one shuffle on user_id shared
+    by the window and the final group-by."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
     )

@@ -1,0 +1,76 @@
+"""Text-analysis column builders: tokenization, shingling, fingerprinting,
+language/quality signals.
+
+All pure Catalyst expressions (split/transform/slice/md5/...) — the per-row
+work stays inside whole-stage codegen, and the only shuffles are whatever
+aggregation the caller adds on top. Cross-engine determinism notes (these
+functions back duckdb-oracled queries):
+
+- tokenization is ``split(lower(text), '\\s+')`` — mirrored in SQL as
+  ``string_split_regex(lower(text), '\\s+')``;
+- hashes are md5 hex strings (identical definition everywhere); min/compare
+  on them is plain lexicographic string order;
+- ratios are int/int double divisions (exact same operands -> same double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny English function-word list; enough to separate English-ish text from
+# noise deterministically (the classic n-gram/stopword LID heuristic).
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of the lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def distinct_tokens(text: Column | str) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for exact-dedup: lowercase, collapse whitespace, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (stable 128-bit id
+    usable as a dedup/join key at any scale)."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>.
+
+    ``transform(sequence(1, greatest(size-n+1, 1)), i -> concat_ws(' ',
+    slice(words, i, n)))`` — documents shorter than ``n`` words yield one
+    shingle (the whole text). Duplicates are kept: downstream min-hashing is
+    multiset-safe (min over duplicates == min over the set), which saves an
+    ``array_distinct`` pass on the hot path.
+    """
+    w = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+
+
+def en_stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are English function words."""
+    tok = tokens(text)
+    hits = F.size(F.filter(tok, lambda x: x.isin(*EN_STOPWORDS)))
+    return hits.cast("double") / F.size(tok).cast("double")
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length = non-space chars / token count (exact int/int)."""
+    c = F.col(text) if isinstance(text, str) else text
+    tok = tokens(text)
+    non_space = F.length(F.regexp_replace(F.lower(c), r"\s", ""))
+    return non_space.cast("double") / F.size(tok).cast("double")

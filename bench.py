@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "query_sweep_total", "value": <sec>, "unit": "sec",
+     "queries": {"q1": <sec>, ...}, "sf": 0.1}
+
+Each query is forced through a ``noop``-format write so the full result
+(every column, every row) is computed on executors — ``count()`` alone would
+let Catalyst prune the payload columns and under-report the work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from bigdatapipelne_spark.queries import QUERIES
+    from bigdatapipelne_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    # Warm the JVM/codegen once so per-query timings measure the plan, not
+    # first-touch class loading.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+        except Exception as e:  # a broken query must not kill the sweep
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 3)
+        if dt == dt:  # not NaN
+            total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "query_sweep_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

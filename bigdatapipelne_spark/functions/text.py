@@ -24,9 +24,12 @@ EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokens of the lowercased text."""
+    """Whitespace tokens of the lowercased text. Empty strings (leading /
+    trailing / all-whitespace input) are filtered, so empty text yields an
+    empty array, not ``['']`` — SQL mirror:
+    ``list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')``."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(c), r"\s+")
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
 
 
 def distinct_tokens(text: Column | str) -> Column:
@@ -62,15 +65,58 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def en_stopword_ratio(text: Column | str) -> Column:
-    """Fraction of tokens that are English function words."""
+    """Fraction of tokens that are English function words; NULL for empty
+    text (never a 0/0)."""
     tok = tokens(text)
     hits = F.size(F.filter(tok, lambda x: x.isin(*EN_STOPWORDS)))
-    return hits.cast("double") / F.size(tok).cast("double")
+    n = F.size(tok)
+    return F.when(n > 0, hits.cast("double") / n.cast("double"))
 
 
 def avg_token_len(text: Column | str) -> Column:
-    """Mean token length = non-space chars / token count (exact int/int)."""
+    """Mean token length = non-space chars / token count (exact int/int);
+    NULL for empty text."""
     c = F.col(text) if isinstance(text, str) else text
     tok = tokens(text)
     non_space = F.length(F.regexp_replace(F.lower(c), r"\s", ""))
-    return non_space.cast("double") / F.size(tok).cast("double")
+    n = F.size(tok)
+    return F.when(n > 0, non_space.cast("double") / n.cast("double"))
+
+
+# BPE-ish subword segmentation: runs of letters, runs of digits, or a single
+# other (punctuation) character — the classic pre-tokenizer split, countable
+# with one regexp scan in any engine.
+SUBWORD_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def subword_count(text: Column | str) -> Column:
+    """Number of BPE-ish subword pieces (letter runs / digit runs / single
+    punctuation chars) in the lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit(SUBWORD_RE)).cast("bigint")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are neither alphanumeric nor whitespace;
+    NULL for empty text."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(F.lower(c), r"[a-z0-9\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double"))
+
+
+def lang_id_en(text: Column | str, threshold: float = 0.05) -> Column:
+    """N-gram-heuristic language ID, binary form: 'en' when the stopword
+    ratio clears ``threshold``, else 'other' (empty text -> 'other')."""
+    return F.when(en_stopword_ratio(text) >= F.lit(threshold), F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality signal in [0, 1]: rewards English-function-word
+    density, penalizes punctuation noise. Pure double arithmetic on exact
+    int/int ratios — identical in any engine given the same operands."""
+    return en_stopword_ratio(text) * F.lit(0.5) + (
+        F.lit(1.0) - punct_ratio(text)
+    ) * F.lit(0.5)

@@ -40,3 +40,15 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_from_norms(
+    a: Column | str, b: Column | str, norm_a: Column | str, norm_b: Column | str
+) -> Column:
+    """Cosine with the norms precomputed per ROW (one l2 pass per vector)
+    instead of per PAIR — numerically identical to ``cosine_similarity``
+    (same dot, same norm values, same final division) but O(N) norm work
+    instead of O(N^2) in pairwise pipelines."""
+    na = F.col(norm_a) if isinstance(norm_a, str) else norm_a
+    nb = F.col(norm_b) if isinstance(norm_b, str) else norm_b
+    return dot(a, b) / (na * nb)

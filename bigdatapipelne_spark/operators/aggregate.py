@@ -25,19 +25,26 @@ from pyspark.sql import functions as F
 def group_agg(
     df: DataFrame,
     groups: list[str],
-    aggs: list[tuple[str, str]],
+    aggs: list[tuple[str, str] | Column],
     aliases: list[str] | None = None,
 ) -> DataFrame:
     """Generic group-by aggregation with the reference's A1 contract.
 
-    ``aggs`` is ``[(column, func_name)]`` where ``func_name`` is any
-    ``pyspark.sql.functions`` aggregate (``sum``, ``avg``, ``count``,
-    ``max``...). ``groups == []`` produces a global aggregate — the
-    reference's explicit fallback branch (glue_scripts/spec.py:19-21).
+    ``aggs`` entries are either ``(column, func_name)`` pairs — where
+    ``func_name`` is any ``pyspark.sql.functions`` aggregate (``sum``,
+    ``avg``, ``count``, ``max``...), the reference's string-dispatch
+    contract — or ready-made aggregate ``Column``s (e.g. ``exact_sum``) for
+    the engine's deterministic aggregates. ``groups == []`` produces a
+    global aggregate — the reference's explicit fallback branch
+    (glue_scripts/spec.py:19-21).
     """
     exprs: list[Column] = []
-    for i, (column, func_name) in enumerate(aggs):
-        expr = getattr(F, func_name)(column)
+    for i, spec in enumerate(aggs):
+        if isinstance(spec, Column):
+            expr = spec
+        else:
+            column, func_name = spec
+            expr = getattr(F, func_name)(column)
         if aliases is not None:
             expr = expr.alias(aliases[i])
         exprs.append(expr)

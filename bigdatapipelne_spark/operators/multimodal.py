@@ -1,0 +1,163 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata (north-star scope, BASELINE.json).
+
+Design: media never becomes a first-class engine type — it rides as a
+``binary`` column plus a metadata struct, partitioned like any other column,
+and the compute-heavy steps (decode, feature-extract, resize, frame-sample)
+run as Arrow-batched ``mapInPandas`` stages so bytes move executor-side in
+columnar batches, never row-at-a-time through the driver.
+
+This container has no image/audio codecs, so the *decode* step is stubbed:
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless the
+optional library import succeeds. Everything around the stub — schema,
+Arrow batch shape, deterministic format sniffing, hashing, batch-size
+accounting — is real and tested (tests/test_multimodal.py).
+
+Scale notes: ``extract_media_metadata`` is embarrassingly parallel (no
+shuffle); batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of large
+blobs cannot OOM an executor. At 100 TB you'd keep payloads in their own
+parquet column chunk (written last, read only when referenced) — column
+pruning means metadata-only queries never touch the bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Magic-number table for the formats a training pipeline actually meets.
+_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"RIFF", "riff"),  # wav/avi/webp container; refined below
+    (b"ID3", "mp3"),
+    (b"\x1a\x45\xdf\xa3", "webm"),
+    (b"%PDF", "pdf"),
+)
+
+
+def sniff_format(data: bytes | None) -> str:
+    """Deterministic container sniff from magic numbers (pure function,
+    usable inside any batch UDF)."""
+    if not data:
+        return "empty"
+    for magic, name in _MAGIC:
+        if data.startswith(magic):
+            if name == "riff" and len(data) >= 12:
+                sub = data[8:12]
+                if sub == b"WAVE":
+                    return "wav"
+                if sub == b"WEBP":
+                    return "webp"
+                if sub == b"AVI ":
+                    return "avi"
+            return name
+    if data[:4] in (b"\x00\x00\x00\x18", b"\x00\x00\x00\x20") or data[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+def decode_image(data: bytes):
+    """Decode an image payload to a numpy array. STUB: requires an imaging
+    library this environment does not ship; the call is gated so pipelines
+    degrade to metadata-only rather than crashing at import time."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode needs PIL/pillow, not available in this environment; "
+            "metadata extraction (extract_media_metadata) works without it"
+        ) from e
+    import io
+
+    from PIL import Image as _Image
+
+    return _Image.open(io.BytesIO(data))
+
+
+def decode_audio(data: bytes):
+    """Decode an audio payload to samples. STUB — see decode_image."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio decode needs soundfile/librosa, not available here"
+        ) from e
+    import io
+
+    import soundfile as sf
+
+    return sf.read(io.BytesIO(data))
+
+
+def sample_frames(data: bytes, every_n: int = 30):
+    """Frame-sample a video payload. STUB — video decode needs ffmpeg/ av,
+    absent here; the Spark-side plumbing is ``mapInPandas`` identical to
+    extract_media_metadata."""
+    raise NotImplementedError("video frame sampling needs an ffmpeg binding")
+
+
+METADATA_SCHEMA_SUFFIX = [
+    StructField("byte_len", LongType()),
+    StructField("sha256", StringType()),
+    StructField("format", StringType()),
+]
+
+
+def extract_media_metadata(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """Arrow-batched metadata extraction over a binary media column.
+
+    Output: (id_col, byte_len, sha256 hex, sniffed format). Runs as
+    ``mapInPandas`` — one Python invocation per Arrow batch, not per row; no
+    shuffle; the binary column is pruned from the output so downstream
+    stages don't drag payloads along.
+    """
+    id_field = df.schema[id_col]
+    out_schema = StructType([StructField(id_col, id_field.dataType)] + METADATA_SCHEMA_SUFFIX)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[data_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "byte_len": payloads.map(lambda b: len(b) if b is not None else 0).astype("int64"),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                    ),
+                    "format": payloads.map(sniff_format),
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_extract, schema=out_schema)
+
+
+def attach_fake_media(
+    df: DataFrame, text_col: str = "text", media_format: str = "png"
+) -> DataFrame:
+    """Deterministic fake media payload for tests/fixtures: the UTF-8 bytes
+    of ``text_col`` prefixed with a real magic header, as column ``data``.
+    Gives the multimodal path genuine binary bytes without a codec."""
+    headers = {"png": b"\x89PNG\r\n\x1a\n", "jpeg": b"\xff\xd8\xff", "none": b""}
+    header = headers[media_format if media_format in headers else "none"]
+    return df.withColumn(
+        "data",
+        F.concat(F.lit(bytearray(header)), F.encode(F.col(text_col), "UTF-8")),
+    )

@@ -8,18 +8,37 @@ pure Catalyst, bit-deterministic):
   loop — no corpus shuffle at all; the only shuffle is the final top-k per
   query, which is k rows per query per partition after the window trims.
 - ``srp_bucket_ann``: scale path. Signed-random-projection LSH — every
-  vector gets a ``nbits``-bit bucket from deterministic md5-derived
-  hyperplanes; neighbor candidates share a bucket (optionally with 1-bit
-  flips for recall). Turns corpus-x-corpus into an equi-join on bucket ids.
-  Approximate by design -> exercised as a rows-only query (no SQL oracle).
+  vector gets an ``nbits``-bit bucket from deterministic md5-derived
+  hyperplanes; neighbor candidates share a bucket. Turns corpus-x-corpus
+  into an equi-join on bucket ids. 100 TB knobs:
+
+  * ``nbits`` scales with corpus size (``nbits=None`` sizes buckets to
+    ``target_bucket_size`` from a count) — a fixed bit width would leave
+    bucket population quadratic in N.
+  * multi-probe (``probe_bits``): the query side also probes buckets at
+    Hamming distance 1, recovering most of the recall lost to unlucky
+    hyperplane splits without growing bucket size.
+  * ``max_bucket_size`` caps the candidate side per bucket
+    (deterministically, by md5(id) order) so one degenerate hot bucket
+    (e.g. the all-zeros region) cannot go quadratic; AQE's skew split
+    handles residual imbalance.
+
+  Approximate by design -> exercised as a rows-only query (no SQL oracle);
+  tests measure recall against ``brute_force_topk`` instead.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdatapipelne_spark.functions.vectors import cosine_similarity
+from bigdatapipelne_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity,
+    l2_norm,
+)
 
 
 def brute_force_topk(
@@ -33,13 +52,21 @@ def brute_force_topk(
 
     Ranking uses (score DESC, neighbor_id) — the unique tiebreaker keeps
     top-k deterministic under ties on any cluster size."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine_similarity("qv", "cv"))
+        .withColumn("score", cosine_from_norms("qv", "cv", "qn", "cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -49,18 +76,39 @@ def brute_force_topk(
     )
 
 
+# Above this many rows the exact all-pairs baseline refuses to run: N^2
+# comparisons stop being a "baseline" and start being an outage.
+NEAR_DUP_MAX_ROWS = 100_000
+
+
 def near_duplicate_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine >= threshold — exact baseline
-    (quadratic; at scale swap the pairing for srp_bucket_ann candidates and
-    keep this scoring/filter stage unchanged)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """All pairs (id_a < id_b) with cosine >= threshold — exact baseline.
+
+    Quadratic by construction; guarded so nobody points it at a corpus.
+    At scale use ``srp_bucket_ann`` for the pairing and keep this
+    scoring/filter stage unchanged."""
+    n = df.count()
+    if n > NEAR_DUP_MAX_ROWS:
+        raise ValueError(
+            f"near_duplicate_pairs is O(N^2) and input has {n} rows "
+            f"(max {NEAR_DUP_MAX_ROWS}); use srp_bucket_ann for the "
+            "candidate generation instead"
+        )
+    # Norms once per row (not per pair); repartition the streamed side — a
+    # single-file corpus arrives as one partition and would serialize the
+    # whole O(N^2) scoring onto one core.
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), l2_norm(vec_col).alias("na")
+    ).repartition(F.col("id_a"))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), l2_norm(vec_col).alias("nb")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity("va", "vb"))
+        .withColumn("cosine", cosine_from_norms("va", "vb", "na", "nb"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -77,13 +125,7 @@ def _srp_hyperplane(dim: int, bit: int) -> list[float]:
     ]
 
 
-def srp_buckets(
-    df: DataFrame, id_col: str, vec_col: str, dim: int, nbits: int = 8
-) -> DataFrame:
-    """Assign each vector a signed-random-projection bucket id (string of
-    nbits sign bits). Hyperplanes are literal arrays baked into the plan —
-    the projection is a codegen'd dot product per bit, no shuffle."""
-    out = df.select(F.col(id_col), F.col(vec_col))
+def _bucket_expr(vec_col: str, dim: int, nbits: int) -> F.Column:
     bits = []
     for b in range(nbits):
         plane = F.array(*[F.lit(x) for x in _srp_hyperplane(dim, b)])
@@ -93,9 +135,22 @@ def srp_buckets(
             lambda acc, v: acc + v,
         )
         bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return out.withColumn("bucket", F.concat(*bits)).drop(vec_col).join(
-        df, id_col
-    )
+    return F.concat(*bits)
+
+
+def pick_nbits(n_rows: int, target_bucket_size: int = 128) -> int:
+    """Bits so that expected bucket population ~= target_bucket_size."""
+    return max(4, math.ceil(math.log2(max(n_rows, 1) / target_bucket_size + 1)))
+
+
+def srp_buckets(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, nbits: int = 8
+) -> DataFrame:
+    """Add a signed-random-projection bucket id (string of nbits sign bits)
+    to ``df``. Hyperplanes are literal arrays baked into the plan — a pure
+    ``withColumn`` projection, codegen'd dot product per bit, zero shuffle,
+    all original columns kept."""
+    return df.withColumn("bucket", _bucket_expr(vec_col, dim, nbits))
 
 
 def srp_bucket_ann(
@@ -104,22 +159,75 @@ def srp_bucket_ann(
     vec_col: str,
     dim: int,
     k: int = 3,
-    nbits: int = 8,
+    nbits: int | None = None,
+    target_bucket_size: int = 128,
+    probe_bits: int = 1,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: candidates share an SRP bucket, scored
-    exactly within the bucket. Equi-join on bucket (AQE splits skewed
-    buckets); recall is tuned by nbits (fewer bits -> bigger buckets)."""
-    bucketed = srp_buckets(df, id_col, vec_col, dim, nbits)
-    a = bucketed.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    """Approximate all-pairs top-k: candidates share an SRP bucket (with
+    1-bit multi-probe on the query side), scored exactly within the bucket.
+
+    ``nbits=None`` sizes the code from ``df.count()`` (one cheap
+    metadata-backed job) so buckets stay ~``target_bucket_size`` at any N.
+    """
+    if nbits is None:
+        nbits = pick_nbits(df.count(), target_bucket_size)
+
+    bucketed = srp_buckets(df, id_col, vec_col, dim, nbits).withColumn(
+        "_norm", l2_norm(vec_col)
     )
-    b = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+
+    # Candidate (neighbor) side, optionally capped per bucket. The cap is
+    # deterministic — md5(id) order — so the candidate set is identical on
+    # any cluster size.
+    cand = bucketed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("_norm").alias("cn"),
+        "bucket",
     )
+    if max_bucket_size is not None:
+        wcap = Window.partitionBy("bucket").orderBy(
+            F.md5(F.col("neighbor_id").cast("string")), F.col("neighbor_id")
+        )
+        cand = (
+            cand.withColumn("_bslot", F.row_number().over(wcap))
+            .filter(F.col("_bslot") <= max_bucket_size)
+            .drop("_bslot")
+        )
+
+    # Query side probes its own bucket plus every bucket at Hamming
+    # distance <= probe_bits (probe_bits=1 -> nbits+1 probes per vector).
+    q = bucketed.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("_norm").alias("qn"),
+        "bucket",
+    )
+    if probe_bits >= 1:
+        flips = [F.col("bucket")]
+        for b in range(nbits):
+            flipped_bit = F.when(
+                F.substring("bucket", b + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            flips.append(
+                F.concat(
+                    F.substring("bucket", 1, b),
+                    flipped_bit,
+                    F.substring("bucket", b + 2, nbits - b - 1),
+                )
+            )
+        q = q.withColumn("bucket", F.explode(F.array(*flips)))
+
+    # Score before deduping multi-probe hits: the dedup shuffle then moves
+    # (ids, score), never the vectors themselves. A pair surfacing via two
+    # probe buckets scores identically, so keeping either row is exact.
     scored = (
-        a.join(b, "bucket")
+        q.join(cand, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine_similarity("qv", "cv"))
+        .withColumn("score", cosine_from_norms("qv", "cv", "qn", "cn"))
+        .select("query_id", "neighbor_id", "score")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

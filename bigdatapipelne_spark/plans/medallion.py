@@ -1,0 +1,210 @@
+"""The historical medallion pipeline on the card-transaction schema
+(SURVEY.md §3.1): raw JSON -> stage parquet -> spec mart.
+
+Reference parity, piece by piece:
+
+- raw: newline-delimited (optionally gzip) JSON with the nested
+  ``localizacao`` struct, Hive-partitioned by ``estado``
+  (ddk_app/custom/historical.py:216-254) -> ``sources.io.read_json`` with
+  ``CARD_RAW_SCHEMA`` + corrupt-record capture (S5/S6).
+- stage: the full 16-field ApplyMapping — including the
+  ``localizacao.estado`` -> ``loc-estado`` rename (avoids clashing with the
+  top-level partition column) and the string->double lat/lng casts —
+  then unnest, then snappy parquet partitioned by ``estado``
+  (glue_scripts/stage.py:25-61) -> ``CARD_STAGE_MAPPING`` through
+  ``operators.project.apply_mapping`` + ``flatten_structs``.
+- spec: DropFields(nome, cvv) -> groupBy(10 dims).sum(valor) -> partitioned
+  parquet (glue_scripts/spec.py:40-77) -> ``operators.project.drop_fields``
+  + ``operators.aggregate.group_agg``.
+- orchestration: the DDK DataPipeline chains event -> stage-job -> spec-job
+  (historical.py:443-449); here that's the in-process ``Pipeline`` runner.
+- incremental (job bookmarks, historical.py:358,381): either run the stage
+  ingest through ``streaming.fraud.run_available_now`` (checkpoint = file
+  bookmark), or use ``incremental_paths``'s ledger for plain batch reads.
+
+Scale: every transform is a narrow projection except the final rollup
+(one partial+final hash aggregate); writes are partitioned by ``estado``
+(~27 values) which keeps partition pruning effective and files large.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatapipelne_spark.operators.aggregate import exact_sum, group_agg
+from bigdatapipelne_spark.operators.project import (
+    apply_mapping,
+    drop_fields,
+    flatten_structs,
+)
+from bigdatapipelne_spark.sources.io import (
+    read_json,
+    write_parquet_partitioned,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CARD_RAW_SCHEMA = StructType(
+    [
+        StructField("nome", StringType()),
+        StructField("cpf", StringType()),
+        StructField("valor", DoubleType()),
+        StructField("bandeira", StringType()),
+        StructField("numero_cartao", StringType()),
+        StructField("cvv", StringType()),
+        StructField("exp", StringType()),
+        StructField("tipo_cartao", StringType()),
+        StructField("cor_cartao", StringType()),
+        StructField("tipo_transacao", StringType()),
+        StructField(
+            "localizacao",
+            StructType(
+                [
+                    StructField("lat", StringType()),
+                    StructField("lng", StringType()),
+                    StructField("cidade", StringType()),
+                    StructField("estado", StringType()),
+                ]
+            ),
+        ),
+        StructField("horario_transacao", StringType()),
+        StructField("estado", StringType()),
+        StructField("transaction_id", StringType()),
+    ]
+)
+
+# glue_scripts/stage.py:25-46, 4-tuples collapsed to (source, target, cast).
+CARD_STAGE_MAPPING: list[tuple[str, str, str]] = [
+    ("nome", "nome", ""),
+    ("cpf", "cpf", ""),
+    ("valor", "valor", "double"),
+    ("bandeira", "bandeira", ""),
+    ("numero_cartao", "numero_cartao", ""),
+    ("cvv", "cvv", ""),
+    ("exp", "exp", ""),
+    ("tipo_cartao", "tipo_cartao", ""),
+    ("cor_cartao", "cor_cartao", ""),
+    ("tipo_transacao", "tipo_transacao", ""),
+    ("localizacao.cidade", "cidade", ""),
+    ("localizacao.estado", "loc-estado", ""),
+    ("localizacao.lat", "latitude", "double"),
+    ("localizacao.lng", "longitude", "double"),
+    ("horario_transacao", "horario_transacao", ""),
+    ("estado", "estado", ""),
+]
+
+# glue_scripts/spec.py:47-64 group dimensions.
+SPEC_DIMS = [
+    "bandeira",
+    "numero_cartao",
+    "exp",
+    "tipo_cartao",
+    "cor_cartao",
+    "tipo_transacao",
+    "cidade",
+    "latitude",
+    "longitude",
+    "estado",
+]
+
+
+def stage_transform(raw: DataFrame) -> DataFrame:
+    """ApplyMapping (16 fields, renames, casts) + unnest
+    (glue_scripts/stage.py:25-48). ``flatten_structs`` is a no-op on the
+    already-flat mapping output — kept for strict operator parity with the
+    reference's unconditional ``unnest()`` call."""
+    return flatten_structs(apply_mapping(raw, CARD_STAGE_MAPPING))
+
+
+def spec_transform(stage: DataFrame) -> DataFrame:
+    """DropFields PII scrub + the 10-dimension SUM(valor) mart via the
+    generic A1 aggregator (glue_scripts/spec.py:40-64). The sum is the
+    engine's exact decimal sum surfaced as double
+    (cluster-size-independent result)."""
+    return group_agg(
+        drop_fields(stage, "nome", "cvv"), SPEC_DIMS, [exact_sum("valor", "sum_valor")]
+    )
+
+
+class Pipeline:
+    """Minimal in-process stage chainer replacing the reference's
+    DDK ``DataPipeline.add_stage`` / Step Functions orchestration
+    (ddk_app/custom/historical.py:443-449): named stages run sequentially,
+    each receiving the SparkSession; failures propagate with stage context."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._stages: list[tuple[str, Callable[[SparkSession], None]]] = []
+
+    def add_stage(self, name: str, fn: Callable[[SparkSession], None]) -> "Pipeline":
+        self._stages.append((name, fn))
+        return self
+
+    def run(self, spark: SparkSession) -> list[str]:
+        completed: list[str] = []
+        for name, fn in self._stages:
+            try:
+                fn(spark)
+            except Exception as e:
+                raise RuntimeError(f"pipeline {self.name}: stage '{name}' failed") from e
+            completed.append(name)
+        return completed
+
+
+def run_medallion(
+    spark: SparkSession,
+    raw_path: str,
+    stage_path: str,
+    spec_path: str,
+) -> list[str]:
+    """Raw JSON -> stage parquet -> spec parquet, chained like
+    historical.py:443-449. Returns completed stage names."""
+
+    def _stage(s: SparkSession) -> None:
+        raw = read_json(s, raw_path, schema=CARD_RAW_SCHEMA)
+        write_parquet_partitioned(stage_transform(raw), stage_path, ["estado"])
+
+    def _spec(s: SparkSession) -> None:
+        stage = s.read.parquet(stage_path)
+        write_parquet_partitioned(spec_transform(stage), spec_path, ["estado"])
+
+    return (
+        Pipeline("medallion-historical")
+        .add_stage("stage", _stage)
+        .add_stage("spec", _spec)
+        .run(spark)
+    )
+
+
+def incremental_paths(input_dir: str, ledger_path: str) -> tuple[list[str], Callable[[], None]]:
+    """Plain-batch job-bookmark parity (historical.py:358,381): list the
+    data files under ``input_dir`` not yet recorded in the ledger, and
+    return (new_files, commit). Call ``commit()`` after a successful run to
+    mark them processed. For streaming-based ingestion prefer
+    ``streaming.fraud.run_available_now`` — its checkpoint IS the bookmark.
+    """
+    seen: set[str] = set()
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            seen = set(json.load(f))
+    found = []
+    for root, _dirs, files in os.walk(input_dir):
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue
+            found.append(os.path.join(root, fn))
+    new = sorted(p for p in found if p not in seen)
+
+    def commit() -> None:
+        with open(ledger_path, "w") as f:
+            json.dump(sorted(seen | set(new)), f)
+
+    return new, commit

@@ -66,18 +66,13 @@ def OAVG(col: str, scale: int = 2) -> str:
     return f"({OSUM(col, scale)} / CAST(COUNT({col}) AS DOUBLE))"
 
 
-def dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
-    """Exact decimal sum surfaced as double (order-independent)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
-
-
-def davg(col: Column | str, alias: str, scale: int = 2) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
-        / F.count(c).cast("double")
-    ).alias(alias)
+# The engine's deterministic aggregates (operators/aggregate.py) under the
+# short local names used throughout this registry.
+from bigdatapipelne_spark.operators.aggregate import (  # noqa: E402
+    exact_avg as davg,
+    exact_sum as dsum,
+    group_agg,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -96,18 +91,28 @@ def davg(col: Column | str, alias: str, scale: int = 2) -> Column:
     """,
 )
 def stage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1+P2: project/rename/cast incl. pulling a nested (JSON) field up to a
-    typed top-level column — parity with Glue ApplyMapping + unnest
-    (glue_scripts/stage.py:25-48). Single select → codegen'd projection,
-    scan pruned to the referenced columns."""
-    ev = t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        "ts",
-        "user_id",
-        "event_type",
-        "value",
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    """P1+P2: project/rename/cast incl. pulling a nested field up to a
+    typed top-level column, via the real ``apply_mapping`` operator with a
+    dotted source path — parity with Glue ApplyMapping + unnest
+    (glue_scripts/stage.py:25-48). The JSON props column is parsed to a
+    struct first so the mapping exercises the nested-path branch; the whole
+    thing stays one codegen'd projection, scan pruned to the referenced
+    columns."""
+    from bigdatapipelne_spark.operators.project import apply_mapping
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "props_s", F.from_json("props", "k int")
+    )
+    return apply_mapping(
+        ev,
+        [
+            ("event_id", "event_id", ""),
+            ("ts", "ts", ""),
+            ("user_id", "user_id", ""),
+            ("event_type", "event_type", ""),
+            ("value", "value", ""),
+            ("props_s.k", "prop_k", "int"),
+        ],
     )
 
 
@@ -122,13 +127,14 @@ def stage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def spec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: the spec-mart rollup — SUM(value) grouped by dimensions (parity
-    with glue_scripts/spec.py:47-64, which groups 10 dims and sums valor).
+    """A2 via the generic A1 aggregator: the spec-mart rollup — SUM(value)
+    grouped by dimensions (parity with glue_scripts/spec.py:11-22,47-64).
     HashAggregate partial+final; shuffle carries one row per group."""
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type", "user_id").agg(
-        dsum("value", "sum_value"),
-        F.count(F.lit(1)).alias("n_events"),
+    return group_agg(
+        ev,
+        ["event_type", "user_id"],
+        [dsum("value", "sum_value"), F.count(F.lit(1)).alias("n_events")],
     )
 
 
@@ -143,14 +149,19 @@ def spec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 empty-groups branch: global aggregate with no GROUP BY (parity
-    with sparkAggregate's fallback, glue_scripts/spec.py:19-21)."""
+    """A1 empty-groups branch: global aggregate with no GROUP BY — routed
+    through ``group_agg`` with ``groups=[]``, the reference's explicit
+    fallback (glue_scripts/spec.py:19-21)."""
     ev = t(spark, sf_dir, "events")
-    return ev.agg(
-        dsum("value", "sum_value"),
-        davg("value", "avg_value"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
+    return group_agg(
+        ev,
+        [],
+        [
+            dsum("value", "sum_value"),
+            davg("value", "avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        ],
     )
 
 
@@ -177,15 +188,20 @@ def fraud_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/W2/P4 (stated semantics): 10-second tumbling window per user,
     SUM(value), HAVING sum > threshold — the reference's fraud rule as the
     README states it (per-card windowed sum > 5000; flink_app/app.py:70-83,
-    README.md:19). Batch form of the streaming job in streaming/fraud.py."""
+    README.md:19). Routed through ``tumbling_window_agg`` — the same
+    operator the streaming job shares (streaming/fraud.py), so batch
+    backfill and the live stream agree by construction."""
+    from bigdatapipelne_spark.operators.windows import tumbling_window_agg
+
     ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "10 seconds").alias("w"), "user_id")
-        .agg(dsum("value", "sum_value"), F.count(F.lit(1)).alias("n_events"))
-        .filter(F.col("sum_value") > FRAUD_THRESHOLD)
-        .select("user_id", F.col("w.start").alias("window_start"),
-                F.col("w.end").alias("window_end"), "sum_value", "n_events")
-    )
+    return tumbling_window_agg(
+        ev,
+        "ts",
+        "10 seconds",
+        ["user_id"],
+        [dsum("value", "sum_value"), F.count(F.lit(1)).alias("n_events")],
+        having=F.col("sum_value") > FRAUD_THRESHOLD,
+    ).select("user_id", "window_start", "window_end", "sum_value", "n_events")
 
 
 @query(
@@ -204,13 +220,17 @@ def fraud_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (flink_app/app.py:78), making each 'window sum' per-single-transaction —
     we reproduce that quirk faithfully (SURVEY.md §3.2.4): group by
     (user, event_id, window), project window END as the new event time."""
+    from bigdatapipelne_spark.operators.windows import tumbling_window_agg
+
     ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "10 seconds").alias("w"), "user_id", "event_id")
-        .agg(dsum("value", "sum_value"))
-        .filter(F.col("sum_value") > FRAUD_THRESHOLD)
-        .select("user_id", "event_id", F.col("w.end").alias("horario"), "sum_value")
-    )
+    return tumbling_window_agg(
+        ev,
+        "ts",
+        "10 seconds",
+        ["user_id", "event_id"],
+        [dsum("value", "sum_value")],
+        having=F.col("sum_value") > FRAUD_THRESHOLD,
+    ).select("user_id", "event_id", F.col("window_end").alias("horario"), "sum_value")
 
 
 @query(
@@ -220,9 +240,12 @@ def fraud_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def serving_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1: key-equality lookup on the serving table (DynamoDB Query parity,
-    lambda_app/api/function.py:38-45) — a pushed-down filter on the key."""
-    return fraud_windows(spark, sf_dir).filter(F.col("user_id") == 7)
+    """L1: key-equality lookup on the serving table via ``key_lookup``
+    (DynamoDB Query parity, lambda_app/api/function.py:38-45) — a
+    pushed-down filter on the key."""
+    from bigdatapipelne_spark.operators.serving import key_lookup
+
+    return key_lookup(fraud_windows(spark, sf_dir), "user_id", 7)
 
 
 @query(
@@ -235,16 +258,15 @@ def serving_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def serving_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6+P7: consumer projection + 30-day epoch-seconds TTL stamp (parity
-    with lambda_app/consumer/function.py:12-24). TTL base is event time for
-    reproducibility (the reference uses wall clock)."""
-    ev = t(spark, sf_dir, "events")
-    return ev.filter(F.col("value") > 50.0).select(
-        "user_id",
-        "event_id",
-        "ts",
-        "value",
-        (F.unix_timestamp("ts") + F.lit(2592000)).cast("bigint").alias("ttl"),
+    """P6+P7 via ``serving_projection``: consumer projection + 30-day
+    epoch-seconds TTL stamp (parity with lambda_app/consumer/function.py:
+    12-24). TTL base is event time for reproducibility (the reference uses
+    wall clock)."""
+    from bigdatapipelne_spark.operators.serving import serving_projection
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value") > 50.0)
+    return serving_projection(
+        ev, key_col="user_id", id_col="event_id", time_col="ts", value_col="value"
     )
 
 
@@ -518,8 +540,9 @@ def user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes'
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -534,17 +557,32 @@ def user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag-gap > 30 min starts a new session. The classic
     pre-aggregation for behavioral pipelines; one shuffle on user_id shared
-    by the window and the final group-by."""
+    by the window and the final group-by.
+
+    The gap compares at full microsecond precision on BOTH sides
+    (unix_micros here, epoch_us in the oracle) — second-truncated casts
+    would disagree with the oracle's exact interval for gaps in the
+    (1799, 1801) s boundary band."""
     from pyspark.sql.window import Window
 
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
     return flagged.groupBy("user_id").agg(
         F.sum("new_session").cast("bigint").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Register the other query families (import side effect; module-end so the
+# ``query`` decorator above exists when they import it).
+# ---------------------------------------------------------------------------
+
+from bigdatapipelne_spark import queries_llm  # noqa: E402,F401
+from bigdatapipelne_spark import queries_pipeline  # noqa: E402,F401

@@ -1,0 +1,397 @@
+"""North-star LLM-pipeline queries: dedup, similarity search, text analysis
+over the driver's ``documents`` / ``embeddings`` tables (BASELINE.json
+north_star). Registered in the same ``QUERIES``/``ORACLE`` registry as the
+parity queries so the driver's duckdb gate certifies them.
+
+Every oracle replicates the engine's md5-based pipelines exactly (same
+tokenization, same seeded rehash "permutations", same band keys), so a green
+row is evidence the *operator*, not a lookalike, is right.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatapipelne_spark.operators.dedup import (
+    BANDS,
+    NUM_PERM,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from bigdatapipelne_spark.operators.similarity import (
+    brute_force_topk,
+    near_duplicate_pairs,
+    srp_bucket_ann,
+)
+from bigdatapipelne_spark.functions.text import (
+    SUBWORD_RE,
+    avg_token_len,
+    distinct_tokens,
+    en_stopword_ratio,
+    fingerprint,
+    lang_id_en,
+    punct_ratio,
+    quality_score,
+    subword_count,
+    tokens,
+    EN_STOPWORDS,
+)
+from bigdatapipelne_spark.queries import query
+from bigdatapipelne_spark.sources.testdata import load_table as t
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments mirroring functions/text.py exactly.
+# ---------------------------------------------------------------------------
+
+# tokens(): lowercase, split on whitespace, drop empty strings.
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+# shingles(n=3): word trigrams; documents shorter than 3 words yield one
+# shingle (the whole text) — same greatest(size-2, 1) bound as Spark.
+_SQL_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(w) - 2, 1)),"
+    " i -> array_to_string(list_slice(w, i, i + 2), ' '))"
+)
+_SQL_FINGERPRINT = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+_SQL_STOPWORD_LIST = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    ),
+    keyed AS (SELECT doc_id, {_SQL_FINGERPRINT} AS fp FROM docs2),
+    groups AS (
+      SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+      FROM keyed GROUP BY fp
+    )
+    SELECT k.doc_id, g.canonical_id, g.group_size
+    FROM keyed k JOIN groups g USING (fp)
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical-id mapping over md5(normalized text). The
+    corpus is unioned with a re-keyed copy of itself so every group has a
+    true duplicate — the raw documents table has none at small SF, which
+    would make the check trivially all-singletons."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    return exact_duplicates(docs.unionByName(dup), "doc_id", "text")
+
+
+def _minhash_oracle(threshold: float = 0.5) -> str:
+    mins = ",\n           ".join(
+        f"min(md5('{seed}:' || s)) AS mh{seed}" for seed in range(NUM_PERM)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(mh{b * ROWS_PER_BAND} || '|' || mh{b * ROWS_PER_BAND + 1}) AS band_key "
+        "FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sigs AS (
+      SELECT doc_id,
+           {mins}
+      FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+             CAST(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+               AS jaccard
+      FROM cands
+      JOIN sets sa ON sa.doc_id = id_a
+      JOIN sets sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+@query("minhash_near_dups", oracle=_minhash_oracle())
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(6x2) candidates, exact trigram-Jaccard verify at
+    0.5 — the full fuzzy-dedup pipeline (operators/dedup.py). The oracle
+    re-derives the identical seeded-md5 signatures and band keys in SQL."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_near_duplicates(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _simhash_sigs_cte() -> str:
+    """CTE text computing (doc_id, simhash) exactly as simhash_signatures."""
+    votes = []
+    for p in range(16):
+        digit = f"(strpos('0123456789abcdef', substring(h, {p + 1}, 1)) - 1)"
+        for i in range(4):
+            j = p * 4 + i
+            votes.append(
+                f"SUM(CASE WHEN (({digit} >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+            )
+    votes_sql = ",\n             ".join(votes)
+    sig = " || ".join(
+        f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, list_distinct({_SQL_TOKS}) AS w FROM documents
+    ),
+    ex AS (SELECT doc_id, md5(unnest(w)) AS h FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {votes_sql}
+      FROM ex GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig} AS simhash FROM votes)
+    """
+
+
+@query("simhash_sigs", oracle=f"WITH {_simhash_sigs_cte()} SELECT doc_id, simhash FROM sigs")
+def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (operators/dedup.py:
+    simhash_signatures); oracle recomputes all 64 bit-votes in SQL."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_signatures(docs, "doc_id", "text")
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3, bands: int = 8) -> str:
+    width = SIMHASH_BITS // bands
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"substring(simhash, {b * width + 1}, {width}) AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    ham = (
+        "len(list_filter(generate_series(1, 64),"
+        " i -> substring(sig_a, i, 1) <> substring(sig_b, i, 1)))"
+    )
+    return f"""
+    WITH {_simhash_sigs_cte()},
+    banded AS (
+      {band_rows}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sig_a, b.simhash AS sig_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cands WHERE {ham} <= {max_hamming}
+    """
+
+
+@query("simhash_near_dups", oracle=_simhash_pairs_oracle())
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash matching: pairs within hamming<=3 via 8-band pigeonhole
+    bucketing (never all-pairs), exact hamming verify."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3, bands=8)
+    return pairs.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(len(regexp_extract_all(lower(text), '{SUBWORD_RE}')) AS BIGINT) AS n_subword,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(len(list_filter(toks, x -> list_contains({_SQL_STOPWORD_LIST}, x))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(length(regexp_replace(lower(text), '\\s', '', 'g')) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) END AS avg_token_len,
+           {_SQL_FINGERPRINT} AS fingerprint
+    FROM base
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), distinct counts,
+    stopword ratio, mean token length, md5 content fingerprint — the quality
+    /statistics pass of a training-data pipeline (functions/text.py). Single
+    codegen'd projection, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.size(distinct_tokens("text")).cast("bigint").alias("n_distinct"),
+        subword_count("text").alias("n_subword"),
+        en_stopword_ratio("text").alias("stopword_ratio"),
+        avg_token_len("text").alias("avg_token_len"),
+        fingerprint("text").alias("fingerprint"),
+    )
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, lang, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> list_contains({_SQL_STOPWORD_LIST}, x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END AS sr,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) END AS pr
+      FROM base
+    )
+    SELECT doc_id, lang,
+           CASE WHEN sr >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
+           pr AS punct_ratio,
+           sr * 0.5 + (1.0 - pr) * 0.5 AS quality
+    FROM sig
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + punctuation ratio + composite quality score
+    per document, alongside the ground-truth lang column."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_id_en("text").alias("lang_pred"),
+        punct_ratio("text").alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_NORM.format(a=a)
+    nb = _SQL_NORM.format(a=b)
+    return f"({dot} / ({na} * {nb}))"
+
+
+@query(
+    "embedding_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_sql_cosine('qv', 'cv')} AS score
+      FROM q, c WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a 10-vector query set against the full corpus
+    (operators/similarity.py: brute_force_topk — query side broadcast,
+    corpus never shuffled)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(q, emb, "vec_id", "embedding", k=5)
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.42
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the exact all-pairs baseline
+    (guarded against corpus-scale inputs; the scale path is embedding_ann).
+    Threshold 0.42 sits in the top ~0.03% of the synthetic corpus's cosine
+    distribution (max ~0.51), so the result is small but non-empty at every
+    SF — a discriminating check."""
+    emb = t(spark, sf_dir, "embeddings")
+    return near_duplicate_pairs(emb, "vec_id", "embedding", threshold=0.42)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256,
+           'unknown' AS format
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> Arrow-batched metadata extraction
+    (operators/multimodal.py: mapInPandas, one Python call per Arrow batch).
+    The payload here is the documents' UTF-8 bytes, so the oracle can verify
+    the batch path end-to-end: byte length, sha256, and the magic-number
+    sniff (no magic header -> 'unknown')."""
+    from bigdatapipelne_spark.operators.multimodal import extract_media_metadata
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("data"))
+    return extract_media_metadata(media, id_col="doc_id", data_col="data")
+
+
+EMBEDDING_DIM = 64  # driver testdata embeddings are fixed 64-d
+
+
+@query("embedding_ann")  # approximate by design -> rows-only check
+def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate neighbor search, adaptive code width + 1-bit
+    multi-probe + capped buckets (operators/similarity.py: srp_bucket_ann).
+    Recall vs brute force is asserted in tests/test_llm_ops.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    return srp_bucket_ann(emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=5)

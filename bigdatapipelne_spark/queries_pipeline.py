@@ -1,0 +1,288 @@
+"""Pipeline-surface queries: the card-schema medallion chain through the
+real operator path, nested-struct flattening, serving-layer semantics
+(TTL view, upsert), and the drained Structured Streaming fraud query.
+
+The card pipeline has no driver table of its own, so a deterministic card
+frame is *derived from the events table* with engine-neutral expressions
+(integer modulo, string concat, lpad — identical in Spark and DuckDB).
+The Spark side then runs the genuine medallion operators
+(``apply_mapping`` with dotted paths + casts, ``flatten_structs``,
+``drop_fields``, ``group_agg``); the oracle recomputes the same mart
+directly in SQL — certifying the operator library, not a lookalike.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatapipelne_spark.operators.project import flatten_structs
+from bigdatapipelne_spark.operators.serving import (
+    key_lookup,
+    live_view,
+    serving_projection,
+    upsert_batch,
+)
+from bigdatapipelne_spark.plans.medallion import spec_transform, stage_transform
+from bigdatapipelne_spark.queries import OSUM, _FRAUD_WINDOWS_SQL, query
+from bigdatapipelne_spark.sources.testdata import load_table as t
+
+# ---------------------------------------------------------------------------
+# Card-schema medallion (raw -> stage -> spec) derived from events
+# ---------------------------------------------------------------------------
+
+_TIPOS = ("unlimited", "black", "platinum", "gold", "standard")
+_CORES = ("preto", "prata", "amarelo", "azul", "verde")
+_ESTADOS = ("SP", "RJ", "MG")
+
+
+def _pick(options: tuple[str, ...], idx_col) -> F.Column:
+    return F.element_at(
+        F.array(*[F.lit(o) for o in options]), (idx_col + 1).cast("int")
+    )
+
+
+def card_raw_from_events(ev: DataFrame) -> DataFrame:
+    """Deterministic card-transaction raw frame (FIXTURES.md A1 shape, incl.
+    the nested ``localizacao`` struct with *string* lat/lng) from events.
+    Lat/lng are built as strings digit-by-digit — never formatted from
+    floats — so the later string->double cast parses identically in any
+    engine."""
+    lat = F.concat(F.lit("-23."), (F.col("user_id") % 100).cast("string"))
+    lng = F.concat(F.lit("-46."), (F.col("event_id") % 100).cast("string"))
+    cidade = F.concat(F.lit("cidade_"), (F.col("user_id") % 27).cast("string"))
+    estado = _pick(_ESTADOS, F.col("user_id") % 3)
+    return ev.select(
+        F.concat(F.lit("user "), F.col("user_id").cast("string")).alias("nome"),
+        F.lpad(F.col("user_id").cast("string"), 11, "0").alias("cpf"),
+        F.col("value").alias("valor"),
+        F.col("event_type").alias("bandeira"),
+        (F.col("user_id") % 50).cast("string").alias("numero_cartao"),
+        F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0").alias("cvv"),
+        F.concat(
+            F.lpad(((F.col("user_id") % 12) + 1).cast("string"), 2, "0"), F.lit("/28")
+        ).alias("exp"),
+        _pick(_TIPOS, F.col("user_id") % 5).alias("tipo_cartao"),
+        _pick(_CORES, F.col("event_id") % 5).alias("cor_cartao"),
+        F.when(F.col("value") > 50, F.lit("credito"))
+        .otherwise(F.lit("debito"))
+        .alias("tipo_transacao"),
+        F.struct(
+            lat.alias("lat"), lng.alias("lng"), cidade.alias("cidade"), estado.alias("estado")
+        ).alias("localizacao"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("horario_transacao"),
+        estado.alias("estado"),
+        F.col("event_id").cast("string").alias("transaction_id"),
+    )
+
+
+_CARD_STAGE_SQL = """
+    SELECT event_type AS bandeira,
+           CAST(user_id % 50 AS VARCHAR) AS numero_cartao,
+           lpad(CAST((user_id % 12) + 1 AS VARCHAR), 2, '0') || '/28' AS exp,
+           (['unlimited','black','platinum','gold','standard'])[CAST(user_id % 5 AS INT) + 1]
+             AS tipo_cartao,
+           (['preto','prata','amarelo','azul','verde'])[CAST(event_id % 5 AS INT) + 1]
+             AS cor_cartao,
+           CASE WHEN value > 50 THEN 'credito' ELSE 'debito' END AS tipo_transacao,
+           'cidade_' || CAST(user_id % 27 AS VARCHAR) AS cidade,
+           CAST('-23.' || CAST(user_id % 100 AS VARCHAR) AS DOUBLE) AS latitude,
+           CAST('-46.' || CAST(event_id % 100 AS VARCHAR) AS DOUBLE) AS longitude,
+           (['SP','RJ','MG'])[CAST(user_id % 3 AS INT) + 1] AS estado,
+           value AS valor
+    FROM events
+"""
+
+
+@query(
+    "card_spec_mart",
+    oracle=f"""
+    WITH stage AS ({_CARD_STAGE_SQL})
+    SELECT bandeira, numero_cartao, exp, tipo_cartao, cor_cartao,
+           tipo_transacao, cidade, latitude, longitude, estado,
+           {OSUM('valor')} AS sum_valor
+    FROM stage
+    GROUP BY 1,2,3,4,5,6,7,8,9,10
+    """,
+)
+def card_spec_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full medallion transform chain on the card schema: raw (nested
+    localizacao) -> ApplyMapping 16 fields incl. loc-estado rename and
+    string->double lat/lng (glue_scripts/stage.py:25-48) -> DropFields ->
+    10-dim SUM mart (glue_scripts/spec.py:40-64) — all through
+    plans/medallion.py's operator pipeline. The disk form (partitioned
+    parquet writes, gzip JSON raw, corrupt capture) is exercised in
+    tests/test_medallion.py."""
+    raw = card_raw_from_events(t(spark, sf_dir, "events"))
+    stage = stage_transform(raw)
+    return spec_transform(stage)
+
+
+@query(
+    "card_stage_schema",
+    oracle="""
+    SELECT 'bandeira:string,cidade:string,cor_cartao:string,cpf:string,cvv:string,'
+        || 'estado:string,exp:string,horario_transacao:string,latitude:double,'
+        || 'loc-estado:string,longitude:double,nome:string,numero_cartao:string,'
+        || 'tipo_cartao:string,tipo_transacao:string,valor:double' AS stage_schema
+    """,
+)
+def card_stage_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-parity probe: the stage transform must produce exactly the 16
+    ApplyMapping output columns with the reference's names (including
+    ``loc-estado``) and types (FIXTURES.md A2)."""
+    raw = card_raw_from_events(t(spark, sf_dir, "events"))
+    stage = stage_transform(raw)
+    desc = ",".join(
+        f"{f.name}:{f.dataType.simpleString()}" for f in sorted(stage.schema, key=lambda f: f.name)
+    )
+    return spark.createDataFrame([(desc,)], "stage_schema string")
+
+
+# ---------------------------------------------------------------------------
+# Nested-struct flattening (P2) on a genuinely nested frame
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flatten_nested",
+    oracle="""
+    SELECT event_id, user_id AS u_id, event_type AS u_meta_t, value AS u_meta_v
+    FROM events
+    """,
+)
+def flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: recursive struct flatten on a two-level nested frame built from
+    events — ``u.meta.v`` becomes ``u_meta_v`` (operators/project.py:
+    flatten_structs; parity with Glue unnest, glue_scripts/stage.py:48)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("id"),
+            F.struct(
+                F.col("event_type").alias("t"), F.col("value").alias("v")
+            ).alias("meta"),
+        ).alias("u"),
+    )
+    return flatten_structs(ev)
+
+
+# ---------------------------------------------------------------------------
+# Serving layer: TTL-filtered live view (W7) and batch upsert (L3)
+# ---------------------------------------------------------------------------
+
+# Fixed "now" inside the events time range (2024-01-01..2024-01-30), so the
+# TTL filter is deterministic and actually splits the data: alerts stamped
+# from event time + 30 d expire when event ts < NOW - 30 d... using a NOW
+# past the range start keeps a nontrivial subset on each side.
+_LIVE_NOW_EPOCH = 1707350400  # 2024-02-08 00:00:00 UTC
+
+
+@query(
+    "serving_live",
+    oracle=f"""
+    SELECT user_id, event_id, ts, value,
+           CAST(floor(epoch(ts)) + 2592000 AS BIGINT) AS ttl
+    FROM events
+    WHERE value > 50.0
+      AND CAST(floor(epoch(ts)) + 2592000 AS BIGINT) > {_LIVE_NOW_EPOCH}
+    """,
+)
+def serving_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: the TTL-honoring live view over the serving table — expired
+    records (ttl <= now) disappear, parity with DynamoDB TTL expiry
+    (realtime.py:219). ``now`` is pinned for determinism."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value") > 50.0)
+    serving = serving_projection(
+        ev, key_col="user_id", id_col="event_id", time_col="ts", value_col="value"
+    )
+    return live_view(serving, now_epoch=F.lit(_LIVE_NOW_EPOCH))
+
+
+@query(
+    "serving_upsert",
+    oracle=f"""
+    WITH serving AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(floor(epoch(ts)) + 2592000 AS BIGINT) AS ttl
+      FROM events WHERE value > 50.0
+    ),
+    updates AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(floor(epoch(ts)) + 5184000 AS BIGINT) AS ttl
+      FROM events WHERE value > 90.0
+    )
+    SELECT s.* FROM serving s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM updates u
+      WHERE u.user_id = s.user_id AND u.event_id = s.event_id
+    )
+    UNION ALL
+    SELECT * FROM updates
+    """,
+)
+def serving_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: last-writer-wins merge — records re-flagged with a longer TTL
+    replace their serving rows, the rest survive (operators/serving.py:
+    upsert_batch; parity with DynamoDB put_item upsert semantics)."""
+    ev = t(spark, sf_dir, "events")
+    serving = serving_projection(
+        ev.filter(F.col("value") > 50.0),
+        key_col="user_id", id_col="event_id", time_col="ts", value_col="value",
+    )
+    updates = serving_projection(
+        ev.filter(F.col("value") > 90.0),
+        key_col="user_id", id_col="event_id", time_col="ts", value_col="value",
+        ttl_seconds=60 * 24 * 3600,
+    )
+    return upsert_batch(serving, updates, ["user_id", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming fraud drain (W1-W8 live in the plan; the drained
+# result is SQL-checkable: append mode emits exactly the windows closed by
+# the final watermark = max(ts) - 10 s).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fraud_stream_drain",
+    oracle=f"""
+    WITH agg AS ({_FRAUD_WINDOWS_SQL}),
+    mx AS (SELECT max(ts) AS m FROM events)
+    SELECT agg.* FROM agg, mx
+    WHERE window_end <= m - INTERVAL '10 seconds'
+    """,
+)
+def fraud_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's realtime pipeline as Structured Streaming, drained:
+    file source with explicit schema (S11) -> 10 s watermark (W1) -> 10 s
+    tumble + exact SUM + HAVING (A3/W2/P4) -> append (W4) parquet sink with
+    checkpoint (W5), availableNow trigger (W8). Emitted rows are exactly
+    the windows whose end <= final watermark — which the oracle computes in
+    SQL, so even the *late-data/emission* semantics are hash-checked."""
+    import os
+
+    from bigdatapipelne_spark.streaming.fraud import (
+        EVENTS_NANOS_SCHEMA,
+        fraud_alerts,
+        read_events_stream,
+        run_available_now,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", schema=EVENTS_NANOS_SCHEMA, fmt="parquet"
+    )
+    src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    alerts = fraud_alerts(src)
+
+    tmp = tempfile.mkdtemp(prefix="fraud_stream_")
+    out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
+    run_available_now(alerts, out, cp)
+    return spark.read.parquet(out).select(
+        "user_id", "window_start", "window_end", "sum_value", "n_events"
+    )

@@ -20,8 +20,7 @@ the upstream plan (AQE coalesces small shuffles on its own).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -34,23 +33,30 @@ def read_json(
 ) -> DataFrame:
     """Read JSON-lines (plain or .gz — Spark decompresses by extension).
 
-    With a schema we run PERMISSIVE and capture undecodable lines in
-    ``_corrupt_record`` (reference parity: Firehose routes failed records to
-    an ``error/`` prefix, historical.py:227). ``keep_corrupt=True`` returns
-    them as a column; otherwise they are filtered out.
+    With a schema, undecodable lines are captured in ``_corrupt_record``
+    (reference parity: Firehose routes failed records to an ``error/``
+    prefix, historical.py:227). ``keep_corrupt=True`` runs PERMISSIVE and
+    returns the corrupt column; the default drops bad lines via
+    DROPMALFORMED (scan-side, no post-filter — also sidesteps Spark's
+    restriction on plans that reference only the corrupt column).
+
+    NOTE for ``keep_corrupt=True`` callers: Spark disallows queries that
+    reference *only* ``_corrupt_record``; ``.cache()`` the returned frame
+    before counting/filtering corrupt rows in isolation.
     """
     reader = spark.read
     if schema is not None:
-        schema_with_corrupt = StructType(
-            list(schema.fields) + [StructField(CORRUPT_COL, "string")]  # type: ignore[list-item]
-        )
-        reader = reader.schema(schema_with_corrupt).option("mode", "PERMISSIVE").option(
-            "columnNameOfCorruptRecord", CORRUPT_COL
-        )
-        df = reader.json(path)
-        if not keep_corrupt:
-            df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-        return df
+        if keep_corrupt:
+            schema_with_corrupt = StructType(
+                list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+            )
+            return (
+                reader.schema(schema_with_corrupt)
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", CORRUPT_COL)
+                .json(path)
+            )
+        return reader.schema(schema).option("mode", "DROPMALFORMED").json(path)
     return reader.json(path)
 
 

@@ -1,0 +1,187 @@
+"""The realtime fraud-alert pipeline, Spark-native (SURVEY.md §3.2).
+
+Reference semantics being reproduced (flink_app/app.py):
+
+- S11 source table: fixed-schema streaming scan with an event-time
+  watermark of 10 s (``WATERMARK FOR horario_transacao AS
+  horario_transacao - INTERVAL '10' SECOND``, app.py:47-53) ->
+  ``readStream`` with explicit schema + ``withWatermark`` (W1).
+- A3/W2: 10-second tumble, group by key(s), SUM(value), window *end*
+  projected as the new event time (app.py:70-79).
+- P4/W3: post-aggregation HAVING ``> threshold`` (app.py:80); rows later
+  than the watermark are dropped in append mode — same observable
+  semantics as Flink's default late-data handling.
+- W4 append output, W5 checkpointing, W6 start position (file sources
+  always start from the earliest unprocessed file — TRIM_HORIZON), W8
+  micro-batch boundaries (``maxFilesPerTrigger`` / ``availableNow``).
+- S13/S14/L3 consumer: ``foreachBatch`` upsert into a keyed serving store
+  with TTL — the Lambda/DynamoDB path (lambda_app/consumer/function.py:11-25).
+
+Batch/stream parity by construction: the aggregation expressions here are
+the same ``exact_sum`` decimal-sum used by the batch ``fraud_windows``
+query, so a drained stream equals the batch query over the same input minus
+windows still open at the final watermark (asserted in
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from bigdatapipelne_spark.operators.aggregate import exact_sum
+from bigdatapipelne_spark.operators.serving import upsert_batch
+
+FRAUD_THRESHOLD = 50.0
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+# The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+# only accepts as int64 (spark.sql.legacy.parquet.nanosAsLong) — streaming
+# scans of those files read ts as long and convert (testdata.py rationale).
+EVENTS_NANOS_SCHEMA = StructType(
+    [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENTS_SCHEMA.fields]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = EVENTS_SCHEMA,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S11: streaming source with explicit schema (Structured Streaming does
+    not infer — matching Flink's DDL discipline). ``max_files_per_trigger``
+    sets the micro-batch boundary (W8)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(path):
+        # The file-stream source rejects a bare file path ("basePath must be
+        # a directory"); a glob that matches exactly that file makes the
+        # parent the basePath, so single-file inputs (testdata's
+        # events.parquet) still stream.
+        path = f"{path[:-1]}[{path[-1]}]"
+    return reader.load(path)
+
+
+def fraud_alerts(
+    events: DataFrame,
+    time_col: str = "ts",
+    keys: tuple[str, ...] = ("user_id",),
+    value_col: str = "value",
+    threshold: float = FRAUD_THRESHOLD,
+    window: str = "10 seconds",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """W1+W2+A3+P4+P5 on a streaming (or batch) DataFrame: watermark,
+    tumble, exact decimal SUM, HAVING, window bounds projected out.
+
+    Works unchanged on a batch frame (withWatermark is a no-op there) —
+    that IS the lambda-architecture parity story."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(time_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(time_col), window).alias("w"), *keys)
+        .agg(exact_sum(value_col, "sum_value"), F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("sum_value") > threshold)
+        .select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sum_value",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    sdf: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+) -> None:
+    """Drain everything currently available through the streaming plan and
+    stop (W4 append + W5 checkpoint + the availableNow trigger).
+
+    This is also the job-bookmark story (S10/Glue `--job-bookmark-enable`,
+    ddk_app/custom/historical.py:358): the checkpoint tracks processed
+    files, so re-running with the same checkpoint processes only new files
+    — incremental ingestion without a bespoke ledger.
+    """
+    q = (
+        sdf.writeStream.format(fmt)
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _swap_parquet(df: DataFrame, path: str) -> None:
+    """Rewrite ``path`` with ``df`` safely when ``df`` reads from ``path``:
+    materialize to a staging dir first, then swap directories."""
+    staging = path + "__staging"
+    df.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+def stream_to_serving(
+    sdf: DataFrame,
+    serving_path: str,
+    key_cols: list[str],
+    checkpoint_path: str,
+) -> None:
+    """S13/S14/L3 streaming form: drain alerts into a keyed serving store
+    with last-writer-wins upsert per micro-batch (foreachBatch), parity with
+    the Lambda consumer's per-record ``put_item``. ``update`` output mode so
+    a growing window re-upserts its row — exactly DynamoDB's behavior.
+
+    On a real deployment the store would be Delta/Iceberg and this becomes
+    MERGE INTO; parquet + directory swap keeps the dependency surface zero.
+    """
+    spark = sdf.sparkSession
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if os.path.exists(serving_path):
+            current = spark.read.parquet(serving_path)
+            merged = upsert_batch(current, batch_df, key_cols)
+        else:
+            merged = batch_df
+        _swap_parquet(merged, serving_path)
+
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

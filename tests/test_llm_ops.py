@@ -1,0 +1,148 @@
+"""Unit tests for the north-star operators beyond the oracle sweep: known
+answers on crafted inputs, ANN recall vs brute force, determinism, and the
+scale guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatapipelne_spark.functions.text import (
+    avg_token_len,
+    en_stopword_ratio,
+    shingles,
+    tokens,
+)
+from bigdatapipelne_spark.operators import similarity
+from bigdatapipelne_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from bigdatapipelne_spark.operators.similarity import (
+    brute_force_topk,
+    near_duplicate_pairs,
+    pick_nbits,
+    srp_bucket_ann,
+    srp_buckets,
+)
+from bigdatapipelne_spark.sources.testdata import load_table
+
+from .conftest import SF_SMALL
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_known(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),  # same after normalization
+            (3, "HELLO WORLD "),  # same after normalization
+            (4, "different"),
+        ],
+    )
+    out = {r.doc_id: (r.canonical_id, r.group_size) for r in
+           exact_duplicates(df, "doc_id", "text").collect()}
+    assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 4: (4, 1)}
+
+
+def test_minhash_finds_crafted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated words about spark query engines and parquet"
+    df = _docs(spark, [(1, base), (2, near), (3, far)])
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             minhash_near_duplicates(df, "doc_id", "text", threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert all(k == (1, 2) for k in pairs)  # far doc pairs with nothing
+    # jaccard is exact distinct-trigram overlap: 13-word docs differing in
+    # the last word share 10 of 12 distinct shingles.
+    assert pairs[(1, 2)] == pytest.approx(10 / 12)
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    df = _docs(spark, [(1, "spark engine test"), (2, "spark engine test"),
+                       (3, "spark engine test"), (4, "other thing entirely wow")])
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_near_duplicates(df, "doc_id", "text", max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_pigeonhole_guard(spark):
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_duplicates(df, "doc_id", "text", max_hamming=8, bands=8)
+
+
+def test_near_dup_guard_refuses_large_input(spark, monkeypatch):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    monkeypatch.setattr(similarity, "NEAR_DUP_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="O\\(N\\^2\\)"):
+        near_duplicate_pairs(emb, "vec_id", "embedding", 0.5)
+
+
+def test_srp_buckets_is_projection_no_join(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = srp_buckets(emb, "vec_id", "embedding", dim=64, nbits=4)
+    # All original columns survive + bucket; plan contains no join/exchange.
+    assert set(out.columns) == set(emb.columns) | {"bucket"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    assert out.count() == emb.count()  # row-preserving (no id multiplication)
+
+
+def test_pick_nbits_scales():
+    assert pick_nbits(500) >= 2
+    assert pick_nbits(10**9) > pick_nbits(10**6) > pick_nbits(10**3)
+    # ~target bucket population at a billion rows
+    assert 2 ** pick_nbits(10**9, 128) >= 10**9 // 128
+
+
+def test_ann_recall_and_determinism(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    bf = brute_force_topk(emb, emb, "vec_id", "embedding", k=5)
+    truth = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+
+    ann = srp_bucket_ann(emb, "vec_id", "embedding", dim=64, k=5)
+    got1 = {(r.query_id, r.neighbor_id, r.score) for r in ann.collect()}
+    got_pairs = {(q, n) for q, n, _ in got1}
+
+    # Recall on near-random synthetic vectors with a 4-bit code + 1-bit
+    # multi-probe: empirically ~0.5; assert a conservative floor.
+    recall = len(got_pairs & truth) / len(truth)
+    assert recall >= 0.3, f"ANN recall too low: {recall:.3f}"
+
+    # Scores for overlapping pairs must equal the exact scores bit-for-bit.
+    bf_scores = {(r.query_id, r.neighbor_id): r.score for r in bf.collect()}
+    for q, n, s in got1:
+        if (q, n) in bf_scores:
+            assert s == bf_scores[(q, n)]
+
+    # Determinism: identical result on a second run.
+    got2 = {(r.query_id, r.neighbor_id, r.score) for r in
+            srp_bucket_ann(emb, "vec_id", "embedding", dim=64, k=5).collect()}
+    assert got1 == got2
+
+
+def test_text_functions_empty_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "one two!")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        F.size(tokens("text")).alias("n"),
+        en_stopword_ratio("text").alias("sr"),
+        avg_token_len("text").alias("atl"),
+        F.size(shingles("text")).alias("nsh"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].n == 0 and by_id[1].sr is None and by_id[1].atl is None
+    assert by_id[2].n == 0 and by_id[2].sr is None
+    assert by_id[3].n is None and by_id[3].sr is None  # null text -> nulls
+    assert by_id[4].n == 2 and by_id[4].atl == pytest.approx(7 / 2)

@@ -1,0 +1,136 @@
+"""End-to-end medallion pipeline on the card schema (SURVEY.md §3.1,
+FIXTURES.md A1-A3): gzip JSON-lines raw (Hive-partitioned by estado, with a
+corrupt record) -> 16-field ApplyMapping stage parquet -> 10-dim spec mart,
+chained by the Pipeline runner; spec totals verified against DuckDB reading
+the stage parquet; incremental ledger + availableNow bookmarks."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from bigdatapipelne_spark.plans.medallion import (
+    CARD_RAW_SCHEMA,
+    CARD_STAGE_MAPPING,
+    SPEC_DIMS,
+    incremental_paths,
+    run_medallion,
+    spec_transform,
+    stage_transform,
+)
+from bigdatapipelne_spark.queries_pipeline import card_raw_from_events
+from bigdatapipelne_spark.sources.catalog import drop_table, register_parquet_table
+from bigdatapipelne_spark.sources.io import (
+    read_json,
+    write_json_partitioned,
+)
+from bigdatapipelne_spark.sources.testdata import load_table
+
+from .conftest import SF_SMALL
+
+# Raw files carry every column EXCEPT estado, which lives in the Hive
+# partition directory (Firehose dynamic partitioning, historical.py:217-228).
+RAW_FILE_SCHEMA = StructType([f for f in CARD_RAW_SCHEMA.fields if f.name != "estado"])
+
+
+@pytest.fixture(scope="module")
+def raw_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("medallion")
+    raw_path = str(tmp / "raw")
+    raw = card_raw_from_events(load_table(spark, SF_SMALL, "events"))
+    write_json_partitioned(raw, raw_path, ["estado"])  # gzip JSON-lines
+    # Inject one undecodable line into a partition (Firehose error/ parity).
+    bad = os.path.join(raw_path, "estado=SP", "bad.json.gz")
+    with gzip.open(bad, "wt") as f:
+        f.write('{"nome": broken\n')
+    return raw_path
+
+
+def test_raw_read_drops_corrupt(spark, raw_dir):
+    df = read_json(spark, raw_dir, schema=RAW_FILE_SCHEMA)
+    assert df.count() == 1000  # 1000 good rows, bad line dropped
+    assert "estado" in df.columns  # partition column discovered
+
+
+def test_raw_read_keeps_corrupt(spark, raw_dir):
+    df = read_json(spark, raw_dir, schema=RAW_FILE_SCHEMA, keep_corrupt=True).cache()
+    try:
+        assert df.count() == 1001
+        assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    finally:
+        df.unpersist()
+
+
+def test_medallion_end_to_end(spark, raw_dir, tmp_path):
+    stage_path = str(tmp_path / "stage")
+    spec_path = str(tmp_path / "spec")
+    done = run_medallion(spark, raw_dir, stage_path, spec_path)
+    assert done == ["stage", "spec"]
+
+    # Stage schema = the 16 ApplyMapping outputs (FIXTURES.md A2), incl. the
+    # loc-estado rename and double lat/lng.
+    stage = spark.read.parquet(stage_path)
+    assert sorted(stage.columns) == sorted(t for _, t, _ in CARD_STAGE_MAPPING)
+    types = {f.name: f.dataType.simpleString() for f in stage.schema.fields}
+    assert types["latitude"] == "double" and types["longitude"] == "double"
+    assert types["loc-estado"] == "string"
+    assert stage.count() == 1000
+
+    # Spec totals vs DuckDB aggregating the SAME stage parquet.
+    spec = spark.read.parquet(spec_path)
+    assert sorted(spec.columns) == sorted(SPEC_DIMS + ["sum_valor"])
+    con = duckdb.connect()
+    dims = ", ".join(d for d in SPEC_DIMS)
+    oracle = con.execute(
+        f"""
+        SELECT {dims},
+               CAST(CAST(SUM(CAST(valor AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+                 AS sum_valor
+        FROM read_parquet('{stage_path}/*/*.parquet', hive_partitioning=1)
+        GROUP BY {dims}
+        """
+    ).fetchall()
+    cols = SPEC_DIMS + ["sum_valor"]
+    got = sorted(tuple(r[c] for c in cols) for r in spec.collect())
+    assert got == sorted(map(tuple, oracle))
+
+
+def test_stage_catalog_registration(spark, raw_dir, tmp_path):
+    """S10: external-table registration over the partitioned stage layout —
+    the crawler parity path (historical.py:323-353)."""
+    stage_path = str(tmp_path / "stage_cat")
+    raw = read_json(spark, raw_dir, schema=RAW_FILE_SCHEMA)
+    stage_transform(raw).write.mode("overwrite").partitionBy("estado").parquet(stage_path)
+    register_parquet_table(spark, stage_path, "stage_tbl", partitioned_by=["estado"])
+    try:
+        assert spark.table("stage_tbl").count() == 1000
+        assert spark.sql("SELECT DISTINCT estado FROM stage_tbl").count() == 3
+    finally:
+        drop_table(spark, "stage_tbl")
+
+
+def test_incremental_ledger(raw_dir, tmp_path):
+    ledger = str(tmp_path / "ledger.json")
+    new, commit = incremental_paths(raw_dir, ledger)
+    assert len(new) > 0
+    commit()
+    again, _ = incremental_paths(raw_dir, ledger)
+    assert again == []  # everything bookmarked
+
+    # A new landing file shows up incrementally.
+    extra = os.path.join(raw_dir, "estado=SP", "late.json.gz")
+    with gzip.open(extra, "wt") as f:
+        f.write("{}\n")
+    try:
+        newer, commit2 = incremental_paths(raw_dir, ledger)
+        assert newer == [extra]
+        commit2()
+        final, _ = incremental_paths(raw_dir, ledger)
+        assert final == []
+    finally:
+        os.remove(extra)

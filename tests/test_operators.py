@@ -1,0 +1,88 @@
+"""Unit tests for the batch operator library paths not covered by the
+oracle sweep: flatten on deep/array structs, group_agg string dispatch,
+upsert last-writer-wins, live_view TTL filter, apply_mapping casts."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdatapipelne_spark.operators.aggregate import exact_sum, group_agg
+from bigdatapipelne_spark.operators.project import (
+    apply_mapping,
+    drop_fields,
+    flatten_structs,
+)
+from bigdatapipelne_spark.operators.serving import live_view, upsert_batch
+
+
+def test_apply_mapping_rename_cast_nested(spark):
+    df = spark.createDataFrame(
+        [Row(a="1.5", loc=Row(lat="-23.5", city="sp"))]
+    )
+    out = apply_mapping(
+        df,
+        [("a", "valor", "double"), ("loc.lat", "latitude", "double"),
+         ("loc.city", "cidade", "")],
+    )
+    row = out.first()
+    assert out.columns == ["valor", "latitude", "cidade"]
+    assert row.valor == 1.5 and row.latitude == -23.5 and row.cidade == "sp"
+
+
+def test_flatten_structs_deep(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, a=Row(b=Row(c=7, d="x"), e=2.0), tags=["t1", "t2"])]
+    )
+    flat = flatten_structs(df)
+    assert sorted(flat.columns) == ["a_b_c", "a_b_d", "a_e", "id", "tags"]
+    r = flat.first()
+    assert r.a_b_c == 7 and r.a_b_d == "x" and r.a_e == 2.0
+    assert r.tags == ["t1", "t2"]  # arrays left opaque by default
+
+
+def test_flatten_structs_explode_arrays(spark):
+    df = spark.createDataFrame([Row(id=1, tags=["t1", "t2"])])
+    flat = flatten_structs(df, explode_arrays=True)
+    assert flat.count() == 2
+
+
+def test_group_agg_string_dispatch_and_empty_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double"
+    )
+    grouped = group_agg(df, ["k"], [("v", "sum"), ("v", "max")], aliases=["s", "m"])
+    rows = {r.k: (r.s, r.m) for r in grouped.collect()}
+    assert rows == {"a": (3.0, 2.0), "b": (10.0, 10.0)}
+
+    # groups == [] -> global aggregate (the reference's fallback branch).
+    glob = group_agg(df, [], [("v", "sum")], aliases=["s"]).first()
+    assert glob.s == 13.0
+
+    # Column-valued aggs (engine determinism helpers) compose with pairs.
+    mixed = group_agg(df, ["k"], [exact_sum("v", "es"), ("v", "count")]).collect()
+    assert {r.k: r.es for r in mixed} == {"a": 3.0, "b": 10.0}
+
+
+def test_drop_fields_tolerates_missing(spark):
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    out = drop_fields(df, "b", "not_there")
+    assert out.columns == ["a"]
+
+
+def test_upsert_batch_last_writer_wins(spark):
+    serving = spark.createDataFrame(
+        [(1, "t1", 100.0), (2, "t2", 200.0)], "k long, id string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "t2", 999.0), (3, "t3", 300.0)], "k long, id string, v double"
+    )
+    merged = {(r.k, r.id): r.v for r in
+              upsert_batch(serving, updates, ["k", "id"]).collect()}
+    assert merged == {(1, "t1"): 100.0, (2, "t2"): 999.0, (3, "t3"): 300.0}
+
+
+def test_live_view_ttl_filter(spark):
+    df = spark.createDataFrame([(1, 100), (2, 200), (3, 300)], "id long, ttl long")
+    alive = live_view(df, now_epoch=F.lit(150))
+    assert {r.id for r in alive.collect()} == {2, 3}

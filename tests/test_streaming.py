@@ -1,0 +1,158 @@
+"""Structured Streaming semantics (SURVEY.md §2.4 W1-W8, §3.2):
+
+- drained stream == batch query modulo the final-watermark tail (lambda
+  parity by construction),
+- late rows beyond the watermark are dropped (W3),
+- the checkpoint is a job bookmark: restarts process only new files, state
+  carries across runs, re-running without new data emits nothing (W5/W6 +
+  Glue `--job-bookmark-enable` parity, historical.py:358),
+- foreachBatch upsert keeps last-writer-wins serving rows (S13/S14/L3).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdatapipelne_spark.sources.testdata import load_table
+from bigdatapipelne_spark.streaming.fraud import (
+    EVENTS_SCHEMA,
+    fraud_alerts,
+    read_events_stream,
+    run_available_now,
+    stream_to_serving,
+)
+
+from .conftest import SF_SMALL
+
+UTC = datetime.timezone.utc
+
+
+def _ev(event_id: int, ts_sec: float, user_id: int, value: float):
+    ts = datetime.datetime(2024, 1, 1, tzinfo=UTC) + datetime.timedelta(seconds=ts_sec)
+    return (event_id, ts.replace(tzinfo=None), user_id, "purchase", value, "{}")
+
+
+def _write_file(spark, rows, src_dir: str, seq: int = 0) -> None:
+    """Append one parquet file; pin its mtime by ``seq`` so the file stream
+    source (which orders by modification time) sees files in write order
+    even when writes land within the same clock tick."""
+    import glob
+
+    before = set(glob.glob(os.path.join(src_dir, "*.parquet")))
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(
+        src_dir
+    )
+    stamp = 1700000000 + seq * 60
+    for f in set(glob.glob(os.path.join(src_dir, "*.parquet"))) - before:
+        os.utime(f, (stamp, stamp))
+
+
+def _drain(spark, src, out, cp, max_files=1):
+    sdf = read_events_stream(
+        spark, src, fmt="parquet", max_files_per_trigger=max_files
+    )
+    run_available_now(fraud_alerts(sdf), out, cp)
+    return spark.read.parquet(out)
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    """Drained stream over time-sorted files == batch fraud query minus the
+    windows still open at the final watermark (max ts - 10 s)."""
+    ev = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    # Three contiguous time ranges -> three files -> three micro-batches
+    # with an advancing watermark and zero late rows.
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    total = ev.count()
+    per = (total + 2) // 3
+    for i in range(3):
+        part = ranked.filter(
+            (F.col("rn") > i * per) & (F.col("rn") <= (i + 1) * per)
+        ).drop("rn")
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    got = _drain(spark, src, str(tmp_path / "out"), str(tmp_path / "cp"))
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - datetime.timedelta(seconds=10)
+    expected = fraud_alerts(ev).filter(F.col("window_end") <= F.lit(cutoff))
+
+    got_rows = sorted(map(tuple, got.collect()))
+    exp_rows = sorted(map(tuple, expected.collect()))
+    assert got_rows == exp_rows
+    assert len(got_rows) > 0
+
+
+def test_late_data_dropped(spark, tmp_path):
+    """W3: once the watermark finalizes and emits a window, a late row for
+    it is dropped — it neither re-opens the window nor duplicates the
+    append-mode output (same observable semantics as Flink's default late
+    handling, flink_app/app.py:52).
+
+    (Rows late-but-within-state are still merged — that is what the 10 s
+    bounded out-of-orderness *means*; the drop applies post-eviction.)"""
+    src = str(tmp_path / "src")
+    # Batch 0: [0,10) collects 60; max ts 31 -> watermark becomes 21 s.
+    _write_file(spark, [_ev(1, 1.0, 1, 60.0), _ev(2, 31.0, 1, 60.0)], src, seq=0)
+    # Batch 1 (wm=21): emits + evicts [0,10)=60. Advances wm to 25.
+    _write_file(spark, [_ev(3, 35.0, 1, 60.0)], src, seq=1)
+    # Batch 2 (wm=25): ts=2 s targets the already-emitted window -> dropped.
+    _write_file(spark, [_ev(4, 2.0, 1, 60.0), _ev(5, 45.0, 1, 60.0)], src, seq=2)
+
+    got = _drain(spark, src, str(tmp_path / "out"), str(tmp_path / "cp"))
+    rows = [(r.window_start.second, r.sum_value) for r in got.collect()]
+    # Exactly one emission of [0,10) with the on-time sum; the late 60 is
+    # gone (batch over the same input would report 120).
+    assert rows == [(0, 60.0)]
+
+
+def test_checkpoint_is_a_bookmark(spark, tmp_path):
+    """W5/W6 + incremental parity: a second run with the same checkpoint
+    processes only new files; window state survives the restart; a third
+    run with nothing new emits nothing."""
+    src = str(tmp_path / "src")
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    # Run 1: watermark only reaches 5 s -> nothing closes, nothing emitted.
+    _write_file(spark, [_ev(1, 1.0, 1, 60.0), _ev(2, 15.0, 1, 60.0)], src, seq=0)
+    got1 = _drain(spark, src, out, cp)
+    assert got1.count() == 0
+
+    # Run 2 (restart, new file): watermark 25 s closes [0,10) and [10,20) —
+    # their state was built in run 1 and must survive the restart.
+    _write_file(spark, [_ev(3, 35.0, 1, 60.0)], src, seq=1)
+    got2 = _drain(spark, src, out, cp)
+    rows = {(r.window_start.second, r.sum_value) for r in got2.collect()}
+    assert rows == {(0, 60.0), (10, 60.0)}
+
+    # Run 3: no new files -> no reprocessing, no duplicate emissions.
+    got3 = _drain(spark, src, out, cp)
+    assert sorted(map(tuple, got3.collect())) == sorted(map(tuple, got2.collect()))
+
+
+def test_stream_to_serving_upsert(spark, tmp_path):
+    """S13/S14/L3: update-mode foreachBatch upsert — a window whose sum grows
+    across batches ends up as ONE serving row with the final sum."""
+    src = str(tmp_path / "src")
+    serving = str(tmp_path / "serving")
+    cp = str(tmp_path / "cp")
+
+    _write_file(spark, [_ev(1, 1.0, 1, 60.0)], src, seq=0)
+    _write_file(spark, [_ev(2, 2.0, 1, 60.0)], src, seq=1)  # same window, on time
+
+    sdf = read_events_stream(spark, src, fmt="parquet", max_files_per_trigger=1)
+    stream_to_serving(
+        fraud_alerts(sdf), serving, ["user_id", "window_start"], cp
+    )
+
+    rows = spark.read.parquet(serving).collect()
+    assert len(rows) == 1
+    assert rows[0].sum_value == 120.0
+    assert rows[0].n_events == 2

@@ -1,0 +1,117 @@
+"""Join operators beyond vanilla equi-joins: as-of (point-in-time) join and
+salted joins for skewed keys.
+
+The reference has no joins at all (SURVEY.md §2.7); these are part of the
+engine's added analytics surface, built for 100 TB:
+
+- ``as_of_join`` uses the union+window formulation, NOT a range join: both
+  sides are tagged and unioned, one shuffle on the key co-locates them, and
+  a ``last(..., ignorenulls=True)`` running window carries the most recent
+  right-side values onto each left row. Cost is one shuffle + one
+  within-partition sort — no range-condition join that Catalyst would
+  execute as a broadcast nested loop, and no per-key explosion on hot keys.
+- ``salted_join`` spreads one hot build-side key over ``salt`` replicas so
+  a skewed probe side parallelizes; AQE's skew splitting handles moderate
+  skew automatically, salting is for the pathological single-key case
+  (e.g. the null/default key of a 100 TB fact table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: for every left row, attach the right row with the
+    greatest ``right_time`` <= ``left_time`` within the same ``on`` keys
+    (backward as-of, exact matches allowed — same semantics as
+    ``ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t``).
+
+    Right-side columns (everything except ``on`` + ``right_time``) are
+    carried onto the left rows; ``right_time`` itself is kept too. Left rows
+    with no prior right row get NULLs (``how='left'``) or are dropped
+    (``how='inner'``).
+
+    Ties inside the right side on (key, time) resolve to the row last in
+    the union sort — give the right side unique timestamps per key (or
+    pre-aggregate) for fully deterministic output.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("as_of_join supports how='left' or 'inner'")
+    right_payload = [c for c in right.columns if c not in on]
+    overlap = set(right_payload) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right-side columns {sorted(overlap)} collide with left columns; "
+            "rename before joining"
+        )
+
+    # Tag and union: right rows sort before left rows at equal timestamps so
+    # an exact-time right row is visible to the left row (ASOF >= semantics).
+    l_tagged = left.select(
+        *on,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_payload],
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in on
+        ],
+        *[F.col(c) for c in right_payload],
+    )
+    combined = l_tagged.unionByName(r_tagged)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = combined.select(
+        *on,
+        "_side",
+        *[F.col(c) for c in left.columns if c not in on],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    if how == "inner":
+        out = out.filter(F.col(right_time).isNotNull())
+    return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the probe side salted over ``salt`` buckets and the
+    build side replicated ``salt`` times — turns one hot key's single
+    straggler task into ``salt`` parallel tasks.
+
+    Semantically identical to ``left.join(right, on, how)`` for 1:N joins
+    (``right`` unique per key). The salt column is deterministic
+    (``pmod(hash(id-ish row), salt)`` via ``monotonically_increasing_id`` is
+    NOT used — we hash the whole left row's key + a per-row random-free
+    component ``spark_partition_id`` + row position is unstable, so we use
+    ``pmod(hash(<all left columns>), salt)``, stable for a given row
+    content)."""
+    salt_col = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l = left.withColumn("_salt", salt_col)
+    r = right.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return l.join(r, [on, "_salt"], how).drop("_salt")

@@ -1,0 +1,169 @@
+"""Advanced analytics queries: as-of join, session windows, sliding
+windows, rollup/grouping sets, approximate distinct — surface the reference
+never had (SURVEY.md §2.7) but a Spark engine exposes naturally, each with
+an exact DuckDB oracle where the semantics are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatapipelne_spark.operators.joins import as_of_join
+from bigdatapipelne_spark.queries import OSUM, dsum, query
+from bigdatapipelne_spark.sources.testdata import load_table as t
+
+
+@query(
+    "asof_purchase_view",
+    oracle="""
+    SELECT p.user_id, p.event_id, p.ts, p.value, v.view_ts, v.view_value
+    FROM (SELECT user_id, event_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts AS view_ts, value AS view_value
+                    FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    """,
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each purchase gets the user's most recent
+    prior (or simultaneous) view. Implemented as union+window — one shuffle
+    on user_id, no range join, no per-key explosion (operators/joins.py:
+    as_of_join); the oracle is DuckDB's native ASOF LEFT JOIN."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return as_of_join(
+        purchases, views, on=["user_id"], left_time="ts", right_time="view_ts"
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s,
+             event_id
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           {OSUM('value')} AS sum_value,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (``F.session_window``, 30 min gap): dynamic
+    merge-on-overlap windows per user. The oracle reproduces Spark's exact
+    semantics with the classic gaps-and-islands construction: a session
+    closes when the next event is >= gap after the previous one, and the
+    window end is last-event + gap."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(dsum("value", "sum_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "sum_value",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "sliding_window_traffic",
+    oracle=f"""
+    WITH slotted AS (
+      SELECT user_id, value,
+             CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) AS f
+      FROM events
+    ),
+    exploded AS (
+      SELECT user_id, value, unnest([f - 20, f - 10, f]) AS ws
+      FROM slotted
+    )
+    SELECT user_id,
+           TIMESTAMP '1970-01-01 00:00:00' + ws * INTERVAL '1 second'
+             AS window_start,
+           {OSUM('value')} AS sum_value,
+           COUNT(*) AS n_events
+    FROM exploded
+    GROUP BY user_id, ws
+    HAVING {OSUM('value')} > 100.0
+    """,
+)
+def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (30 s length, 10 s slide): every event lands in three
+    overlapping windows; per-user sums with a HAVING cut. Spark explodes to
+    the per-window rows internally; the oracle does the same explicitly
+    (each event's 10 s slot f contributes to windows starting f-20, f-10,
+    f)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 seconds", "10 seconds").alias("w"), "user_id")
+        .agg(dsum("value", "sum_value"), F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("sum_value") > 100.0)
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            "sum_value",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "priority_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {OSUM('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (subtotals + grand total in one pass — Spark
+    expands grouping sets, one shuffle). Group columns are non-null in the
+    data, so the NULLs in the output unambiguously mark subtotal rows in
+    both engines."""
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@query("approx_users_per_type")  # HLL sketch: engine-specific -> rows-only
+def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory distinct
+    estimate a 100 TB pipeline uses instead of exact COUNT(DISTINCT).
+    Sketches are engine-specific, so this is a rows-only check; the exact
+    counterpart is oracle-checked in global_agg / distinct_parts_per_brand."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

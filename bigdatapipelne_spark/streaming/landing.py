@@ -1,0 +1,58 @@
+"""Raw-landing streaming job (SURVEY.md §2.1 S1/S2/S4/S5): stream ->
+buffered, newline-delimited, gzip JSON files, Hive-partitioned.
+
+Reference behavior being reproduced (ddk_app/custom/historical.py:204-270):
+Firehose buffers the Kinesis stream (900 s / 128 MB), JQ-extracts the
+``estado`` partition value from the nested JSON, appends a newline per
+record, GZIPs, and writes ``raw/estado=<uf>/...``. Natively:
+
+- the buffer boundary is the micro-batch trigger (W8):
+  ``processingTime='900 seconds'`` in production, ``availableNow`` in tests
+  and backfills;
+- partition extraction is a ``withColumn`` from the nested path (S3);
+- newline-delimited + gzip is Spark's JSON writer with
+  ``option('compression','gzip')`` (S4);
+- dynamic partitioning is ``partitionBy`` (S5) — malformed *inbound*
+  records are captured at read time by ``sources.io.read_json``'s
+  corrupt-record handling (the Firehose ``error/`` prefix analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def extract_partition(df: DataFrame, source_path: str, alias: str) -> DataFrame:
+    """S3 (Firehose MetadataExtraction parity): pull the partition value out
+    of a nested column, e.g. ``localizacao.estado`` -> ``estado``
+    (historical.py:232-245)."""
+    return df.withColumn(alias, F.col(source_path))
+
+
+def land_raw_stream(
+    sdf: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    partition_by: list[str] | None = None,
+    compression: str = "gzip",
+    processing_interval: str | None = None,
+) -> None:
+    """Drain (or continuously run) a stream into newline-delimited JSON
+    files. ``processing_interval=None`` uses availableNow (drain-and-stop,
+    the test/backfill mode); pass ``'900 seconds'`` for the reference's
+    Firehose buffer cadence."""
+    writer = (
+        sdf.writeStream.format("json")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .option("compression", compression)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if processing_interval is None:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        writer.trigger(processingTime=processing_interval).start()

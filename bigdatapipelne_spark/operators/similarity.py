@@ -34,6 +34,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# (math is used by pick_nbits and the IVF centroid renormalization.)
+
 from bigdatapipelne_spark.functions.vectors import (
     cosine_from_norms,
     cosine_similarity,
@@ -111,6 +113,146 @@ def near_duplicate_pairs(
         .withColumn("cosine", cosine_from_norms("va", "vb", "na", "nb"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def _dot_lit(vec: F.Column, lit_arr: F.Column) -> F.Column:
+    """Dot product of a vector column with a literal array column."""
+    return F.aggregate(
+        F.zip_with(vec, lit_arr, lambda x, c: x * c),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _normalized(vec_col: str) -> F.Column:
+    n = l2_norm(vec_col)
+    return F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+
+
+def ivf_assignments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    iters: int = 2,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: deterministic k-means over L2-normalized
+    vectors (assignment = max cosine against the centroid table).
+
+    Centroid init is the ``n_centroids`` vectors with the smallest
+    md5(id) — a deterministic pseudo-random sample, no RNG state. Each
+    Lloyd iteration is one distributed pass (posexplode -> per-(cluster,
+    dim) mean) with only the C x dim centroid table moving through the
+    driver — at 10^9 vectors that is still a few KB.
+
+    Returns (assignments DataFrame [id, vn, cluster], centroids).
+    """
+    # Repartition first: a single-file corpus arrives as one partition, and
+    # everything downstream of the scan here is narrow (normalize + C dots
+    # per row) — without the spread it runs on one core.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # The cache stays alive for the returned (lazy) assignment frame — the
+    # Lloyd collects below materialize it, and the downstream candidate
+    # join reads it two more times (query + neighbor sides). Spark evicts
+    # it LRU when memory is needed.
+    normed = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), _normalized(vec_col).alias("vn"))
+        .cache()
+    )
+    seed_rows = (
+        normed.select(F.md5(F.col(id_col).cast("string")).alias("h"), "vn")
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r.vn) for r in seed_rows]
+
+    for _ in range(iters):
+        cents_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        scores = F.transform(cents_lit, lambda c: _dot_lit(F.col("vn"), c))
+        best = F.array_position(scores, F.array_max(scores)).cast("int") - 1
+        assigned = normed.withColumn("cluster", best)
+        sums = (
+            assigned.select("cluster", F.posexplode("vn").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        dim = len(centroids[0])
+        for ci in range(len(centroids)):
+            if ci in by_cluster:  # empty clusters keep their centroid
+                vec = [by_cluster[ci][p] for p in range(dim)]
+                norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+                centroids[ci] = [x / norm for x in vec]
+
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    scores = F.transform(cents_lit, lambda c: _dot_lit(F.col("vn"), c))
+    best = F.array_position(scores, F.array_max(scores)).cast("int") - 1
+    return normed.withColumn("cluster", best), centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_centroids: int | None = None,
+    n_probe: int = 2,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF approximate all-pairs top-k: coarse k-means cells, queries probe
+    their ``n_probe`` nearest cells, exact cosine within the probed cells.
+
+    The inverted-file analog of ``srp_bucket_ann``: candidates come from an
+    equi-join on cluster id — O(N * cell population * n_probe), never
+    O(N^2). ``n_centroids`` defaults to ~sqrt(N) (balanced cells). Scores
+    are cosines of the original vectors (dot of normalized copies) —
+    exactly comparable across cells.
+    """
+    if n_centroids is None:
+        n_centroids = max(4, int(math.sqrt(df.count())))
+    assigned, centroids = ivf_assignments(df, id_col, vec_col, n_centroids, iters)
+
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    scores = F.transform(cents_lit, lambda c: _dot_lit(F.col("vn"), c))
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    ranked = F.reverse(F.array_sort(F.arrays_zip(scores.alias("s"), idx.alias("i"))))
+    probes = F.transform(F.slice(ranked, 1, n_probe), lambda st: st["i"])
+
+    q = assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col("vn").alias("qv"),
+        F.explode(probes).alias("cluster"),
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("vn").alias("cv"), "cluster"
+    )
+    scored = (
+        q.join(c, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .select("query_id", "neighbor_id", "score")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
     )
 
 

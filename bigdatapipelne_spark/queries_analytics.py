@@ -156,6 +156,34 @@ def priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE SQL string, executed verbatim by BOTH engines (Spark runs it through
+# spark.sql over registered views; DuckDB runs it as the oracle). STRING and
+# the decimal VARCHAR-routing cast mean the same thing in both dialects.
+_Q6_SHARED_SQL = """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(6,4))) AS STRING) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=_Q6_SHARED_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape through the engine's SQL entry point: the IDENTICAL
+    SQL string runs on Spark (via registered views) and on DuckDB (as the
+    oracle) and hash-matches — the determinism rules (decimal sums,
+    VARCHAR-routed double casts) are dialect-portable. All three predicates
+    push into the parquet scan."""
+    from bigdatapipelne_spark.sources.testdata import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q6_SHARED_SQL)
+
+
 @query("approx_users_per_type")  # HLL sketch: engine-specific -> rows-only
 def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the constant-memory distinct

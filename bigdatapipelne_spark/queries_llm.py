@@ -395,3 +395,17 @@ def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs brute force is asserted in tests/test_llm_ops.py."""
     emb = t(spark, sf_dir, "embeddings")
     return srp_bucket_ann(emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=5)
+
+
+@query("embedding_ivf")  # approximate by design -> rows-only check
+def embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate neighbor search: deterministic k-means cells +
+    2-probe exact rescoring (operators/similarity.py: ivf_topk) — the
+    inverted-file scale path alongside the LSH one. Recall vs brute force
+    is asserted in tests/test_llm_ops.py."""
+    from bigdatapipelne_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    # 32 cells / 1 Lloyd pass: the quantizer costs one distributed pass and
+    # recall is within a point of the sqrt(N)-cell default on this corpus.
+    return ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=32, iters=1)

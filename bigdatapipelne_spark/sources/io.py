@@ -102,6 +102,57 @@ def write_json_partitioned(
     writer.json(path)
 
 
+def read_json_with_errors(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    error_path: str,
+) -> DataFrame:
+    """S5 full parity: good rows returned, undecodable lines WRITTEN to an
+    ``error/`` location as raw text — the Firehose failed-record prefix
+    (ddk_app/custom/historical.py:227).
+
+    The corrupt capture requires materializing before splitting (Spark
+    disallows plans over only the corrupt column), hence the cache; the
+    error payload is the original line, so it can be replayed after a
+    schema fix.
+    """
+    from pyspark.sql import functions as F
+
+    df = read_json(spark, path, schema=schema, keep_corrupt=True).cache()
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("value")
+    )
+    if not bad.isEmpty():
+        bad.write.mode("append").text(error_path)
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def write_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed table for co-located joins: both sides bucketed by the join
+    key join with ZERO shuffle (asserted in tests/test_bucketing.py) — the
+    storage-layout lever for repeated 100 TB fact-fact joins where even one
+    shuffle dominates the job."""
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def register_table(spark: SparkSession, df: DataFrame, name: str) -> None:
     """Catalog registration (crawler parity, S10): expose a DataFrame as a
     SQL-addressable table in the session catalog."""

@@ -587,3 +587,4 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 from bigdatapipelne_spark import queries_llm  # noqa: E402,F401
 from bigdatapipelne_spark import queries_pipeline  # noqa: E402,F401
 from bigdatapipelne_spark import queries_analytics  # noqa: E402,F401
+from bigdatapipelne_spark import queries_tpch  # noqa: E402,F401

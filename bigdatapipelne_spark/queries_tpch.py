@@ -1,0 +1,458 @@
+"""TPC-H-shaped multi-join / subquery queries adapted to the driver's star
+schema (no partsupp / commitdate / phone columns — variants are adapted where
+the classic query needs one; each docstring states the adaptation).
+
+These widen the analytics surface beyond the reference (SURVEY.md §2.7: the
+reference has no joins at all) with the join shapes a real warehouse runs:
+nation-pair volume (Q7), market share (Q8), returned items top-k (Q10),
+order-count histogram (Q13), promo share (Q14), top supplier (Q15),
+small-quantity revenue with a correlated average (Q17), large orders (Q18),
+OR-of-ANDs predicate join (Q19), idle high-balance customers anti-join (Q22).
+
+Scale notes (100 TB): no explicit broadcast hints here — every dimension side
+is either pre-filtered to a handful of rows (AQE converts the join to
+broadcast at runtime) or genuinely fact-sized (sort-merge is the right
+answer). All money math follows the engine's determinism rules
+(queries.py module docstring): DECIMAL sums surfaced as doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatapipelne_spark.operators.aggregate import exact_sum as dsum
+from bigdatapipelne_spark.queries import (
+    OSUM,
+    OSUM_RAW,
+    _DISC_PRICE,
+    _disc_price,
+    query,
+)
+from bigdatapipelne_spark.sources.testdata import load_table as t
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           {OSUM_RAW(_DISC_PRICE)} AS revenue
+    FROM supplier s, lineitem, orders o, customer c, nation n1, nation n2
+    WHERE s.s_suppkey = l_suppkey AND o.o_orderkey = l_orderkey
+      AND c.c_custkey = o.o_custkey
+      AND s.s_nationkey = n1.n_nationkey AND c.c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by ship year.
+    Supplier and customer are each pre-filtered through their nation join to
+    a tiny slice, so AQE broadcasts both onto the fact scan; the only real
+    shuffle is orders⋈lineitem, then a 4-row aggregate."""
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(n.filter(pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(n.filter(pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {_DISC_PRICE} AS volume,
+             n2.n_name AS supp_nation
+      FROM part, lineitem, orders o, customer c, supplier s,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND o.o_orderkey = l_orderkey
+        AND c.c_custkey = o.o_custkey AND s.s_suppkey = l_suppkey
+        AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND s.s_nationkey = n2.n_nationkey
+        AND r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume END)
+                AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (adapted: p_type = 'ECONOMY', region ASIA, share nation
+    NATION_5): national market share within a region by order year. Both
+    sums stay exact DECIMAL until one double division per year. Part and
+    the region-filtered customer side collapse to small broadcastable
+    slices under AQE; null share (years with no NATION_5 volume) is
+    identical in both engines."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    base = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _disc_price().alias("volume"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, {OSUM_RAW(_DISC_PRICE)} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c, orders o, lineitem, nation n
+    WHERE c.c_custkey = o.o_custkey AND l_orderkey = o.o_orderkey
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in a quarter.
+    Orders is date-pruned before the fact join; the revenue doubles are
+    exact (decimal sums) so the top-k cut is deterministic with c_custkey as
+    the unique tiebreaker."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q13_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (without the o_comment filter — the column doesn't exist
+    here): distribution of customers by order count. Left outer join keeps
+    zero-order customers (c_count = 0); two cascaded aggregations, the
+    second over at most ~50 distinct counts."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN {_DISC_PRICE} END) AS VARCHAR) AS DOUBLE)
+             / {OSUM_RAW(_DISC_PRICE)} AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (adapted: p_type = 'PROMO' exactly, the schema's types are
+    single words): promo share of one month's revenue. Part joins onto the
+    date-pruned fact slice (AQE broadcast); global single-row aggregate, one
+    double division at the end."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", _disc_price())).cast("double")
+                / F.sum(_disc_price()).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_DISC_PRICE}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum revenue in a quarter. The
+    max-equality comparison happens in exact DECIMAL space (ties kept, as
+    the spec requires), surfaced as double only in the output. Implemented
+    with a window MAX over the per-supplier aggregate — no second scan, no
+    self-join."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("total_rev")
+    )
+    top = rev.withColumn(
+        "max_rev", F.max("total_rev").over(Window.partitionBy())
+    ).filter(F.col("total_rev") == F.col("max_rev"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        top.join(s, top.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle=f"""
+    SELECT {OSUM('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem, part p
+    WHERE p.p_partkey = l_partkey AND p.p_brand = 'Brand#1'
+      AND l_quantity < 0.2 * (
+        SELECT CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+                    AS DOUBLE) / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue of below-one-fifth-of-average-quantity orders for
+    one brand. The correlated per-part average is a window aggregate over
+    the already-joined slice (every lineitem of a part survives the partkey
+    equi-join, so the window sees the full population) — one shuffle on
+    l_partkey instead of a second scan + re-join. Threshold math is
+    exact-decimal sum → one double division → one multiply, bit-identical
+    across engines."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    thresh = F.lit(0.2) * (
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    return (
+        joined.withColumn("qty_thresh", thresh)
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg((dsum("l_extendedprice", "s").cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {OSUM('l_quantity')} AS sum_qty
+    FROM customer c, orders o, lineitem
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+      )
+      AND c.c_custkey = o.o_custkey AND o.o_orderkey = l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 300, with their
+    customer. The HAVING pre-aggregate shrinks the key set to a handful of
+    orderkeys; that tiny set then drives semi-join pruning of orders and the
+    lineitem re-aggregation (AQE broadcasts it both times)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    o = t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("big_key"), "left_semi"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT {OSUM_RAW(_DISC_PRICE)} AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+        (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+         AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted: brand/size/quantity bands — the schema has no
+    container column): OR-of-ANDs predicate spanning both join sides.
+    Catalyst pushes the disjunction of part-only predicates
+    (brand ∈ {1,2,3}) down to the part scan; the cross-side residual
+    evaluates post-join inside codegen."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle=f"""
+    WITH avgbal AS (
+      SELECT {OSUM('c_acctbal')} / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS n_custs,
+           {OSUM('c_acctbal')} AS total_acctbal
+    FROM customer, avgbal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: grouped by c_nationkey — no phone column — and
+    "idle" = no orders since 2000-01-01, since every customer here has at
+    least one order overall): above-average-balance customers gone quiet.
+    The scalar average rides in as a broadcast cross join (stays
+    distributed, no driver collect); the NOT EXISTS is a left-anti join on
+    the date-pruned, deduplicated custkey set."""
+    c = t(spark, sf_dir, "customer")
+    avgbal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("a")
+    )
+    active = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(active, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )

@@ -166,6 +166,71 @@ def minhash_near_duplicates(
     )
 
 
+def ngram_jaccard_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via a shingle-hash inverted
+    index — no LSH approximation, no cross join.
+
+    Output: id_a, id_b, jaccard (>= threshold).
+
+    Candidate pairs come from self-joining the exploded (id, shingle-md5)
+    inverted index: any pair with jaccard > 0 shares at least one shingle,
+    so for threshold > 0 this finds exactly the true result set (unlike
+    MinHash-LSH, which can miss pairs with probability (1-j^r)^b). Cost is
+    sum over shingles of df^2 (df = docs containing the shingle) — fine
+    while no shingle is ultra-common.
+
+    At 100 TB, stop-shingles (boilerplate n-grams appearing in millions of
+    docs) make that quadratic; ``max_doc_freq`` drops shingles appearing in
+    more than that many documents from the index (standard positional-filter
+    trick). With a cap the result may undercount intersections that consist
+    ONLY of capped shingles — acceptable for near-dup mining, never for the
+    oracle (tests use the exact, uncapped form).
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("sid"),
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("s"),
+        )
+        .select("sid", F.md5("s").alias("sh"))
+    )
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("docfreq"))
+            .filter(F.col("docfreq") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("sid").alias("id_a"), "sh")
+    b = sh.select(F.col("sid").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    size_a = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"))
+    size_b = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+    )
+    return (
+        inter.join(size_a, "id_a")
+        .join(size_b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 SIMHASH_BITS = 64
 _HEX = "0123456789abcdef"
 

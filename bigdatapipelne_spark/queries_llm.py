@@ -20,6 +20,7 @@ from bigdatapipelne_spark.operators.dedup import (
     SIMHASH_BITS,
     exact_duplicates,
     minhash_near_duplicates,
+    ngram_jaccard_duplicates,
     simhash_near_duplicates,
     simhash_signatures,
 )
@@ -140,6 +141,40 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the identical seeded-md5 signatures and band keys in SQL."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_near_duplicates(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
+    hashed AS (
+      SELECT doc_id, md5(s) AS sh
+      FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trigram-Jaccard near-dup pairs at a low 0.05 threshold via the
+    shingle-hash inverted index (operators/dedup.py:ngram_jaccard_duplicates)
+    — the ground-truth companion to minhash_near_dups: it surfaces the
+    weak-overlap pairs LSH banding is allowed to miss (4 extra pairs at
+    sf0.01). Intersections are join-aggregates over fixed-width md5 rows;
+    no shingle arrays ever shuffle."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_duplicates(docs, "doc_id", "text", n=3, threshold=0.05)
 
 
 def _simhash_sigs_cte() -> str:

@@ -165,3 +165,27 @@ def test_text_functions_empty_and_null(spark):
     assert by_id[2].n == 0 and by_id[2].sr is None
     assert by_id[3].n is None and by_id[3].sr is None  # null text -> nulls
     assert by_id[4].n == 2 and by_id[4].atl == pytest.approx(7 / 2)
+
+
+def test_ngram_jaccard_exact_and_capped(spark):
+    from bigdatapipelne_spark.operators.dedup import ngram_jaccard_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated words about spark query engines and parquet"
+    df = _docs(spark, [(1, base), (2, near), (3, far)])
+
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_duplicates(df, "doc_id", "text", threshold=0.3).collect()}
+    assert set(pairs) == {(1, 2)}
+    # 13 tokens -> 11 distinct trigrams each; only the final trigram
+    # ("and again today") contains the edited word: intersection 10,
+    # union 12.
+    assert pairs[(1, 2)] == pytest.approx(10 / 12)
+
+    # A doc-frequency cap of 1 drops every shared shingle from the index,
+    # so no pair can form — the documented undercount of the capped mode.
+    capped = ngram_jaccard_duplicates(
+        df, "doc_id", "text", threshold=0.05, max_doc_freq=1
+    )
+    assert capped.count() == 0

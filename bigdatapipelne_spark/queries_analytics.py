@@ -184,6 +184,87 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q6_SHARED_SQL)
 
 
+# Gaps-and-islands session construction shared by session_window_agg's
+# oracle (above) and the streaming drain below.
+_SESSIONS_CTE = f"""
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s,
+             event_id
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end,
+             {OSUM('value')} AS sum_value,
+             COUNT(*) AS n_events
+      FROM sess
+      GROUP BY user_id, sid
+    )
+"""
+
+
+@query(
+    "session_stream_drain",
+    oracle=f"""
+    WITH {_SESSIONS_CTE},
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY session_start DESC) AS rn
+      FROM sessions
+    ),
+    wm AS (SELECT epoch_ms(MAX(ts)) - 10000 AS wm_ms FROM events)
+    SELECT user_id, session_start, session_end, sum_value, n_events
+    FROM ranked, wm
+    WHERE rn > 1 OR epoch_ms(session_end) <= wm_ms
+    """,
+)
+def session_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (applyInPandasWithState, event-time
+    timeout) drained over the events table: per-user sessionization with
+    30 min gap (streaming/sessions.py). Emitted rows are the sessions
+    closed by an in-batch gap plus those whose timeout (last event + gap,
+    ms-floored exactly as the state store compares) lies at or before the
+    final watermark — the oracle reproduces both the session construction
+    AND the emission semantics, so the stateful operator's late/tail
+    behavior is hash-checked, not just its happy path."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.streaming.fraud import (
+        EVENTS_NANOS_SCHEMA,
+        read_events_stream,
+        run_available_now,
+    )
+    from bigdatapipelne_spark.streaming.sessions import sessionize_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", schema=EVENTS_NANOS_SCHEMA, fmt="parquet"
+    )
+    src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    sessions = sessionize_stream(src, gap="30 minutes", watermark="10 seconds")
+
+    tmp = tempfile.mkdtemp(prefix="session_stream_")
+    out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
+    run_available_now(sessions, out, cp)
+    return spark.read.parquet(out).select(
+        "user_id", "session_start", "session_end", "sum_value", "n_events"
+    )
+
+
 @query("approx_users_per_type")  # HLL sketch: engine-specific -> rows-only
 def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the constant-memory distinct

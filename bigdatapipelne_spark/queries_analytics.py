@@ -276,3 +276,122 @@ def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "user_type_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(OSUM(f"CASE WHEN event_type = '{et}' THEN value END")
+                      + f" AS {et}_value" for et in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user spend by event type as columns. The
+    pivot values are pinned explicitly, so this is ONE pass / one shuffle
+    (Spark needs no extra distinct-values job) with the same plan shape as
+    a grouped aggregation — wide CASE aggregates, which is exactly what the
+    oracle spells out. Users with no events of a type get NULL in both
+    engines."""
+    ev = t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+    )
+    return wide.select(
+        "user_id", *[F.col(et).alias(f"{et}_value") for et in _EVENT_TYPES]
+    )
+
+
+@query(
+    "cube_order_stats",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {OSUM('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping sets in one pass (priority_rollup covers the
+    hierarchical subset). Spark expands the sets before the shuffle and
+    partial-aggregates each — still one exchange."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, verified bit-identical: both sort and linearly
+    interpolate). The exact form needs the full value multiset per group —
+    fine at dimension-bounded cardinality; the sketch counterpart for
+    100 TB fact tables is ``percentile_approx`` (rows-only cousin of
+    approx_users_per_type)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "purchase_only_days",
+    oracle="""
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def purchase_only_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT): (user, day) pairs with a purchase
+    but no view — Spark plans it as a distinct + left-anti-style aggregate,
+    one shuffle on the pair key."""
+    ev = t(spark, sf_dir, "events")
+    days = lambda et: ev.filter(F.col("event_type") == et).select(  # noqa: E731
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    return days("purchase").subtract(days("view"))
+
+
+@query(
+    "engaged_days",
+    oracle="""
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def engaged_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT DISTINCT): (user, day) pairs with both a
+    purchase and a view."""
+    ev = t(spark, sf_dir, "events")
+    days = lambda et: ev.filter(F.col("event_type") == et).select(  # noqa: E731
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    return days("purchase").intersect(days("view"))

@@ -286,3 +286,60 @@ def fraud_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "user_id", "window_start", "window_end", "sum_value", "n_events"
     )
+
+
+@query(
+    "purchase_view_stream_join",
+    oracle="""
+    SELECT p.user_id, p.purchase_id, p.pts, p.purchase_value,
+           v.view_id, v.vts
+    FROM (SELECT user_id, event_id AS purchase_id, ts AS pts,
+                 value AS purchase_value
+          FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, event_id AS view_id, ts AS vts
+          FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.vts <= p.pts
+     AND v.vts >= p.pts - INTERVAL '6 hours'
+    """,
+)
+def purchase_view_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join, drained: each purchase paired with the
+    same user's views from the preceding 6 h (streaming/joins.py). Inner
+    emission doesn't wait for the watermark, so the drained result equals
+    the batch join exactly — certified against the plain SQL join."""
+    import os
+
+    from bigdatapipelne_spark.streaming.fraud import (
+        EVENTS_NANOS_SCHEMA,
+        read_events_stream,
+        run_available_now,
+    )
+    from bigdatapipelne_spark.streaming.joins import correlate_streams
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def side(event_type: str, cols: dict[str, str]) -> DataFrame:
+        s = read_events_stream(
+            spark, f"{sf_dir}/events.parquet", schema=EVENTS_NANOS_SCHEMA, fmt="parquet"
+        ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        s = s.filter(F.col("event_type") == event_type)
+        return s.select("user_id", *[F.col(c).alias(a) for c, a in cols.items()])
+
+    purchases = side(
+        "purchase",
+        {"event_id": "purchase_id", "ts": "pts", "value": "purchase_value"},
+    )
+    views = side("view", {"event_id": "view_id", "ts": "vts"})
+    joined = correlate_streams(
+        purchases, views, key="user_id", left_time="pts", right_time="vts",
+        lookback="6 hours",
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ss_join_")
+    out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
+    run_available_now(joined, out, cp)
+    return spark.read.parquet(out).select(
+        "user_id", "purchase_id", "pts", "purchase_value", "view_id", "vts"
+    )

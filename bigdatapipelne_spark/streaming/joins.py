@@ -1,0 +1,51 @@
+"""Stream-stream join: correlate two event streams on a key within an
+event-time lookback window.
+
+The reference has no stream-stream joins (SURVEY.md §2.4 explicit
+non-goal); this is the Spark-native capability a realtime attribution /
+fraud-context pipeline needs (e.g. "each purchase with the views that
+preceded it by <= 6 h").
+
+Execution model (Structured Streaming micro-batch):
+
+- Both sides are watermarked; the time-range condition bounds how long each
+  side's rows stay in the join state store, so state is
+  O(key-rate x lookback), not unbounded.
+- INNER join rows emit as soon as both sides have arrived — emission does
+  not wait for the watermark (only state *eviction* does), so a fully
+  drained inner join equals the batch join over the same inputs exactly.
+  That equivalence is what the oracle-checked drain query certifies.
+- At 100 TB-rate both sides shuffle on the join key once; the state store
+  is partitioned the same way, so a restart resumes from the checkpoint
+  with no rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lookback: str = "6 hours",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Inner-join ``left`` rows to ``right`` rows with the same ``key``
+    whose ``right_time`` falls in ``[left_time - lookback, left_time]``.
+
+    Column names must be disjoint apart from ``key`` (rename before
+    calling). Works identically on batch frames (withWatermark is a no-op)
+    — the lambda-parity story again."""
+    lw = left.withWatermark(left_time, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_time, watermark) if right.isStreaming else right
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_time] <= lw[left_time])
+        & (rw[right_time] >= lw[left_time] - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])

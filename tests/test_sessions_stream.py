@@ -147,3 +147,32 @@ def test_dedup_stream_collapses_replays(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert sorted(r.event_id for r in got.collect()) == [1, 2, 3]
+
+
+def test_stream_stream_join_across_batches(spark, tmp_path):
+    """A view buffered in batch 0's join state matches a purchase arriving
+    in batch 1; a purchase outside the lookback window doesn't."""
+    from bigdatapipelne_spark.streaming.joins import correlate_streams
+
+    src, out, cp = (str(tmp_path / d) for d in ("src", "out", "cp"))
+    _write_file(spark, [_ev(1, 0, 1, 1.0)], src, 0)                # view @0s
+    _write_file(spark, [_ev(2, 30, 1, 9.0), _ev(3, 300, 1, 8.0)], src, 1)
+
+    def side(pred, cols):
+        s = read_events_stream(spark, src, fmt="parquet", max_files_per_trigger=1)
+        return s.filter(pred).select(
+            "user_id", *[F.col(c).alias(a) for c, a in cols.items()]
+        )
+
+    views = side(F.col("event_id") == 1, {"event_id": "view_id", "ts": "vts"})
+    purchases = side(
+        F.col("event_id") != 1, {"event_id": "purchase_id", "ts": "pts"}
+    )
+    joined = correlate_streams(
+        purchases, views, key="user_id", left_time="pts", right_time="vts",
+        lookback="1 minutes",
+    )
+    run_available_now(joined, out, cp)
+    got = sorted((r.purchase_id, r.view_id) for r in spark.read.parquet(out).collect())
+    # purchase @30s is within 1 min of the view @0s; purchase @300s is not.
+    assert got == [(2, 1)]

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdatapipelne_spark.functions.text import fingerprint, shingles, tokens
+from bigdatapipelne_spark.functions.text import (
+    fingerprint,
+    normalize_text,
+    shingles,
+    tokens,
+)
 
 # MinHash parameters: k = BANDS * ROWS hash functions. With r=2, b=6 the
 # LSH candidate-capture probability at Jaccard j is 1-(1-j^2)^6 (~0.82 at
@@ -228,6 +233,77 @@ def ngram_jaccard_duplicates(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    window: int = 10,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash scheme): hash every ``k``-char gram of the normalized
+    text, slide a ``window`` over the hash sequence, keep the minimum hash
+    per window, dedupe. Output: (id, fp) — one row per selected
+    fingerprint.
+
+    Guarantees: any shared substring of length >= k + window - 1 yields at
+    least one shared fingerprint, and fingerprint density is ~2/(window+1)
+    of positions — a tunable, position-robust sketch of the document
+    (unlike the whole-text md5 in ``functions.text.fingerprint``, which any
+    single-character edit breaks).
+
+    All pure codegen (nested transform/sequence/slice/array_min — no UDF).
+    We take the plain window minimum (lexicographic over md5 hex; DuckDB
+    orders VARCHAR the same way, so it is oracle-replicable) rather than
+    the paper's rightmost-min tie rule — ties between *different* grams are
+    md5 collisions, i.e. nonexistent in practice.
+    """
+    s = normalize_text(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))),
+        lambda i: F.md5(s.substr(i, F.lit(k))),
+    )
+    hs = F.col("__hs")
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(hs) - (window - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(hs, i, window)),
+        )
+    )
+    return (
+        df.select(F.col(id_col), grams.alias("__hs"))
+        .select(F.col(id_col), F.explode(fps).alias("fp"))
+    )
+
+
+def winnowed_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    window: int = 10,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints — the
+    contained-copy / boilerplate detector (catches partial overlap that
+    whole-document Jaccard dilutes away). Same inverted-index join-aggregate
+    shape as ``ngram_jaccard_duplicates``: only (id, 32-byte fp) rows ever
+    shuffle, candidates come from fp buckets, never all pairs.
+
+    Output: id_a, id_b, shared (fingerprint count).
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
     )
 
 

@@ -23,6 +23,7 @@ from bigdatapipelne_spark.operators.dedup import (
     ngram_jaccard_duplicates,
     simhash_near_duplicates,
     simhash_signatures,
+    winnowed_pairs,
 )
 from bigdatapipelne_spark.operators.similarity import (
     brute_force_topk,
@@ -175,6 +176,42 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shingle arrays ever shuffle."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return ngram_jaccard_duplicates(docs, "doc_id", "text", n=3, threshold=0.05)
+
+
+@query(
+    "winnowed_doc_pairs",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, list_transform(generate_series(1, greatest(length(s) - 19, 1)),
+                                    i -> md5(substring(s, i, 20))) AS hs
+      FROM norm
+    ),
+    win AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - 9, 1)),
+               i -> list_aggregate(list_slice(hs, i, i + 9), 'min'))) AS fps
+      FROM kg
+    ),
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM win)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def winnowed_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS rolling-hash) fingerprint overlap: pairs sharing >= 2
+    selected 20-char-gram min-hashes (operators/dedup.py:winnow_fingerprints)
+    — the contained-copy detector that whole-document Jaccard dilutes away.
+    The oracle re-derives the identical k-gram hashes, window minima, and
+    inverted-index counts in SQL."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowed_pairs(docs, "doc_id", "text", k=20, window=10, min_shared=2)
 
 
 def _simhash_sigs_cte() -> str:

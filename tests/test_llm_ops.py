@@ -189,3 +189,28 @@ def test_ngram_jaccard_exact_and_capped(spark):
         df, "doc_id", "text", threshold=0.05, max_doc_freq=1
     )
     assert capped.count() == 0
+
+
+def test_winnowing_detects_contained_copy(spark):
+    from bigdatapipelne_spark.operators.dedup import winnow_fingerprints, winnowed_pairs
+
+    # Doc 2 embeds a 40-char run of doc 1 (>= k + window - 1 = 29 chars
+    # guarantees at least one shared fingerprint); doc 3 is unrelated.
+    shared_run = "the quick brown fox jumps over the lazy"
+    df = _docs(
+        spark,
+        [
+            (1, f"intro text then {shared_run} and a closing remark"),
+            (2, f"completely different framing yet {shared_run} appears verbatim"),
+            (3, "nothing in common with the others at all whatsoever here"),
+        ],
+    )
+    pairs = {(r.id_a, r.id_b): r.shared for r in
+             winnowed_pairs(df, "doc_id", "text", k=20, window=10, min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+    # Density: winnowing keeps far fewer fingerprints than positions.
+    n_fp = winnow_fingerprints(df, "doc_id", "text", k=20, window=10).count()
+    n_chars = sum(len(r.text) for r in df.collect())
+    assert n_fp < n_chars / 2

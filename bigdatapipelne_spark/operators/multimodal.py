@@ -149,6 +149,136 @@ def extract_media_metadata(
     return df.select(id_col, data_col).mapInPandas(_extract, schema=out_schema)
 
 
+def fake_decode_image(data: bytes, height: int = 8, width: int = 8, channels: int = 3):
+    """DETERMINISTIC FAKE decoder (clearly not a codec): expands the
+    payload's sha256 digest into an (h, w, c) uint8 pixel array by cyclic
+    repetition. Stands in for ``decode_image`` so the decode →resize →
+    feature plumbing is executable and byte-for-byte reproducible in this
+    codec-less environment; swap in the real decoder via the ``decode=``
+    hook of ``image_features`` when PIL is available."""
+    import numpy as np
+
+    digest = hashlib.sha256(data or b"").digest()  # 32 bytes
+    n = height * width * channels
+    flat = np.frombuffer((digest * (n // len(digest) + 1))[:n], dtype=np.uint8)
+    return flat.reshape(height, width, channels)
+
+
+def block_mean_resize(pixels, out_h: int = 4, out_w: int = 4):
+    """Resize by block averaging (the downsample a feature pipeline uses):
+    (h, w, c) -> (out_h, out_w, c) float32, each output pixel the mean of
+    its input block. Pure numpy — runs inside the Arrow batch."""
+    h, w, c = pixels.shape
+    return (
+        pixels.astype("float32")
+        .reshape(out_h, h // out_h, out_w, w // out_w, c)
+        .mean(axis=(1, 3))
+    )
+
+
+def image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    height: int = 8,
+    width: int = 8,
+    channels: int = 3,
+    out_h: int = 4,
+    out_w: int = 4,
+    decode=None,
+) -> DataFrame:
+    """Decode → resize → feature-extract as ONE Arrow-batched ``mapInPandas``
+    stage: per payload, per-channel means/stds plus a block-mean-resized
+    flattened embedding (ready for the similarity operators).
+
+    ``decode`` defaults to the deterministic fake; pass ``decode_image``
+    (PIL) in a codec-equipped deployment — the Spark plumbing (schema,
+    batch shape, no shuffle, payload pruned from output) is identical.
+
+    Output: (id, height, width, channels, channel_means array<double>,
+    channel_stds array<double>, embedding array<double> of out_h*out_w*c).
+    """
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    decode_fn = decode or (
+        lambda b: fake_decode_image(b, height, width, channels)
+    )
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("height", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("channel_means", ArrayType(DoubleType())),
+            StructField("channel_stds", ArrayType(DoubleType())),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[data_col]):
+                px = np.asarray(decode_fn(payload))
+                emb = block_mean_resize(px, out_h, out_w)
+                rows.append(
+                    (
+                        rid,
+                        px.shape[0],
+                        px.shape[1],
+                        px.shape[2],
+                        px.astype("float64").mean(axis=(0, 1)).tolist(),
+                        px.astype("float64").std(axis=(0, 1)).tolist(),
+                        emb.astype("float64").flatten().tolist(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, data_col).mapInPandas(_featurize, schema=out_schema)
+
+
+def fake_frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    frame_len: int = 64,
+    every_n: int = 2,
+) -> DataFrame:
+    """Frame sampling plumbing over a FAKE fixed-frame-length 'video': the
+    payload is treated as a concatenation of ``frame_len``-byte frames and
+    every ``every_n``-th frame is emitted as its own row — the fan-out
+    ``mapInPandas`` shape (one input row -> many output rows) a real
+    ffmpeg-backed ``sample_frames`` would use, with the same schema.
+
+    Output: (id, frame_idx, frame bytes).
+    """
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("frame_idx", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[data_col]):
+                payload = payload or b""
+                n_frames = len(payload) // frame_len
+                for idx in range(0, n_frames, every_n):
+                    rows.append(
+                        (rid, idx, bytes(payload[idx * frame_len : (idx + 1) * frame_len]))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, data_col).mapInPandas(_sample, schema=out_schema)
+
+
 def attach_fake_media(
     df: DataFrame, text_col: str = "text", media_format: str = "png"
 ) -> DataFrame:

@@ -457,6 +457,23 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_metadata(media, id_col="doc_id", data_col="data")
 
 
+@query("multimodal_features")  # numpy float pipeline -> rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → block-mean resize → feature-extract in one Arrow-batched
+    mapInPandas stage (operators/multimodal.py:image_features). Decode is
+    the documented deterministic fake (sha256-derived pixels — no codecs in
+    this environment); the known-answer unit test re-derives the features
+    independently in numpy (tests/test_multimodal.py)."""
+    from bigdatapipelne_spark.operators.multimodal import (
+        attach_fake_media,
+        image_features,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_fake_media(docs, media_format="png")
+    return image_features(media, id_col="doc_id", data_col="data")
+
+
 EMBEDDING_DIM = 64  # driver testdata embeddings are fixed 64-d
 
 

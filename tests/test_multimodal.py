@@ -75,3 +75,50 @@ def test_decode_stubs_gated():
         decode_image(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(NotImplementedError, match="frame sampling"):
         sample_frames(b"\x00\x00\x00\x18ftyp")
+
+
+def test_image_features_known_answer(spark):
+    """Features re-derived independently (hashlib + numpy) match the
+    mapInPandas stage byte-for-byte."""
+    import hashlib
+
+    import numpy as np
+
+    from bigdatapipelne_spark.operators.multimodal import image_features
+
+    payload = b"\x89PNG\r\n\x1a\nhello world"
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, data binary")
+    row = image_features(df, "doc_id", "data").collect()[0]
+
+    digest = hashlib.sha256(payload).digest()
+    n = 8 * 8 * 3
+    px = np.frombuffer((digest * (n // 32 + 1))[:n], dtype=np.uint8).reshape(8, 8, 3)
+    assert (row.height, row.width, row.channels) == (8, 8, 3)
+    assert row.channel_means == px.astype("float64").mean(axis=(0, 1)).tolist()
+    assert row.channel_stds == px.astype("float64").std(axis=(0, 1)).tolist()
+    expected_emb = (
+        px.astype("float32")
+        .reshape(4, 2, 4, 2, 3)
+        .mean(axis=(1, 3))
+        .astype("float64")
+        .flatten()
+        .tolist()
+    )
+    assert row.embedding == expected_emb
+    assert len(row.embedding) == 4 * 4 * 3
+
+
+def test_fake_frame_sample_fanout(spark):
+    from bigdatapipelne_spark.operators.multimodal import fake_frame_sample
+
+    payload = bytes(range(20))  # 5 frames of 4 bytes
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, data binary")
+    rows = sorted(
+        (r.frame_idx, bytes(r.frame))
+        for r in fake_frame_sample(df, "doc_id", "data", frame_len=4, every_n=2).collect()
+    )
+    assert rows == [
+        (0, bytes(range(0, 4))),
+        (2, bytes(range(8, 12))),
+        (4, bytes(range(16, 20))),
+    ]

@@ -395,3 +395,40 @@ def engaged_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
     return days("purchase").intersect(days("view"))
+
+
+@query(
+    "user_moving_avg",
+    oracle=f"""
+    SELECT user_id, event_id, ts, value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                     OVER w AS VARCHAR) AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def user_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 5-row trailing window per user (the smoothing
+    pass of a behavioral time series). Deterministic framing: unique
+    (ts, event_id) ordering, decimal-exact windowed sum, one double
+    division — same rules as user_running_total."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("moving_avg"),
+    )

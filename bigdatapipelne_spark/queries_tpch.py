@@ -456,3 +456,34 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "total_acctbal"),
         )
     )
+
+
+@query(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: the part-supplier relation is derived as the
+    DISTINCT (l_partkey, l_suppkey) pairs from lineitem — there is no
+    partsupp table in this schema; no %Customer%Complaints% filter — no
+    comment column): supplier diversity per part attribute. Distinct
+    pre-aggregation shrinks lineitem to the pair set before the part join;
+    the count-distinct re-shuffles on the group key once."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -377,3 +377,74 @@ def srp_bucket_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def srp_near_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    nbits: int | None = None,
+    target_bucket_size: int = 128,
+    probe_bits: int = 1,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """The SCALE path for ``near_duplicate_pairs``: candidate pairs share an
+    SRP bucket (one side multi-probes Hamming-1 buckets), each candidate is
+    scored with the exact cosine, then thresholded — same output contract
+    (id_a < id_b, cosine), approximate only in which pairs become
+    candidates. Cost is sum of bucket-size^2 (buckets sized via ``nbits``),
+    never N^2; recall vs the exact baseline is asserted in
+    tests/test_llm_ops.py.
+
+    Candidate-generation intuition: cos >= threshold means the angle is
+    below arccos(threshold), so the chance a random hyperplane splits the
+    pair is arccos(t)/pi per bit; with 1-bit multi-probe a true pair is
+    missed only when >= 2 of nbits hyperplanes split it.
+    """
+    if nbits is None:
+        nbits = pick_nbits(df.count(), target_bucket_size)
+
+    bucketed = srp_buckets(df, id_col, vec_col, dim, nbits).withColumn(
+        "_norm", l2_norm(vec_col)
+    )
+    b_side = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"), "bucket",
+    )
+    if max_bucket_size is not None:
+        wcap = Window.partitionBy("bucket").orderBy(
+            F.md5(F.col("id_b").cast("string")), F.col("id_b")
+        )
+        b_side = (
+            b_side.withColumn("_bslot", F.row_number().over(wcap))
+            .filter(F.col("_bslot") <= max_bucket_size)
+            .drop("_bslot")
+        )
+    a_side = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"), "bucket",
+    )
+    if probe_bits >= 1:
+        flips = [F.col("bucket")]
+        for b in range(nbits):
+            flipped = F.when(
+                F.substring("bucket", b + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            flips.append(
+                F.concat(
+                    F.substring("bucket", 1, b),
+                    flipped,
+                    F.substring("bucket", b + 2, nbits - b - 1),
+                )
+            )
+        a_side = a_side.withColumn("bucket", F.explode(F.array(*flips)))
+    return (
+        a_side.join(b_side, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_from_norms("va", "vb", "na", "nb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

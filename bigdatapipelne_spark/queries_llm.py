@@ -29,6 +29,7 @@ from bigdatapipelne_spark.operators.similarity import (
     brute_force_topk,
     near_duplicate_pairs,
     srp_bucket_ann,
+    srp_near_duplicate_pairs,
 )
 from bigdatapipelne_spark.functions.text import (
     SUBWORD_RE,
@@ -427,6 +428,18 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF — a discriminating check."""
     emb = t(spark, sf_dir, "embeddings")
     return near_duplicate_pairs(emb, "vec_id", "embedding", threshold=0.42)
+
+
+@query("embedding_near_dup_ann")  # approximate candidates -> rows-only check
+def embedding_near_dup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for embedding_near_dup: SRP-bucketed candidate pairs
+    (multi-probe) scored with the EXACT cosine and thresholded — never
+    O(N^2). Recall vs the exact baseline and score-exactness are asserted
+    in tests/test_llm_ops.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    return srp_near_duplicate_pairs(
+        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, threshold=0.42
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -214,3 +214,29 @@ def test_winnowing_detects_contained_copy(spark):
     n_fp = winnow_fingerprints(df, "doc_id", "text", k=20, window=10).count()
     n_chars = sum(len(r.text) for r in df.collect())
     assert n_fp < n_chars / 2
+
+
+def test_srp_near_dup_pairs_recall_and_exactness(spark):
+    from bigdatapipelne_spark.operators.similarity import srp_near_duplicate_pairs
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cosine for r in
+             near_duplicate_pairs(emb, "vec_id", "embedding", 0.42).collect()}
+    approx = {(r.id_a, r.id_b): r.cosine for r in
+              srp_near_duplicate_pairs(
+                  emb, "vec_id", "embedding", dim=64, threshold=0.42
+              ).collect()}
+    # Every surfaced pair is a TRUE pair with the exact score (candidates
+    # are approximate, scoring is not).
+    for pair, cos in approx.items():
+        assert pair in exact and cos == exact[pair]
+    # Recall floor at a deliberately hard threshold (0.42 ~ 65 deg; real
+    # near-dup thresholds ~0.9 sit far inside the bucket radius).
+    if exact:
+        assert len(approx) / len(exact) >= 0.4
+    # Determinism across runs.
+    again = {(r.id_a, r.id_b): r.cosine for r in
+             srp_near_duplicate_pairs(
+                 emb, "vec_id", "embedding", dim=64, threshold=0.42
+             ).collect()}
+    assert approx == again

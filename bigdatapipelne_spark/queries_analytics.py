@@ -432,3 +432,34 @@ def user_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w).cast("double")
         ).alias("moving_avg"),
     )
+
+
+@query(
+    "top_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      FROM part
+    )
+    WHERE rnk <= 3
+    """,
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (the canonical pattern: row_number over a
+    partitioned desc window + filter, one shuffle on the group key, k rows
+    retained per group map-side-able via WindowGroupLimit). Deterministic
+    via the unique p_partkey tiebreaker."""
+    from pyspark.sql import Window
+
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rank")
+    )

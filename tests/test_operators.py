@@ -86,3 +86,20 @@ def test_live_view_ttl_filter(spark):
     df = spark.createDataFrame([(1, 100), (2, 200), (3, 300)], "id long, ttl long")
     alive = live_view(df, now_epoch=F.lit(150))
     assert {r.id for r in alive.collect()} == {2, 3}
+
+
+def test_compact_parquet_shrinks_files(spark, tmp_path):
+    import glob
+
+    from bigdatapipelne_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # 20 single-row files, the streaming-sink accretion pattern.
+    for i in range(20):
+        spark.range(i, i + 1).coalesce(1).write.mode("append").parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 20
+
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == list(range(20))

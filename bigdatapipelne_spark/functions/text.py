@@ -48,6 +48,22 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
+def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from an already-materialized token array column.
+
+    Hot paths must tokenize into a real column first and shingle from the
+    column reference: expressions inlined into a higher-order-function
+    lambda are re-evaluated per element (no CSE across the lambda
+    boundary), so ``shingles(tokens(text))`` would re-split the text once
+    per shingle (~tokens× slowdown on long documents).
+    """
+    w = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string>.
 
@@ -56,12 +72,13 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     shingle (the whole text). Duplicates are kept: downstream min-hashing is
     multiset-safe (min over duplicates == min over the set), which saves an
     ``array_distinct`` pass on the hot path.
+
+    NOTE: convenience form — the token expression is inlined and
+    re-evaluated per element inside the lambda. Operators on the hot path
+    should materialize ``tokens()`` as a column and use
+    ``shingles_from_tokens`` (see that docstring).
     """
-    w = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
+    return shingles_from_tokens(tokens(text), n)
 
 
 def en_stopword_ratio(text: Column | str) -> Column:

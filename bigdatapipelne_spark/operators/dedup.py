@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from bigdatapipelne_spark.functions.text import (
     fingerprint,
     normalize_text,
-    shingles,
+    shingles_from_tokens,
     tokens,
 )
 
@@ -75,8 +75,12 @@ def minhash_signatures(
     explode(shingles) -> groupBy(id) with k min-aggregates. Partial
     aggregation collapses each document's shingles map-side, so the shuffle
     carries one row per (partition, document)."""
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    exploded = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens("__toks", n)).alias("shingle"),
+        )
     )
     return exploded.groupBy(id_col).agg(*_minhash_exprs("shingle", num_perm))
 
@@ -143,10 +147,14 @@ def minhash_near_duplicates(
     inner intersection join cannot drop a pair that would pass ``threshold``.
     """
     cands = minhash_candidate_pairs(df, id_col, text_col, n)
-    sh = df.select(
-        F.col(id_col).alias("sid"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("s"),
-    ).select("sid", F.md5("s").alias("sh"))
+    sh = (
+        df.select(F.col(id_col).alias("sid"), tokens(text_col).alias("__toks"))
+        .select(
+            "sid",
+            F.explode(F.array_distinct(shingles_from_tokens("__toks", n))).alias("s"),
+        )
+        .select("sid", F.md5("s").alias("sh"))
+    )
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col("sid").alias("id_a"), "sh")
@@ -199,9 +207,10 @@ def ngram_jaccard_duplicates(
     oracle (tests use the exact, uncapped form).
     """
     sh = (
-        df.select(
-            F.col(id_col).alias("sid"),
-            F.explode(F.array_distinct(shingles(text_col, n))).alias("s"),
+        df.select(F.col(id_col).alias("sid"), tokens(text_col).alias("__toks"))
+        .select(
+            "sid",
+            F.explode(F.array_distinct(shingles_from_tokens("__toks", n))).alias("s"),
         )
         .select("sid", F.md5("s").alias("sh"))
     )
@@ -261,7 +270,12 @@ def winnow_fingerprints(
     the paper's rightmost-min tie rule — ties between *different* grams are
     md5 collisions, i.e. nonexistent in practice.
     """
-    s = normalize_text(text_col)
+    # Each projection materializes its input as a plain column first:
+    # expressions referenced inside a higher-order-function lambda are
+    # re-evaluated per element (no CSE across the lambda boundary), so
+    # inlining normalize_text into the transform would run the regexp once
+    # per k-gram instead of once per row (~300x on typical docs).
+    s = F.col("__s")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))),
         lambda i: F.md5(s.substr(i, F.lit(k))),
@@ -274,7 +288,8 @@ def winnow_fingerprints(
         )
     )
     return (
-        df.select(F.col(id_col), grams.alias("__hs"))
+        df.select(F.col(id_col), normalize_text(text_col).alias("__s"))
+        .select(F.col(id_col), grams.alias("__hs"))
         .select(F.col(id_col), F.explode(fps).alias("fp"))
     )
 

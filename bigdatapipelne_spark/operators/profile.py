@@ -1,0 +1,46 @@
+"""Data-quality profiling: per-column statistics in one aggregation pass.
+
+The operational companion to a 100 TB ingest pipeline (schema drift, null
+floods, and range regressions are caught here before they poison a mart).
+One ``df.agg`` computes every column's stats simultaneously — a single
+scan + a 1-row shuffle regardless of table width; the wide result is then
+unpivoted to one row per column with an array+explode (no second pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Profile numeric columns: (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value) — mins/maxes surfaced as double.
+
+    ``n_distinct`` is exact (one expanded distinct aggregate per column —
+    acceptable for profiling runs; swap for approx_count_distinct when
+    profiling every load at full scale)."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")

@@ -463,3 +463,106 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rank")
     )
+
+
+@query(
+    "salted_skew_join",
+    oracle=f"""
+    SELECT event_type, type_weight,
+           {OSUM('value')} AS sum_value,
+           COUNT(*) AS n_events
+    FROM events
+    JOIN (SELECT 'click' AS event_type, 1 AS type_weight UNION ALL
+          SELECT 'error', 5 UNION ALL
+          SELECT 'purchase', 10 UNION ALL
+          SELECT 'signup', 2 UNION ALL
+          SELECT 'view', 1) dim
+    USING (event_type)
+    GROUP BY event_type, type_weight
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join through the real ``salted_join`` operator: the
+    join key has 5 values over ~N rows (pathological skew — each key is a
+    straggler task in a plain shuffle join), so the probe side salts into
+    16 sub-keys and the tiny dim side replicates. The oracle is the plain
+    join — certifying that salting changes the schedule, not the
+    semantics."""
+    from bigdatapipelne_spark.operators.joins import salted_join
+
+    ev = t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("error", 5), ("purchase", 10), ("signup", 2), ("view", 1)],
+        "event_type string, type_weight int",
+    )
+    return (
+        salted_join(ev, dim, on="event_type", salt=16)
+        .groupBy("event_type", "type_weight")
+        .agg(dsum("value", "sum_value"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "customer_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           COALESCE(CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT), -1) AS days_since_prev,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+             AS price_quartile
+    FROM orders
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG + NTILE window functions: per customer, days since the previous
+    order and the order's price quartile (first order marked -1, keeping
+    the column sortable for the hash gate). Deterministic framing via the
+    unique o_orderkey tiebreaker in both orderings."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.coalesce(
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(wd)
+            ).cast("bigint"),
+            F.lit(-1).cast("bigint"),
+        ).alias("days_since_prev"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+    )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "lineitem_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS DOUBLE) AS min_value,
+           CAST(MAX({c}) AS DOUBLE) AS max_value
+    FROM lineitem
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the fact table's numeric columns
+    (operators/profile.py): one scan, every column's null/distinct/range
+    stats simultaneously, unpivoted to one row per column — the ingest
+    drift check a production pipeline runs per load."""
+    from bigdatapipelne_spark.operators.profile import profile_numeric
+
+    li = t(spark, sf_dir, "lineitem")
+    return profile_numeric(li, _PROFILE_COLS)

@@ -66,3 +66,28 @@ def upsert_batch(serving: DataFrame, updates: DataFrame, key_cols: list[str]) ->
     on ``key_cols``. Expressed as anti-join + union — both sides shuffle on
     the key once; with Delta this becomes MERGE INTO in ``foreachBatch``."""
     return serving.join(updates, on=key_cols, how="left_anti").unionByName(updates)
+
+
+def expire_serving(
+    spark, serving_path: str, now_epoch: int | None = None
+) -> int:
+    """W7 storage reclaim: physically delete TTL-expired rows from the
+    keyed parquet serving store (DynamoDB's background TTL sweeper —
+    ``live_view`` is the lazy read-side filter; this is the actual
+    expiry). Staging-dir + swap so readers never see a half-written store.
+    Returns the number of rows expired."""
+    import os
+    import shutil
+    import time
+
+    now = int(time.time()) if now_epoch is None else now_epoch
+    df = spark.read.parquet(serving_path)
+    live = df.filter(F.col("ttl") > F.lit(now))
+    expired = df.count() - live.count()
+    if expired == 0:
+        return 0
+    staging = serving_path.rstrip("/") + "__expire"
+    live.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(serving_path)
+    os.rename(staging, serving_path)
+    return expired

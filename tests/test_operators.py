@@ -103,3 +103,55 @@ def test_compact_parquet_shrinks_files(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(f"{path}/*.parquet")) == 1
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == list(range(20))
+
+
+def test_expire_serving_reclaims_rows(spark, tmp_path):
+    from bigdatapipelne_spark.operators.serving import expire_serving, live_view
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "serving")
+    spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "k long, ttl long"
+    ).write.parquet(path)
+
+    # Read-side filter and storage reclaim agree on what is live at t=150.
+    live = live_view(spark.read.parquet(path), now_epoch=F.lit(150))
+    assert sorted(r.k for r in live.collect()) == [2, 3]
+    assert expire_serving(spark, path, now_epoch=150) == 1
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [2, 3]
+    assert expire_serving(spark, path, now_epoch=150) == 0  # idempotent
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Partition pruning: a filter on the partition column reaches the scan
+    as a PartitionFilter, so only that directory is read."""
+    from bigdatapipelne_spark.sources.io import write_parquet_partitioned
+
+    df = spark.createDataFrame(
+        [("SP", 1.0), ("RJ", 2.0), ("MG", 3.0), ("SP", 4.0)],
+        "estado string, valor double",
+    )
+    path = str(tmp_path / "byestado")
+    write_parquet_partitioned(df, path, ["estado"])
+
+    q = spark.read.parquet(path).filter("estado = 'SP'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(estado" in plan
+    assert q.count() == 2
+
+
+def test_stage_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a new column appearing in later loads is readable
+    across old+new files with mergeSchema (old rows null)."""
+    path = str(tmp_path / "stage")
+    spark.createDataFrame([(1, 10.0)], "id long, valor double").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, 20.0, "gold")], "id long, valor double, tier string"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "valor", "tier"}
+    rows = {r.id: r.tier for r in merged.collect()}
+    assert rows == {1: None, 2: "gold"}

@@ -137,3 +137,32 @@ def quality_score(text: Column | str) -> Column:
     return en_stopword_ratio(text) * F.lit(0.5) + (
         F.lit(1.0) - punct_ratio(text)
     ) * F.lit(0.5)
+
+
+def chunk_tokens(tok_col: Column | str, chunk_size: int = 50, overlap: int = 10) -> Column:
+    """Overlapping fixed-size token chunks — the context-window splitter of
+    a training-data pipeline. Returns array<struct<chunk_idx int, chunk
+    string, n_tokens int>>: chunks start every ``chunk_size - overlap``
+    tokens, each spanning up to ``chunk_size`` tokens, so consecutive
+    chunks share ``overlap`` tokens and every token lands in a chunk.
+
+    Pure codegen (sequence stride + slice); pass a MATERIALIZED token
+    column (see shingles_from_tokens on lambda-boundary CSE).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    w = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(w) - overlap, F.lit(1)), F.lit(step)
+    )
+    return F.transform(
+        starts,
+        lambda st: F.struct(
+            ((st - 1) / step).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(w, st, chunk_size)).alias("chunk"),
+            F.least(
+                F.size(w) - st + 1, F.lit(chunk_size)
+            ).cast("int").alias("n_tokens"),
+        ),
+    )

@@ -511,3 +511,56 @@ def embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 cells / 1 Lloyd pass: the quantizer costs one distributed pass and
     # recall is within a point of the sqrt(N)-cell default on this corpus.
     return ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=32, iters=1)
+
+
+_CHUNKS_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    ch AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(w) - 8, 1), 32),
+        st -> struct_pack(
+          chunk_idx := CAST((st - 1) // 32 AS INTEGER),
+          chunk := array_to_string(list_slice(w, st, st + 39), ' '),
+          n_tokens := CAST(least(len(w) - st + 1, 40) AS INTEGER))
+      )) AS c
+      FROM toks
+    )
+    SELECT doc_id, c.chunk_idx AS chunk_idx, c.chunk AS chunk,
+           c.n_tokens AS n_tokens
+    FROM ch
+"""
+
+
+@query("doc_chunks", oracle=_CHUNKS_ORACLE)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (40-token windows, 8-token overlap) — the
+    context-window splitter every training pipeline runs before
+    tokenization. Pure-codegen form (functions/text.py:chunk_tokens):
+    tokenize once into a materialized column, stride+slice per chunk, one
+    explode; no shuffle at all."""
+    from bigdatapipelne_spark.functions.text import chunk_tokens, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", tokens("text").alias("__toks"))
+        .select("doc_id", F.explode(chunk_tokens("__toks", 40, 8)).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk", "c.n_tokens")
+    )
+
+
+@query("doc_chunks_udtf", oracle=_CHUNKS_ORACLE)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunking through the Python UDTF extension surface
+    (functions/udtfs.py: class -> spark.udtf.register -> LATERAL join) —
+    hash-checked against the same oracle as doc_chunks, proving the UDTF
+    path end-to-end. Arrow-batched, but still Python per row: the codegen
+    twin is the hot-path choice; this certifies the escape hatch."""
+    from bigdatapipelne_spark.functions.udtfs import register_udtfs
+    from bigdatapipelne_spark.sources.testdata import load_tables
+
+    load_tables(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.chunk, c.n_tokens "
+        "FROM documents, LATERAL chunk_docs(doc_id, text) c"
+    )

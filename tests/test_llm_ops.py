@@ -240,3 +240,24 @@ def test_srp_near_dup_pairs_recall_and_exactness(spark):
                  emb, "vec_id", "embedding", dim=64, threshold=0.42
              ).collect()}
     assert approx == again
+
+
+def test_chunking_udtf_matches_expression(spark):
+    """The Python UDTF and the pure-Catalyst chunker produce identical rows
+    (same chunk boundaries, text, and counts) — the escape hatch is
+    semantics-preserving."""
+    from bigdatapipelne_spark.queries import QUERIES
+
+    expr_rows = sorted(map(tuple, QUERIES["doc_chunks"](spark, SF_SMALL).collect()))
+    udtf_rows = sorted(map(tuple, QUERIES["doc_chunks_udtf"](spark, SF_SMALL).collect()))
+    assert expr_rows == udtf_rows
+    assert len(expr_rows) > 0
+
+
+def test_chunk_tokens_guard():
+    from bigdatapipelne_spark.functions.text import chunk_tokens
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_tokens("c", chunk_size=10, overlap=10)

@@ -69,11 +69,16 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         "session_stream_drain",
         "purchase_view_stream_join",
     }
+    # doc_chunks_udtf IS the deliberate Python-UDTF escape hatch — its
+    # codegen twin (doc_chunks) is the hot path and their row-equality is
+    # asserted in test_llm_ops.
+    allowed_python = {"doc_chunks_udtf"}
     for name in sorted(QUERIES):
         if name in streaming_drains:
             continue
         p = plan(spark, name)
-        assert "BatchEvalPython" not in p, name  # no row-wise Python UDFs
+        if name not in allowed_python:
+            assert "BatchEvalPython" not in p, name  # no row-wise Python UDFs
         if name not in allowed_nested_loop:
             assert "CartesianProduct" not in p, name
             assert "BroadcastNestedLoopJoin" not in p, name

@@ -1,0 +1,77 @@
+"""Graph operators for dedup pipelines: connected components over
+near-duplicate pair edges.
+
+Pair mining (minhash / n-gram Jaccard / SRP cosine) yields EDGES; the unit
+of deduplication is the CLUSTER — transitively-connected documents that
+all collapse to one canonical id. That closure step is connected
+components, the one dedup stage plain SQL can't express without recursion.
+
+Implementation: iterative min-label propagation — every node starts
+labeled with itself; each round, a node adopts the minimum label among
+itself and its neighbors; converged when no label changes. Each round is
+one join + one grouped min (both shuffles on the node key), so a round
+costs O(|E|) and the round count is the cluster diameter — tiny for
+near-dup clusters (dups of a doc are dups of each other; diameters are
+1-3). For adversarial long-chain graphs at 100 TB, swap the neighbor step
+for pointer-doubling (label(label(n)) — halves diameter per round,
+log2(D) rounds) — same join machinery, noted here for the scale path.
+
+Determinism: min-label is order-free; the fixpoint is unique, so any
+execution schedule yields identical clusters (the DuckDB recursive-CTE
+oracle certifies this in queries_llm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster assignment for every node appearing in ``edges``.
+
+    Output: (node, cluster_id) — cluster_id is the minimum node id in the
+    component (the canonical-document convention of exact_duplicates).
+    Raises if not converged within ``max_iter`` rounds (diameter bound).
+    """
+    und = edges.select(
+        F.col(src).alias("n"), F.col(dst).alias("m")
+    ).unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+    labels = und.select("n").distinct().withColumn("label", F.col("n"))
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels.withColumnRenamed("n", "m"), "m")
+            .groupBy("n")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # Convergence: no node improved its label this round. The count is
+        # a small driver-side scalar (control flow, not data collection).
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "n")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
+        if changed == 0:
+            return labels.select(F.col("n").alias("node"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "graph diameter exceeds the bound — raise max_iter or use the "
+        "pointer-doubling variant for long-chain graphs"
+    )

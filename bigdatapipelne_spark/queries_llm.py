@@ -564,3 +564,52 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.doc_id, c.chunk_idx, c.chunk, c.n_tokens "
         "FROM documents, LATERAL chunk_docs(doc_id, text) c"
     )
+
+
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
+    hashed AS (
+      SELECT doc_id, md5(s) AS sh
+      FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closure step of fuzzy dedup: exact n-gram-Jaccard pair edges →
+    connected components → (doc, canonical cluster id). Spark runs
+    iterative min-label propagation (operators/graph.py, converges in
+    diameter rounds); the oracle computes the same fixpoint with a
+    recursive CTE — certifying that the distributed iteration reaches the
+    exact transitive closure."""
+    from bigdatapipelne_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_duplicates(docs, "doc_id", "text", n=3, threshold=0.05)
+    return connected_components(pairs, "id_a", "id_b")

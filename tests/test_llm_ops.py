@@ -261,3 +261,25 @@ def test_chunk_tokens_guard():
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_tokens("c", chunk_size=10, overlap=10)
+
+
+def test_connected_components_chain_and_guard(spark):
+    from bigdatapipelne_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    # A 6-node path has diameter 5: min-label propagation cannot finish in
+    # 2 rounds and must say so rather than return a wrong fixpoint.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
+    ok = {r.node: r.cluster_id for r in connected_components(chain).collect()}
+    assert set(ok.values()) == {1}

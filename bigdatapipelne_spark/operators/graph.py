@@ -39,9 +39,15 @@ def connected_components(
     component (the canonical-document convention of exact_duplicates).
     Raises if not converged within ``max_iter`` rounds (diameter bound).
     """
-    und = edges.select(
-        F.col(src).alias("n"), F.col(dst).alias("m")
-    ).unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+    # Materialize the edge set once: every round (and its convergence
+    # count) re-reads it, and the upstream lineage is typically a whole
+    # pair-mining pipeline — without this, each round recomputes that
+    # pipeline from scratch.
+    und = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .localCheckpoint(eager=True)
+    )
     labels = und.select("n").distinct().withColumn("label", F.col("n"))
 
     for _ in range(max_iter):

@@ -566,3 +566,26 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = t(spark, sf_dir, "lineitem")
     return profile_numeric(li, _PROFILE_COLS)
+
+
+@query(
+    "price_histogram",
+    oracle=f"""
+    SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           {OSUM('l_extendedprice')} AS bucket_total
+    FROM lineitem
+    GROUP BY bucket
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10k-wide buckets) over the price column —
+    one scan, one tiny aggregate; the distribution profile that sizes skew
+    handling and sampling rates at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "bucket_total"))
+    )

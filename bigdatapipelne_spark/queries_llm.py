@@ -613,3 +613,98 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = ngram_jaccard_duplicates(docs, "doc_id", "text", n=3, threshold=0.05)
     return connected_components(pairs, "id_a", "id_b")
+
+
+@query(
+    "deduped_documents",
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
+    hashed AS (
+      SELECT doc_id, md5(s) AS sh
+      FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    clusters AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+    WHERE c.node IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+def deduped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END fuzzy dedup: pair mining → connected components → keep
+    one canonical document per cluster (the cluster's minimum id) plus
+    every unpaired document — the actual corpus-shrinking step a training
+    pipeline ships. Composition of ngram_jaccard_duplicates +
+    connected_components + an anti-join-style filter."""
+    from bigdatapipelne_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_duplicates(
+        docs.select("doc_id", "text"), "doc_id", "text", n=3, threshold=0.05
+    )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.join(clusters, docs.doc_id == clusters.node, "left")
+        .filter(F.col("node").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "dataset_splits",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             CASE
+               WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                         AS INTEGER) % 10 < 8 THEN 'train'
+               WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                         AS INTEGER) % 10 < 9 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by hashing the
+    document id — the split is a pure function of the key, so it is stable
+    across runs, cluster sizes, and engines (no RNG state to ship), and any
+    engine can re-derive membership. Count matrix per (split, lang)."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -10,7 +10,7 @@ row is evidence the *operator*, not a lookalike, is right.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatapipelne_spark.operators.dedup import (
@@ -707,4 +707,77 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", split.alias("split"))
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term AS term, tf, df,
+             ROUND(CAST(tf AS DOUBLE)
+               * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df, score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term
+             ) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-3 terms — the classic corpus-statistics
+    weighting a training-data pipeline uses for keyword extraction and
+    quality filters. score = tf * ln(N / df) with the engine's shared
+    whitespace tokenizer (functions/text.py: tokens).
+
+    Scale shape: explode -> (doc, term) count collapses map-side (partial
+    agg) before one shuffle; the document-frequency table is a second, much
+    smaller agg over (term); joining df back onto tf shuffles on term only
+    if AQE declines to broadcast the vocabulary (at 100 TB a vocab table of
+    ~1e7 terms is a few hundred MB — sort-merge is the right fallback, no
+    hint pinned). The corpus size N rides along as a 1-row broadcast. The
+    top-3 window re-shuffles on doc_id once. ln() is evaluated on identical
+    (tf, df, N) integers in both engines, and ties (equal tf, df) break on
+    the term itself, so rank is engine-stable."""
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
     )

@@ -487,3 +487,60 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+# Q9's supply cost term (ps_supplycost * l_quantity) has no partsupp source in
+# this schema; the adaptation proxies unit cost as 60% of p_retailprice. All
+# terms stay in exact decimal space until the final VARCHAR-routed double.
+_Q9_COST = (
+    "(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))"
+    " * CAST(0.6 AS DECIMAL(2,1))"
+)
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {OSUM_RAW(f"({_DISC_PRICE} - {_Q9_COST})")} AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp, so unit supply cost is proxied as 60%
+    of p_retailprice; the '%green%' name filter becomes '%red%' — this
+    part-name vocabulary has no 'green'): profit by supplier nation and order
+    year over parts whose name contains 'red'.
+
+    Scale shape: the part filter keeps ~13% of parts — small enough for AQE
+    to broadcast onto the lineitem scan, which prunes ~87% of fact rows
+    before the orders join (the one real shuffle). supplier⋈nation is a
+    runtime broadcast. Profit stays in exact decimal space end-to-end
+    (queries.py determinism rules), surfaced as double."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    ) * F.lit("0.6").cast("decimal(2,1)")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_disc_price() - cost).cast("double").alias("profit"))
+    )

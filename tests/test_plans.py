@@ -63,7 +63,13 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
     # row-at-a-time Python.
     # q22's scalar average rides in as a 1-row broadcast: the nested-loop
     # join is degenerate (build side = one row) and correct at any scale.
-    allowed_nested_loop = {"embedding_near_dup", "embedding_topk", "q22_idle_customers"}
+    # tfidf_top_terms broadcasts the 1-row corpus count N the same way.
+    allowed_nested_loop = {
+        "embedding_near_dup",
+        "embedding_topk",
+        "q22_idle_customers",
+        "tfidf_top_terms",
+    }
     streaming_drains = {  # these run a stream; audited in their own tests
         "fraud_stream_drain",
         "session_stream_drain",

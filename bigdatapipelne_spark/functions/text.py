@@ -166,3 +166,21 @@ def chunk_tokens(tok_col: Column | str, chunk_size: int = 50, overlap: int = 10)
             ).cast("int").alias("n_tokens"),
         ),
     )
+
+
+# PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB)
+# accept identically: no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{6,}[0-9]"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Redact emails then phone-shaped digit runs to ``<EMAIL>`` /
+    ``<PHONE>`` placeholders — the text-side PII scrub (the structured-side
+    analog is operators/project.py drop_fields). Order matters: emails go
+    first so their digits can't be half-eaten by the phone pattern. Pure
+    codegen (two regexp_replace passes); SQL mirror uses the same patterns
+    with the 'g' flag."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")

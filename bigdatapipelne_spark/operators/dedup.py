@@ -496,3 +496,65 @@ def simhash_near_duplicates(
         F.greatest("id_a", "id_b").alias("id_b"),
         "hamming",
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents that CONTAIN a
+    benchmark document's n-grams — the asymmetric companion to
+    ngram_jaccard_duplicates. containment = |shingles(corpus doc) ∩
+    shingles(bench doc)| / |shingles(bench doc)|, so a training document
+    that embeds a whole eval item scores 1.0 regardless of how much other
+    text surrounds it (symmetric Jaccard would dilute it to ~0).
+
+    Output: corpus_id, bench_id, containment (>= threshold).
+
+    Scale shape: both sides reduce to exploded (id, shingle-md5) rows; the
+    equi-join on the hash touches only shingles that actually occur in the
+    benchmark — at 100 TB corpus x small benchmark this behaves like a
+    semi-join, not a pairwise comparison, and the benchmark index is small
+    enough for AQE to broadcast. ``max_doc_freq`` (applied to the corpus
+    index) caps boilerplate shingles as in ngram_jaccard_duplicates.
+    """
+    def index(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), tokens(text_col).alias("__toks"))
+            .select(
+                out_id,
+                F.explode(
+                    F.array_distinct(shingles_from_tokens("__toks", n))
+                ).alias("s"),
+            )
+            .select(out_id, F.md5("s").alias("sh"))
+        )
+
+    corp = index(corpus, "corpus_id")
+    if max_doc_freq is not None:
+        keep = (
+            corp.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("docfreq"))
+            .filter(F.col("docfreq") <= max_doc_freq)
+            .select("sh")
+        )
+        corp = corp.join(keep, "sh")
+    bench = index(benchmark, "bench_id")
+    bench_sz = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
+    inter = (
+        corp.join(bench, "sh")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    containment = F.col("inter").cast("double") / F.col("bsz").cast("double")
+    return (
+        inter.join(bench_sz, "bench_id")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("corpus_id", "bench_id", "containment")
+    )

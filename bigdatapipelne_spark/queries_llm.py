@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from bigdatapipelne_spark.operators.dedup import (
     BANDS,
+    decontaminate,
     NUM_PERM,
     ROWS_PER_BAND,
     SIMHASH_BITS,
@@ -40,6 +41,7 @@ from bigdatapipelne_spark.functions.text import (
     lang_id_en,
     punct_ratio,
     quality_score,
+    redact_pii,
     subword_count,
     tokens,
     EN_STOPWORDS,
@@ -781,3 +783,154 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+@query(
+    "decontaminated_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
+    hashed AS (
+      SELECT doc_id, md5(s) AS sh
+      FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh)
+    ),
+    bench AS (SELECT * FROM hashed WHERE doc_id < 25),
+    corpus AS (SELECT * FROM hashed WHERE doc_id >= 25),
+    bsz AS (SELECT doc_id, COUNT(*) AS bsz FROM bench GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, COUNT(*) AS i
+      FROM corpus c JOIN bench b USING (sh) GROUP BY 1, 2
+    )
+    SELECT corpus_id, bench_id,
+           CAST(i AS DOUBLE) / CAST(bsz AS DOUBLE) AS containment
+    FROM inter JOIN bsz ON bsz.doc_id = bench_id
+    WHERE CAST(i AS DOUBLE) / CAST(bsz AS DOUBLE) >= 0.15
+    """,
+)
+def decontaminated_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py: decontaminate): docs
+    0-24 stand in for an eval set; flag the rest of the corpus where trigram
+    CONTAINMENT of a benchmark doc reaches 0.15. Containment, not Jaccard —
+    a training doc that swallows a whole eval item scores 1.0 even when the
+    doc is much longer (the sf0.01 corpus has exactly one such full-embed
+    pair). The shingle-hash equi-join touches only benchmark shingles, so
+    at corpus scale it degenerates to a broadcast semi-join."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return decontaminate(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.15,
+    )
+
+
+@query(
+    "pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call +1 555 '
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' now' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-side PII scrub (functions/text.py: redact_pii). The synthetic
+    corpus contains no PII, so each doc is first augmented with a
+    deterministic email + phone derived from its id (same construction in
+    the oracle) — the redaction must then strip exactly those spans.
+    Two codegen regexp_replace passes, zero shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1 555 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return aug.select("doc_id", redact_pii("text").alias("redacted"))
+
+
+@query(
+    "doc_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS distinct_ratio,
+           CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS top_token_ratio,
+           CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) > 0.12
+             AS repetitive
+    FROM tf GROUP BY doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher/C4-style filters): per-doc
+    type-token ratio and top-unigram mass, plus the boolean filter verdict.
+    One explode + two stacked aggregations, both collapsing map-side; the
+    ratios are int/int double divisions (engine-determinism rules)."""
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    top_ratio = F.max("tf").cast("double") / F.sum("tf").cast("double")
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        (F.count(F.lit(1)).cast("double") / F.sum("tf").cast("double")).alias(
+            "distinct_ratio"
+        ),
+        top_ratio.alias("top_token_ratio"),
+        (top_ratio > 0.12).alias("repetitive"),
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS INTEGER) % 10 AS bucket
+      FROM documents
+    )
+    WHERE (lang = 'en' AND bucket < 2) OR (lang <> 'en' AND bucket < 5)
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep 20% of English docs and 50%
+    of everything else (rebalancing the en-heavy corpus), membership a pure
+    function of md5(doc_id) — stable across runs, partitionings, and
+    engines, and invertible for audits (same md5-bucket trick as
+    dataset_splits). Zero shuffles: a filter on a codegen expression."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 10
+    )
+    keep = F.when(F.col("lang") == "en", bucket < 2).otherwise(bucket < 5)
+    return docs.select("doc_id", "lang").filter(keep)

@@ -283,3 +283,37 @@ def test_connected_components_chain_and_guard(spark):
         connected_components(chain, max_iter=2)
     ok = {r.node: r.cluster_id for r in connected_components(chain).collect()}
     assert set(ok.values()) == {1}
+
+
+def test_decontaminate_full_embed_scores_one(spark):
+    # A corpus doc that swallows the whole benchmark doc has containment 1.0
+    # even though symmetric Jaccard would be far below any useful threshold.
+    from bigdatapipelne_spark.operators.dedup import decontaminate
+
+    bench = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    corpus = _docs(
+        spark,
+        [
+            (100, "x " * 40 + "alpha beta gamma delta epsilon" + " y " * 40),
+            (101, "totally unrelated words about nothing shared at all here"),
+        ],
+    )
+    rows = decontaminate(corpus, bench, "doc_id", "text", threshold=0.5).collect()
+    assert [(r.corpus_id, r.bench_id, r.containment) for r in rows] == [(100, 1, 1.0)]
+
+
+def test_redact_pii_known(spark):
+    from bigdatapipelne_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at a.user+tag@sub.example.org thanks",),
+            ("call +1 (555) 123-4567 or 555 0042 9981 today",),
+            ("no pii here",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(redact_pii("text")).collect()]
+    assert got[0] == "mail me at <EMAIL> thanks"
+    assert got[1] == "call <PHONE> or <PHONE> today"
+    assert got[2] == "no pii here"

@@ -49,3 +49,32 @@ def correlate_streams(
         & (rw[right_time] >= lw[left_time] - F.expr(f"INTERVAL {lookback}"))
     )
     return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a batch
+    dimension table (the standard "decorate events with the customer/device
+    record" stage).
+
+    Semantics Structured Streaming gives for free — and that matter at
+    scale:
+
+    - The static side is re-evaluated **per micro-batch**, so a dimension
+      backed by a parquet directory picks up newly written files without a
+      stream restart (slowly-changing dims come along for the ride).
+    - No state store is involved: unlike a stream-stream join, nothing is
+      buffered past the micro-batch, so this never grows memory with
+      stream lifetime.
+    - The dim side is broadcast when it fits (AQE sizes it per batch); a
+      genuinely fact-sized dim falls back to a shuffled join per batch —
+      at that point pre-bucket the dim on the key (sources/io.py bucketed
+      writers) so only the stream side shuffles.
+
+    Left join keeps unmatched events (enrichment must not drop facts).
+    """
+    return stream.join(dim, on, how)

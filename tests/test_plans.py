@@ -93,11 +93,12 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
 def test_dedup_pipelines_shuffle_hashes_not_documents(spark):
     # The text column must be projected away before any Exchange: the
     # shuffled payload is (id, hash)-shaped, never the document body.
-    p = plan(spark, "minhash_near_dups")
-    exchanges = p.split("Exchange")[1:]
-    for ex in exchanges:
-        first_line = ex.split("\n")[0]
-        assert "text#" not in first_line
+    for name in ("minhash_near_dups", "ngram_jaccard_pairs", "decontaminated_overlap"):
+        p = plan(spark, name)
+        exchanges = p.split("Exchange")[1:]
+        for ex in exchanges:
+            first_line = ex.split("\n")[0]
+            assert "text#" not in first_line, name
 
 
 def test_asof_join_is_window_not_range_join(spark):

@@ -156,3 +156,37 @@ def test_stream_to_serving_upsert(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].sum_value == 120.0
     assert rows[0].n_events == 2
+
+
+def test_enrich_stream_matches_batch_and_keeps_unmatched(spark, tmp_path):
+    """Stream-static enrichment: drained stream⋈dim == batch join, and the
+    left join keeps events whose key misses the dim (facts never drop)."""
+    from bigdatapipelne_spark.streaming.joins import enrich_stream
+
+    ev = load_table(spark, SF_SMALL, "events").limit(200)
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    # Dim covers only even user ids -> odd-id events must survive with nulls.
+    dim = (
+        ev.select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("segment", F.concat(F.lit("seg_"), F.col("user_id") % 3))
+    )
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    enriched = enrich_stream(stream, dim, "user_id")
+    out = str(tmp_path / "out")
+    (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    exp = sorted(map(tuple, enrich_stream(ev, dim, "user_id").collect()))
+    assert got == exp
+    assert len(got) == 200  # left join: every event survives
+    assert any(r[-1] is None for r in got)  # odd ids enriched with null

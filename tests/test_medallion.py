@@ -134,3 +134,41 @@ def test_incremental_ledger(raw_dir, tmp_path):
         assert final == []
     finally:
         os.remove(extra)
+
+
+def test_incremental_spec_mart_matches_one_shot(spark, tmp_path):
+    """Two availableNow drains over growing raw data == the one-shot
+    spec_transform over everything, bit-equal doubles; a rerun with no new
+    files leaves the mart untouched (checkpoint = bookmark)."""
+    from bigdatapipelne_spark.plans.medallion import (
+        incremental_spec_mart,
+        spec_mart_view,
+    )
+
+    raw = card_raw_from_events(load_table(spark, SF_SMALL, "events"))
+    half_a = raw.filter(F.col("transaction_id") % 2 == 0)
+    half_b = raw.filter(F.col("transaction_id") % 2 == 1)
+
+    raw_path = str(tmp_path / "raw")
+    spec_path = str(tmp_path / "spec")
+    cp = str(tmp_path / "cp")
+
+    half_a.write.mode("append").json(raw_path)
+    incremental_spec_mart(spark, raw_path, spec_path, cp)
+    n_after_first = spec_mart_view(spark, spec_path).count()
+
+    half_b.write.mode("append").json(raw_path)
+    incremental_spec_mart(spark, raw_path, spec_path, cp)
+
+    got = sorted(map(tuple, spec_mart_view(spark, spec_path).collect()))
+    exp = sorted(map(tuple, spec_transform(stage_transform(raw)).collect()))
+    assert got == exp
+    assert n_after_first < len(got)
+
+    # No new files -> no merge runs -> mtimes untouched.
+    import glob
+
+    before = {p: os.path.getmtime(p) for p in glob.glob(spec_path + "/*")}
+    incremental_spec_mart(spark, raw_path, spec_path, cp)
+    after = {p: os.path.getmtime(p) for p in glob.glob(spec_path + "/*")}
+    assert before == after

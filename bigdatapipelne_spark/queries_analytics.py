@@ -589,3 +589,20 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "bucket_total"))
     )
+
+
+@query("value_percentiles_approx")  # GK sketch: engine-specific -> rows-only
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch): the bounded-memory
+    quantile path for 100 TB — exact percentile() must materialize each
+    group's values, the sketch merges map-side in O(1/accuracy) space.
+    Sketch internals are engine-specific, so rows-only; the exact
+    counterpart (value_percentiles) is the oracle-checked twin, and
+    tests/test_operators.py bounds this sketch's rank error against it."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )

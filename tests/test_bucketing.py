@@ -67,3 +67,37 @@ def test_read_json_with_errors_routes_bad_lines(spark, tmp_path):
         with open(p) as f:
             bad_lines += [ln.strip() for ln in f if ln.strip()]
     assert bad_lines == ["THIS IS NOT JSON"]
+
+
+def test_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
+    """write_parquet_sorted yields files whose [min, max] ranges on the
+    sort key do not overlap — the property parquet min/max row-group
+    skipping needs to prune range scans."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bigdatapipelne_spark.sources.io import write_parquet_sorted
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    out = str(tmp_path / "sorted")
+    write_parquet_sorted(li.repartition(8), out, ["l_orderkey"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping file ranges: {ranges}"
+
+    # Round trip preserves the rows.
+    assert spark.read.parquet(out).count() == li.count()

@@ -14,6 +14,9 @@ from bigdatapipelne_spark.operators.project import (
     flatten_structs,
 )
 from bigdatapipelne_spark.operators.serving import live_view, upsert_batch
+from bigdatapipelne_spark.sources.testdata import load_table
+
+from .conftest import SF_SMALL
 
 
 def test_apply_mapping_rename_cast_nested(spark):
@@ -155,3 +158,35 @@ def test_stage_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "valor", "tier"}
     rows = {r.id: r.tier for r in merged.collect()}
     assert rows == {1: None, 2: "gold"}
+
+
+def test_approx_percentile_rank_error_bounded(spark):
+    """The GK sketch at accuracy 10000 must land within 1% rank error of
+    the exact percentiles (its contract), checked per return flag."""
+    from bigdatapipelne_spark.queries import QUERIES
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in QUERIES["value_percentiles"](spark, SF_SMALL).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["value_percentiles_approx"](spark, SF_SMALL).collect()
+    }
+    li = load_table(spark, SF_SMALL, "lineitem")
+    for flag, row in approx.items():
+        vals = sorted(
+            v[0]
+            for v in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for got, q in zip(row["approx_pcts"], (0.5, 0.9, 0.99)):
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * n
+            # rank of the returned value must be within 1% of target rank
+            assert lo - 0.01 * n <= target <= hi + 0.01 * n, (flag, q, got)

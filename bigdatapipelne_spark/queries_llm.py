@@ -412,6 +412,13 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(q, emb, "vec_id", "embedding", k=5)
 
 
+# Deterministic input bound for the REGISTERED exact near-dup query: below
+# near_duplicate_pairs' O(N^2) guard (100k rows), so the gate can never hit
+# the guard's ValueError at higher SF. At sf<=0.1 every vec_id is < 2500,
+# so the bound is a no-op there and the result matches earlier rounds.
+EXACT_NEAR_DUP_CAP = 50_000
+
+
 @query(
     "embedding_near_dup",
     oracle=f"""
@@ -419,6 +426,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
+      AND a.vec_id < {EXACT_NEAR_DUP_CAP} AND b.vec_id < {EXACT_NEAR_DUP_CAP}
       AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.42
     """,
 )
@@ -427,8 +435,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (guarded against corpus-scale inputs; the scale path is embedding_ann).
     Threshold 0.42 sits in the top ~0.03% of the synthetic corpus's cosine
     distribution (max ~0.51), so the result is small but non-empty at every
-    SF — a discriminating check."""
-    emb = t(spark, sf_dir, "embeddings")
+    SF — a discriminating check. Input is bounded at EXACT_NEAR_DUP_CAP on
+    both sides (Spark + oracle) so the registered query stays inside the
+    operator's quadratic guard at any SF; the unbounded exact form remains
+    available as the operator itself for recall tests."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < EXACT_NEAR_DUP_CAP)
     return near_duplicate_pairs(emb, "vec_id", "embedding", threshold=0.42)
 
 
@@ -478,7 +489,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas stage (operators/multimodal.py:image_features). Decode is
     the documented deterministic fake (sha256-derived pixels — no codecs in
     this environment); the known-answer unit test re-derives the features
-    independently in numpy (tests/test_multimodal.py)."""
+    independently in numpy (tests/test_multimodal.py).
+
+    The operator's array<double> outputs are serialized with to_json here
+    because the driver's rows-only canonicalizer sorts rows with pandas,
+    which cannot order list cells; internal consumers use image_features
+    directly and keep the typed arrays."""
     from bigdatapipelne_spark.operators.multimodal import (
         attach_fake_media,
         image_features,
@@ -486,7 +502,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_fake_media(docs, media_format="png")
-    return image_features(media, id_col="doc_id", data_col="data")
+    feats = image_features(media, id_col="doc_id", data_col="data")
+    return feats.select(
+        "doc_id",
+        "height",
+        "width",
+        "channels",
+        F.to_json("channel_means").alias("channel_means"),
+        F.to_json("channel_stds").alias("channel_stds"),
+        F.to_json("embedding").alias("embedding"),
+    )
 
 
 EMBEDDING_DIM = 64  # driver testdata embeddings are fixed 64-d

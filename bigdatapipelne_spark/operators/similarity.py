@@ -267,10 +267,13 @@ def _srp_hyperplane(dim: int, bit: int) -> list[float]:
     ]
 
 
-def _bucket_expr(vec_col: str, dim: int, nbits: int) -> F.Column:
+def _bucket_expr(vec_col: str, dim: int, nbits: int, bit_offset: int = 0) -> F.Column:
+    """String of ``nbits`` SRP sign bits using the globally-numbered
+    hyperplanes [bit_offset, bit_offset + nbits) — independent tables pick
+    disjoint offset ranges so their planes are independent draws."""
     bits = []
     for b in range(nbits):
-        plane = F.array(*[F.lit(x) for x in _srp_hyperplane(dim, b)])
+        plane = F.array(*[F.lit(x) for x in _srp_hyperplane(dim, bit_offset + b)])
         d = F.aggregate(
             F.zip_with(F.col(vec_col), plane, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
@@ -278,6 +281,21 @@ def _bucket_expr(vec_col: str, dim: int, nbits: int) -> F.Column:
         )
         bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def _bit_flips(base: F.Column, nbits: int) -> list[F.Column]:
+    """The nbits strings at Hamming distance exactly 1 from ``base``."""
+    out = []
+    for b in range(nbits):
+        flipped_bit = F.when(
+            F.substring(base, b + 1, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        out.append(
+            F.concat(
+                F.substring(base, 1, b), flipped_bit, F.substring(base, b + 2, nbits - b - 1)
+            )
+        )
+    return out
 
 
 def pick_nbits(n_rows: int, target_bucket_size: int = 128) -> int:
@@ -295,6 +313,41 @@ def srp_buckets(
     return df.withColumn("bucket", _bucket_expr(vec_col, dim, nbits))
 
 
+def _srp_table_frame(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, nbits: int, n_tables: int
+) -> DataFrame:
+    """Materialize (id, vec, norm, _b0.._b{L-1}) once: the frame feeds BOTH
+    join sides, and Catalyst does not share the SRP projection (L x nbits
+    dot products per row) across them — without this the corpus is scanned
+    and SRP-hashed twice. Table l uses the globally-numbered hyperplanes
+    [l*nbits, (l+1)*nbits) — disjoint deterministic draws."""
+    cols = [F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_norm")]
+    for tbl in range(n_tables):
+        cols.append(
+            _bucket_expr(vec_col, dim, nbits, bit_offset=tbl * nbits).alias(f"_b{tbl}")
+        )
+    return df.select(*cols).localCheckpoint(eager=True)
+
+
+def _probe_keys(nbits: int, n_tables: int, probe_bits: int) -> F.Column:
+    """Array of bucket keys the PROBING side explodes to: per table, the
+    base bucket plus (if probe_bits>=1) its nbits Hamming-1 neighbors, each
+    prefixed with the table id so tables never collide."""
+    keys = []
+    for tbl in range(n_tables):
+        base = F.col(f"_b{tbl}")
+        variants = [base] + (_bit_flips(base, nbits) if probe_bits >= 1 else [])
+        keys.extend(F.concat(F.lit(f"{tbl}:"), v) for v in variants)
+    return F.array(*keys)
+
+
+def _member_keys(nbits: int, n_tables: int) -> F.Column:
+    """Array of the L base bucket keys the CANDIDATE side explodes to."""
+    return F.array(
+        *[F.concat(F.lit(f"{tbl}:"), F.col(f"_b{tbl}")) for tbl in range(n_tables)]
+    )
+
+
 def srp_bucket_ann(
     df: DataFrame,
     id_col: str,
@@ -305,25 +358,23 @@ def srp_bucket_ann(
     target_bucket_size: int = 128,
     probe_bits: int = 1,
     max_bucket_size: int | None = 4096,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: candidates share an SRP bucket (with
-    1-bit multi-probe on the query side), scored exactly within the bucket.
+    """Approximate all-pairs top-k: candidates share an SRP bucket in one of
+    ``n_tables`` independent hash tables (with 1-bit multi-probe on the
+    query side), scored exactly within the bucket.
 
     ``nbits=None`` sizes the code from ``df.count()`` (one cheap
     metadata-backed job) so buckets stay ~``target_bucket_size`` at any N.
+    ``n_tables`` is OR-amplification: a true neighbor is missed only if
+    EVERY table splits the pair — the knob to spend for recall when the
+    similarity floor is far from 1 (wide angles split often). Cost grows
+    linearly in L while staying sum-of-bucket^2 bounded, never N^2.
     """
     if nbits is None:
         nbits = pick_nbits(df.count(), target_bucket_size)
 
-    # Materialize (id, vec, norm, bucket) once: the frame feeds BOTH join
-    # sides, and Catalyst does not share the SRP projection (nbits dot
-    # products per row) across them — without this the corpus is scanned
-    # and SRP-hashed twice.
-    bucketed = (
-        srp_buckets(df, id_col, vec_col, dim, nbits)
-        .withColumn("_norm", l2_norm(vec_col))
-        .localCheckpoint(eager=True)
-    )
+    bucketed = _srp_table_frame(df, id_col, vec_col, dim, nbits, n_tables)
 
     # Candidate (neighbor) side, optionally capped per bucket. The cap is
     # deterministic — md5(id) order — so the candidate set is identical on
@@ -332,7 +383,7 @@ def srp_bucket_ann(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col("_norm").alias("cn"),
-        "bucket",
+        F.explode(_member_keys(nbits, n_tables)).alias("bucket"),
     )
     if max_bucket_size is not None:
         wcap = Window.partitionBy("bucket").orderBy(
@@ -345,31 +396,19 @@ def srp_bucket_ann(
         )
 
     # Query side probes its own bucket plus every bucket at Hamming
-    # distance <= probe_bits (probe_bits=1 -> nbits+1 probes per vector).
+    # distance <= probe_bits, per table (probe_bits=1 -> L*(nbits+1)
+    # probes per vector).
     q = bucketed.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col("_norm").alias("qn"),
-        "bucket",
+        F.explode(_probe_keys(nbits, n_tables, probe_bits)).alias("bucket"),
     )
-    if probe_bits >= 1:
-        flips = [F.col("bucket")]
-        for b in range(nbits):
-            flipped_bit = F.when(
-                F.substring("bucket", b + 1, 1) == "1", F.lit("0")
-            ).otherwise(F.lit("1"))
-            flips.append(
-                F.concat(
-                    F.substring("bucket", 1, b),
-                    flipped_bit,
-                    F.substring("bucket", b + 2, nbits - b - 1),
-                )
-            )
-        q = q.withColumn("bucket", F.explode(F.array(*flips)))
 
-    # Score before deduping multi-probe hits: the dedup shuffle then moves
-    # (ids, score), never the vectors themselves. A pair surfacing via two
-    # probe buckets scores identically, so keeping either row is exact.
+    # Score before deduping multi-probe/multi-table hits: the dedup shuffle
+    # then moves (ids, score), never the vectors themselves. A pair
+    # surfacing via two buckets scores identically, so keeping either row
+    # is exact.
     scored = (
         q.join(cand, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -395,35 +434,35 @@ def srp_near_duplicate_pairs(
     target_bucket_size: int = 128,
     probe_bits: int = 1,
     max_bucket_size: int | None = 4096,
+    n_tables: int = 1,
 ) -> DataFrame:
     """The SCALE path for ``near_duplicate_pairs``: candidate pairs share an
-    SRP bucket (one side multi-probes Hamming-1 buckets), each candidate is
-    scored with the exact cosine, then thresholded — same output contract
-    (id_a < id_b, cosine), approximate only in which pairs become
-    candidates. Cost is sum of bucket-size^2 (buckets sized via ``nbits``),
-    never N^2; recall vs the exact baseline is asserted in
-    tests/test_llm_ops.py.
+    SRP bucket in one of ``n_tables`` independent tables (one side
+    multi-probes Hamming-1 buckets), each candidate is scored with the
+    exact cosine, then thresholded — same output contract (id_a < id_b,
+    cosine), approximate only in which pairs become candidates. Because
+    scoring is exact, output is always a SUBSET of the exact pair set
+    (precision 1); n_tables trades compute for recall. Cost is
+    L x sum(bucket-size^2), never N^2; recall vs the exact baseline is
+    asserted in tests/test_llm_ops.py and gated as a query
+    (queries_llm.embedding_ann_recall).
 
     Candidate-generation intuition: cos >= threshold means the angle is
     below arccos(threshold), so the chance a random hyperplane splits the
-    pair is arccos(t)/pi per bit; with 1-bit multi-probe a true pair is
-    missed only when >= 2 of nbits hyperplanes split it.
+    pair is arccos(t)/pi per bit; with 1-bit multi-probe a table misses a
+    true pair only when >= 2 of its nbits hyperplanes split it, and the
+    pair is lost only if ALL L tables miss — miss^L decays geometrically.
     """
     if nbits is None:
         nbits = pick_nbits(df.count(), target_bucket_size)
 
-    # Materialize (id, vec, norm, bucket) once: the frame feeds BOTH join
-    # sides, and Catalyst does not share the SRP projection (nbits dot
-    # products per row) across them — without this the corpus is scanned
-    # and SRP-hashed twice.
-    bucketed = (
-        srp_buckets(df, id_col, vec_col, dim, nbits)
-        .withColumn("_norm", l2_norm(vec_col))
-        .localCheckpoint(eager=True)
-    )
+    bucketed = _srp_table_frame(df, id_col, vec_col, dim, nbits, n_tables)
+
     b_side = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        F.col("_norm").alias("nb"), "bucket",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
+        F.explode(_member_keys(nbits, n_tables)).alias("bucket"),
     )
     if max_bucket_size is not None:
         wcap = Window.partitionBy("bucket").orderBy(
@@ -435,23 +474,11 @@ def srp_near_duplicate_pairs(
             .drop("_bslot")
         )
     a_side = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        F.col("_norm").alias("na"), "bucket",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
+        F.explode(_probe_keys(nbits, n_tables, probe_bits)).alias("bucket"),
     )
-    if probe_bits >= 1:
-        flips = [F.col("bucket")]
-        for b in range(nbits):
-            flipped = F.when(
-                F.substring("bucket", b + 1, 1) == "1", F.lit("0")
-            ).otherwise(F.lit("1"))
-            flips.append(
-                F.concat(
-                    F.substring("bucket", 1, b),
-                    flipped,
-                    F.substring("bucket", b + 2, nbits - b - 1),
-                )
-            )
-        a_side = a_side.withColumn("bucket", F.explode(F.array(*flips)))
     return (
         a_side.join(b_side, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -650,6 +650,7 @@ _GATE_PRIORITY = [
     # LLM-pipeline + multimodal entries needing fresh driver evidence
     "multimodal_features",
     "embedding_near_dup",
+    "embedding_ann_recall",
     "near_dup_clusters",
     # Streaming / pipeline anchors
     "fraud_stream_drain",

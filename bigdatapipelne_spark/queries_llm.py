@@ -446,12 +446,58 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embedding_near_dup_ann")  # approximate candidates -> rows-only check
 def embedding_near_dup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for embedding_near_dup: SRP-bucketed candidate pairs
-    (multi-probe) scored with the EXACT cosine and thresholded — never
-    O(N^2). Recall vs the exact baseline and score-exactness are asserted
-    in tests/test_llm_ops.py."""
+    (8 OR-amplified tables, multi-probe) scored with the EXACT cosine and
+    thresholded — never O(N^2). Recall vs the exact baseline and
+    score-exactness are asserted in tests/test_llm_ops.py; the recall bound
+    is also driver-gated via embedding_ann_recall below."""
     emb = t(spark, sf_dir, "embeddings")
     return srp_near_duplicate_pairs(
-        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, threshold=0.42
+        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, threshold=0.42, n_tables=8
+    )
+
+
+# Recall floor the gate asserts for the SRP scale path. With 8 independent
+# 4-bit tables + 1-bit multi-probe at threshold 0.42 (per-bit split prob
+# arccos(.42)/pi ~ 0.36), the per-pair miss probability is ~(0.455)^8 ~
+# 0.2%; observed recall is 1.0 at sf0.001 and sf0.01. 0.9 leaves margin
+# for corpus drift without letting a real regression (single-table recall
+# is 0.55-0.7) slip through.
+ANN_RECALL_FLOOR = 0.9
+
+
+@query(
+    "embedding_ann_recall",
+    oracle=f"""
+    SELECT (SELECT COUNT(*)
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND a.vec_id < {EXACT_NEAR_DUP_CAP} AND b.vec_id < {EXACT_NEAR_DUP_CAP}
+              AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.42
+           ) AS n_exact_pairs,
+           TRUE AS recall_ge_floor
+    """,
+)
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked recall bound for the SRP ANN scale path: the oracle
+    computes the exact near-dup pair count in SQL and asserts
+    recall_ge_floor = TRUE; the Spark side emits TRUE only if the SRP
+    candidate pairs (semi-joined against the exact pair set, so the claim
+    never trusts subset-ness) cover >= ANN_RECALL_FLOOR of it. A recall
+    regression flips the boolean and the driver's hash check fails —
+    converting the ANN path's evidence from rows-only to value-checked."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < EXACT_NEAR_DUP_CAP)
+    exact = near_duplicate_pairs(emb, "vec_id", "embedding", threshold=0.42)
+    ann = srp_near_duplicate_pairs(
+        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, threshold=0.42, n_tables=8
+    )
+    found = ann.join(exact, ["id_a", "id_b"], "left_semi")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return ne.crossJoin(nf).select(
+        "n_exact_pairs",
+        (F.col("n_found") >= F.lit(ANN_RECALL_FLOOR) * F.col("n_exact_pairs")).alias(
+            "recall_ge_floor"
+        ),
     )
 
 

@@ -6,15 +6,24 @@ of deduplication is the CLUSTER — transitively-connected documents that
 all collapse to one canonical id. That closure step is connected
 components, the one dedup stage plain SQL can't express without recursion.
 
-Implementation: iterative min-label propagation — every node starts
-labeled with itself; each round, a node adopts the minimum label among
-itself and its neighbors; converged when no label changes. Each round is
-one join + one grouped min (both shuffles on the node key), so a round
-costs O(|E|) and the round count is the cluster diameter — tiny for
-near-dup clusters (dups of a doc are dups of each other; diameters are
-1-3). For adversarial long-chain graphs at 100 TB, swap the neighbor step
-for pointer-doubling (label(label(n)) — halves diameter per round,
-log2(D) rounds) — same join machinery, noted here for the scale path.
+Two implementations, same fixpoint:
+
+- ``connected_components``: iterative min-label propagation — every node
+  starts labeled with itself; each round, a node adopts the minimum label
+  among itself and its neighbors; converged when no label changes. Each
+  round is one join + one grouped min (both shuffles on the node key), so
+  a round costs O(|E|) and the round count is the cluster diameter — tiny
+  for near-dup clusters (dups of a doc are dups of each other; diameters
+  are 1-3).
+- ``connected_components_pd``: the scale path for adversarial long-chain
+  graphs — each round HOOKS (min over neighbors, as above) then POINTER
+  JUMPS (label(n) <- label(label(n)), a self-join on the label table).
+  The jump halves the depth of every label-pointer chain, so a
+  diameter-D path converges in O(log D) rounds instead of O(D): a
+  256-node chain finishes in ~9 rounds where plain propagation needs 255
+  (property-tested in tests/test_llm_ops.py). The jump join shuffles the
+  label table (O(|V|)), strictly smaller than the hook's O(|E|) — the
+  extra round cost is bounded by what the hook already pays.
 
 Determinism: min-label is order-free; the fixpoint is unique, so any
 execution schedule yields identical clusters (the DuckDB recursive-CTE
@@ -83,6 +92,74 @@ def connected_components(
             return labels.select(F.col("n").alias("node"), F.col("label").alias("cluster_id"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
-        "graph diameter exceeds the bound — raise max_iter or use the "
-        "pointer-doubling variant for long-chain graphs"
+        "graph diameter exceeds the bound — raise max_iter or use "
+        "connected_components_pd (pointer doubling) for long-chain graphs"
+    )
+
+
+def connected_components_pd(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Pointer-doubling connected components: hook + pointer jump per
+    round, O(log D) rounds on a diameter-D graph (see module docstring).
+
+    Same contract and fixpoint as ``connected_components`` — output
+    (node, cluster_id), cluster_id = min node id in the component; raises
+    past ``max_iter``. Min-label keeps the invariant label(n) <= n, and
+    every label is itself a node, so the jump join always finds its
+    target; label values only ever decrease, which makes the fixpoint
+    unique and the convergence check (no change) exact."""
+    und = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select("n").distinct().withColumn("label", F.col("n"))
+
+    for _ in range(max_iter):
+        # Hook: adopt the minimum label in the closed neighborhood.
+        neighbor_min = (
+            und.join(labels.withColumnRenamed("n", "m"), "m")
+            .groupBy("n")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        hooked = labels.join(neighbor_min, "n", "left").select(
+            "n",
+            F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
+        )
+        # Pointer jump: label(n) <- label(label(n)). A label chain
+        # n -> l -> l' flattens to n -> l' — depth halves every round.
+        parent = hooked.select(
+            F.col("n").alias("_pn"), F.col("label").alias("_plabel")
+        )
+        jumped = (
+            hooked.join(parent, hooked.label == parent._pn, "left")
+            .select(
+                "n",
+                F.least(
+                    "label", F.coalesce("_plabel", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # Checkpoint BEFORE the convergence count (same double-execution
+        # trap as the propagation variant).
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "n")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("n").alias("node"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"connected_components_pd did not converge in {max_iter} rounds "
+        f"(covers diameter ~2^{max_iter}); the graph is adversarial even "
+        "for pointer doubling — raise max_iter"
     )

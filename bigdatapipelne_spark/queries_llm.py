@@ -639,9 +639,7 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "near_dup_clusters",
-    oracle=f"""
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
     hashed AS (
@@ -672,8 +670,10 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id
     FROM reach GROUP BY a
-    """,
-)
+    """
+
+
+@query("near_dup_clusters", oracle=_CLUSTERS_ORACLE)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The closure step of fuzzy dedup: exact n-gram-Jaccard pair edges →
     connected components → (doc, canonical cluster id). Spark runs
@@ -686,6 +686,21 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = ngram_jaccard_duplicates(docs, "doc_id", "text", n=3, threshold=0.05)
     return connected_components(pairs, "id_a", "id_b")
+
+
+@query("near_dup_clusters_pd", oracle=_CLUSTERS_ORACLE)
+def near_dup_clusters_pd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same closure through the pointer-doubling variant
+    (operators/graph.py: connected_components_pd — hook + label(label(n))
+    jump, O(log D) rounds): hash-checked against the identical recursive-
+    CTE oracle, certifying the scale path reaches the same fixpoint the
+    propagation variant does. Long-chain convergence (where propagation
+    would need diameter rounds) is property-tested in tests/test_llm_ops."""
+    from bigdatapipelne_spark.operators.graph import connected_components_pd
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_duplicates(docs, "doc_id", "text", n=3, threshold=0.05)
+    return connected_components_pd(pairs, "id_a", "id_b")
 
 
 @query(

@@ -285,6 +285,48 @@ def test_connected_components_chain_and_guard(spark):
     assert set(ok.values()) == {1}
 
 
+def test_connected_components_pd_log_rounds_on_chain(spark):
+    # A 256-node path has diameter 255: plain min-label propagation moves
+    # the minimum one hop per round and cannot finish in 12; pointer
+    # doubling halves chain depth per round and must finish in <=12
+    # (~log2(255) + hook slack) with the identical fixpoint.
+    from bigdatapipelne_spark.operators.graph import (
+        connected_components,
+        connected_components_pd,
+    )
+
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 256)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=12)
+    out = {r.node: r.cluster_id for r in connected_components_pd(chain, max_iter=12).collect()}
+    assert len(out) == 256 and set(out.values()) == {1}
+
+
+def test_connected_components_pd_same_fixpoint(spark):
+    # Deterministic pseudo-random multi-component graph: both variants must
+    # produce the identical (node -> cluster) map.
+    from bigdatapipelne_spark.operators.graph import (
+        connected_components,
+        connected_components_pd,
+    )
+
+    import hashlib
+
+    def h(i: int, salt: str) -> int:
+        return int.from_bytes(hashlib.md5(f"{salt}:{i}".encode()).digest()[:4], "big")
+
+    edges = [(h(i, "a") % 200, h(i, "b") % 200) for i in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    plain = {r.node: r.cluster_id for r in connected_components(df, max_iter=50).collect()}
+    pd_ = {r.node: r.cluster_id for r in connected_components_pd(df).collect()}
+    assert plain == pd_
+
+
 def test_decontaminate_full_embed_scores_one(spark):
     # A corpus doc that swallows the whole benchmark doc has containment 1.0
     # even though symmetric Jaccard would be far below any useful threshold.

@@ -656,6 +656,7 @@ _GATE_PRIORITY = [
     "fraud_stream_drain",
     "serving_upsert",
     "card_spec_mart",
+    "card_medallion_disk",
 ]
 
 

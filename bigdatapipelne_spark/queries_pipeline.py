@@ -121,6 +121,53 @@ def card_spec_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "card_medallion_disk",
+    oracle=f"""
+    WITH stage AS ({_CARD_STAGE_SQL})
+    SELECT bandeira, numero_cartao, exp, tipo_cartao, cor_cartao,
+           tipo_transacao, cidade, latitude, longitude, estado,
+           {OSUM('valor')} AS sum_valor
+    FROM stage
+    GROUP BY 1,2,3,4,5,6,7,8,9,10
+    """,
+)
+def card_medallion_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The medallion chain FROM DISK: raw landed as gzip JSON-lines
+    Hive-partitioned by estado (S2/S4/S5, sources/io.py:
+    write_json_partitioned), a deliberately-corrupt line dropped at the
+    raw scan (S5 bad-record capture, io.py:read_json DROPMALFORMED), then
+    run_medallion's stage parquet write -> re-read -> spec parquet write
+    -> re-read (S6-S9, plans/medallion.py:run_medallion). Same oracle as
+    card_spec_mart: the disk round-trip (JSON double serialization,
+    partition-column restore from Hive paths, snappy parquet) must be
+    value-lossless end to end."""
+    import os
+
+    from bigdatapipelne_spark.plans.medallion import run_medallion
+    from bigdatapipelne_spark.sources.io import write_json_partitioned
+
+    raw = card_raw_from_events(t(spark, sf_dir, "events"))
+    tmp = tempfile.mkdtemp(prefix="medallion_disk_")
+    raw_path = os.path.join(tmp, "raw")
+    write_json_partitioned(raw, raw_path, ["estado"])
+    # A malformed line in one partition: the raw scan must drop it (the
+    # reference routes such records to the Firehose error/ prefix) without
+    # perturbing the mart.
+    with open(os.path.join(raw_path, "estado=SP", "corrupt.json"), "w") as f:
+        f.write('{"valor": "not parseable as the schema says"\n')
+    stage_path = os.path.join(tmp, "stage")
+    spec_path = os.path.join(tmp, "spec")
+    run_medallion(spark, raw_path, stage_path, spec_path)
+    return spark.read.parquet(spec_path).select(*_SPEC_MART_COLS)
+
+
+_SPEC_MART_COLS = [
+    "bandeira", "numero_cartao", "exp", "tipo_cartao", "cor_cartao",
+    "tipo_transacao", "cidade", "latitude", "longitude", "estado", "sum_valor",
+]
+
+
+@query(
     "card_stage_schema",
     oracle="""
     SELECT 'bandeira:string,cidade:string,cor_cartao:string,cpf:string,cvv:string,'

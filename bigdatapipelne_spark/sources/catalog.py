@@ -11,14 +11,41 @@ from both Glue jobs. Natively that's Spark catalog registration:
 - ``register_view``: session temp view (lightweight, test-scoped).
 
 With the default in-memory catalog these registrations live for the
-session; point ``spark.sql.catalogImplementation`` at a Hive metastore (or
-a Delta/Iceberg catalog) in production and the same calls persist across
-sessions — the API surface is identical.
+session; ``persistent_session`` builds a warehouse-backed Hive-catalog
+session instead, so the same calls persist across sessions/JVM restarts
+(proved by tests/test_catalog.py, which registers in one subprocess and
+reads back in a fresh one) — the crawler-populated-catalog behavior of
+the reference (historical.py:312-353) without any service dependency.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def persistent_session(
+    app: str,
+    warehouse_dir: str,
+    metastore_dir: str,
+    master: str = "local[2]",
+) -> SparkSession:
+    """SparkSession whose catalog survives process restarts: Hive catalog
+    implementation with an embedded Derby metastore at ``metastore_dir``
+    and table data under ``warehouse_dir``. Any two processes pointing at
+    the same pair see the same tables (one at a time — embedded Derby is
+    single-writer; use a networked metastore for concurrent jobs at
+    scale, the Spark-side API is unchanged)."""
+    return (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.warehouse.dir", warehouse_dir)
+        .config(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={metastore_dir};create=true",
+        )
+        .enableHiveSupport()
+        .getOrCreate()
+    )
 
 
 def _quote(name: str) -> str:

@@ -35,8 +35,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from bigdatapipelne_spark.queries import QUERIES
+    from bigdatapipelne_spark.queries import QUERIES, finalize_registry
     from bigdatapipelne_spark.session import get_spark
+
+    finalize_registry()
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 

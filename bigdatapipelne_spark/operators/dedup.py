@@ -201,31 +201,34 @@ def ngram_jaccard_duplicates(
 
     At 100 TB, stop-shingles (boilerplate n-grams appearing in millions of
     docs) make that quadratic; ``max_doc_freq`` drops shingles appearing in
-    more than that many documents from the index (standard positional-filter
-    trick). With a cap the result may undercount intersections that consist
-    ONLY of capped shingles — acceptable for near-dup mining, never for the
-    oracle (tests use the exact, uncapped form).
+    more than that many documents from the CANDIDATE index (standard
+    positional-filter trick). Doc sizes — the Jaccard denominator — are
+    always computed from the UNCAPPED index, so the cap is one-sided: an
+    intersection consisting only of capped shingles may be undercounted
+    (a missed pair), but a reported jaccard is never inflated (no false
+    positives). Tests/oracle use the exact, uncapped form.
     """
-    sh = (
+    # The shingle index feeds three consumers (sizes + both join sides);
+    # materialize it once instead of re-tokenizing the corpus per consumer.
+    sh_full = (
         df.select(F.col(id_col).alias("sid"), tokens(text_col).alias("__toks"))
         .select(
             "sid",
             F.explode(F.array_distinct(shingles_from_tokens("__toks", n))).alias("s"),
         )
         .select("sid", F.md5("s").alias("sh"))
+        .localCheckpoint(eager=True)
     )
+    sizes = sh_full.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+    sh = sh_full
     if max_doc_freq is not None:
         keep = (
-            sh.groupBy("sh")
+            sh_full.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("docfreq"))
             .filter(F.col("docfreq") <= max_doc_freq)
             .select("sh")
         )
-        sh = sh.join(keep, "sh")
-    # The shingle index feeds three consumers (sizes + both join sides);
-    # materialize it once instead of re-tokenizing the corpus per consumer.
-    sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+        sh = sh_full.join(keep, "sh")
     a = sh.select(F.col("sid").alias("id_a"), "sh")
     b = sh.select(F.col("sid").alias("id_b"), "sh")
     inter = (

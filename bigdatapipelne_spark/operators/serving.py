@@ -74,8 +74,12 @@ def expire_serving(
     """W7 storage reclaim: physically delete TTL-expired rows from the
     keyed parquet serving store (DynamoDB's background TTL sweeper —
     ``live_view`` is the lazy read-side filter; this is the actual
-    expiry). Staging-dir + swap so readers never see a half-written store.
-    Returns the number of rows expired."""
+    expiry). The rewrite lands in a staging dir first, so a crash never
+    leaves a half-written store; the rmtree+rename swap itself is NOT
+    atomic for concurrent readers (a read between the two calls sees a
+    missing path) — run it in the store's maintenance window, or use a
+    table format with real snapshot isolation (Delta/Iceberg MERGE/
+    DELETE) where concurrent readers matter. Returns rows expired."""
     import os
     import shutil
     import time

@@ -100,10 +100,15 @@ def near_duplicate_pairs(
         )
     # Norms once per row (not per pair); repartition the streamed side — a
     # single-file corpus arrives as one partition and would serialize the
-    # whole O(N^2) scoring onto one core.
+    # whole O(N^2) scoring onto one core. The partition count is PINNED:
+    # an un-numbered repartition is AQE-coalescable, and since the shuffled
+    # bytes are tiny (N rows) while the downstream work is O(N^2), AQE's
+    # size-based estimate would collapse it back to one partition — a
+    # measured 12x slowdown at sf0.1.
+    par = df.sparkSession.sparkContext.defaultParallelism
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), l2_norm(vec_col).alias("na")
-    ).repartition(F.col("id_a"))
+    ).repartition(par, F.col("id_a"))
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), l2_norm(vec_col).alias("nb")
     )

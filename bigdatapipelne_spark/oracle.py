@@ -99,6 +99,9 @@ def check_query(
 
 
 def check_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[ParityResult]:
+    from bigdatapipelne_spark.queries import finalize_registry
+
+    finalize_registry()
     con = duckdb_connection(sf_dir)
     out = []
     for name in names or QUERIES:

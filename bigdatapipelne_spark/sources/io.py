@@ -173,8 +173,11 @@ def compact_parquet(
     for permanently right-sized scans (HDFS/S3 sweet spot ~128 MB —
     aligned with ``spark.sql.files.maxPartitionBytes``).
 
-    The rewrite goes through a staging directory and a directory swap, so
-    readers never observe a half-written state.
+    The rewrite goes through a staging directory, so a crash never leaves
+    a half-written directory; the rmtree+rename swap is NOT atomic for
+    concurrent readers (a read between the two calls sees a missing
+    path) — compact in a maintenance window, or use Delta/Iceberg
+    (OPTIMIZE) for snapshot-isolated compaction under live readers.
     """
     import math
     import os

@@ -144,8 +144,11 @@ def run_available_now(
 
 
 def _swap_parquet(df: DataFrame, path: str) -> None:
-    """Rewrite ``path`` with ``df`` safely when ``df`` reads from ``path``:
-    materialize to a staging dir first, then swap directories."""
+    """Rewrite ``path`` with ``df`` when ``df`` reads from ``path``:
+    materialize to a staging dir first, then swap directories. Crash-safe
+    (never a half-written ``path``) but not reader-atomic — between rmtree
+    and rename the path is briefly absent; a concurrently-serving store
+    needs a snapshot-isolated table format (Delta/Iceberg) instead."""
     staging = path + "__staging"
     df.write.mode("overwrite").parquet(staging)
     if os.path.exists(path):

@@ -10,7 +10,14 @@ emitting per-session payloads, custom merge rules, caps on session length).
 Semantics match the batch ``F.session_window(ts, gap)`` aggregate exactly
 (same start = first event, end = last event + gap, merge-on-overlap), so the
 drained stream is testable against the oracle-checked batch query
-(queries_analytics.session_window_agg):
+(queries_analytics.session_window_agg). The equivalence REQUIRES
+``watermark <= gap`` (enforced in ``sessionize_stream``): every arriving
+event then satisfies ``ev >= max_seen - watermark >= last - gap >=
+start - gap``, so a late event can extend the open session backward
+(min/max merge) but can never be a whole gap older than it — the case
+that would need a second, earlier open session per key (state here is
+deliberately one fixed-width row; lift it to an interval list if a
+larger-than-gap watermark is ever required):
 
 - Within a micro-batch, a gap > ``gap`` between consecutive events closes a
   session immediately (emitted in that batch).
@@ -151,17 +158,31 @@ def sessionize_stream(
 
     ``events`` must be a streaming DataFrame with ``time_col``, ``user_id``
     and ``value`` columns. Sessions close on an in-batch gap or an
-    event-time timeout (watermark-driven)."""
-    amount, unit = gap.split()
-    unit_us = {
-        "second": _US,
-        "seconds": _US,
-        "minute": 60 * _US,
-        "minutes": 60 * _US,
-        "hour": 3600 * _US,
-        "hours": 3600 * _US,
-    }[unit]
-    gap_us = int(amount) * unit_us
+    event-time timeout (watermark-driven). ``watermark`` must be <= ``gap``
+    — the precondition for exact batch-session_window equivalence (module
+    docstring); violating it raises rather than silently merging events
+    that batch semantics would put in a separate session."""
+
+    def _to_us(spec: str) -> int:
+        amount, unit = spec.split()
+        unit_us = {
+            "second": _US,
+            "seconds": _US,
+            "minute": 60 * _US,
+            "minutes": 60 * _US,
+            "hour": 3600 * _US,
+            "hours": 3600 * _US,
+        }[unit]
+        return int(amount) * unit_us
+
+    gap_us = _to_us(gap)
+    if _to_us(watermark) > gap_us:
+        raise ValueError(
+            f"sessionize_stream requires watermark ({watermark}) <= gap "
+            f"({gap}): a larger watermark admits events a whole gap older "
+            "than the open session, which needs multi-interval state to "
+            "match batch session_window semantics"
+        )
     return (
         events.withWatermark(time_col, watermark)
         .groupBy("user_id")

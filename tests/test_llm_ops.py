@@ -191,6 +191,53 @@ def test_ngram_jaccard_exact_and_capped(spark):
     assert capped.count() == 0
 
 
+def test_ngram_jaccard_cap_is_one_sided(spark):
+    # The doc-frequency cap prunes the CANDIDATE index only; sizes (the
+    # Jaccard denominator) come from the uncapped index. So capped scores
+    # can only shrink (missed pairs), never inflate (false positives) —
+    # pinned here against an independent Python-set computation.
+    from bigdatapipelne_spark.operators.dedup import ngram_jaccard_duplicates
+
+    texts = {
+        1: "alpha beta gamma delta one two three four five six",
+        2: "alpha beta gamma delta one two three four seven eight",
+        3: "alpha beta gamma delta totally different content here now",
+    }
+    df = _docs(spark, list(texts.items()))
+
+    def trigrams(s):
+        w = s.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    tg = {k: trigrams(v) for k, v in texts.items()}
+    docfreq = {}
+    for s in set().union(*tg.values()):
+        docfreq[s] = sum(1 for g in tg.values() if s in g)
+    capped_tg = {k: {s for s in g if docfreq[s] <= 2} for k, g in tg.items()}
+
+    def expected(a, b):
+        inter = len(capped_tg[a] & capped_tg[b])
+        # denominator from UNCAPPED sizes
+        return inter / (len(tg[a]) + len(tg[b]) - inter)
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_duplicates(
+            df, "doc_id", "text", threshold=0.01, max_doc_freq=2
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_duplicates(
+            df, "doc_id", "text", threshold=0.01
+        ).collect()
+    }
+    assert got  # the cap did not empty the candidate set
+    for pair, j in got.items():
+        assert j == pytest.approx(expected(*pair))
+        assert j <= exact[pair] + 1e-12  # one-sided: never inflates
+
+
 def test_winnowing_detects_contained_copy(spark):
     from bigdatapipelne_spark.operators.dedup import winnow_fingerprints, winnowed_pairs
 

@@ -64,8 +64,11 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
     # q22's scalar average rides in as a 1-row broadcast: the nested-loop
     # join is degenerate (build side = one row) and correct at any scale.
     # tfidf_top_terms broadcasts the 1-row corpus count N the same way.
+    # embedding_ann_recall embeds the exact baseline (its whole point is
+    # measuring the SRP path against it) plus a 1-row x 1-row scalar join.
     allowed_nested_loop = {
         "embedding_near_dup",
+        "embedding_ann_recall",
         "embedding_topk",
         "q22_idle_customers",
         "tfidf_top_terms",

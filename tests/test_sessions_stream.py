@@ -43,6 +43,18 @@ def _write_file(spark, rows, src_dir: str, seq: int = 0) -> None:
         os.utime(f, (stamp, stamp))
 
 
+def test_session_stream_watermark_gap_guard(spark, tmp_path):
+    # watermark > gap breaks the batch-equivalence precondition (an event
+    # can arrive a whole gap older than the open session): must refuse.
+    import pytest
+
+    src = str(tmp_path / "src")
+    _write_file(spark, [_ev(1, 0, 1, 1.0)], src, 0)
+    sdf = read_events_stream(spark, src, fmt="parquet")
+    with pytest.raises(ValueError, match="watermark"):
+        sessionize_stream(sdf, gap="10 seconds", watermark="1 minutes")
+
+
 def test_session_stream_crafted(spark, tmp_path):
     src, out, cp = (str(tmp_path / d) for d in ("src", "out", "cp"))
     # user 1: session A (0s,10s) then — after a >60s gap — session B

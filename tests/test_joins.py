@@ -65,6 +65,57 @@ def test_as_of_join_single_shuffle_no_range_join(spark, trades_quotes):
     assert "Window" in plan
 
 
+def test_interval_join_matches_range_join(spark):
+    import datetime
+
+    from bigdatapipelne_spark.operators.joins import interval_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # Crafted boundary cases: exactly -lower, exactly +upper, just outside
+    # both, a band-crossing match, and a key mismatch.
+    left = spark.createDataFrame(
+        [(1, 100, at(60)), (1, 101, at(185)), (2, 200, at(60))],
+        "k long, lid long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 900, at(30)),   # == lt - lower for lid=100 -> match
+            (1, 901, at(75)),   # == lt + upper for lid=100 -> match
+            (1, 902, at(29)),   # 1 min outside lower -> no
+            (1, 903, at(76)),   # 1 min outside upper -> no
+            (1, 904, at(170)),  # matches lid=101 across a band boundary
+            (3, 905, at(60)),   # wrong key
+        ],
+        "k long, rid long, rt timestamp",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, on=["k"], left_time="lt", right_time="rt",
+            lower="30 minutes", upper="15 minutes",
+        ).collect()
+    }
+    expected = {
+        (l.lid, r.rid)
+        for l in left.collect()
+        for r in right.collect()
+        if l.k == r.k
+        and r.rt >= l.lt - datetime.timedelta(minutes=30)
+        and r.rt <= l.lt + datetime.timedelta(minutes=15)
+    }
+    assert got == expected
+    # No duplicate pairs from the 3-band replication.
+    rows = interval_join(
+        left, right, on=["k"], left_time="lt", right_time="rt",
+        lower="30 minutes", upper="15 minutes",
+    ).count()
+    assert rows == len(expected)
+
+
 def test_salted_join_matches_plain_join(spark):
     left = spark.range(0, 1000).select(
         (F.col("id") % 7).alias("k"), F.col("id").alias("lv")

@@ -64,6 +64,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pruning/pushdown properties as parquet
+    (vectorized reader, predicate pushdown, partition discovery); offered
+    for lake interop where upstream systems write ORC."""
+    return spark.read.orc(path)
+
+
+def write_orc_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with snappy + Hive partitioning (parquet sink twin)."""
+    writer = df.write.mode(mode).option("compression", "snappy")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: StructType | None = None, header: bool = True
 ) -> DataFrame:
@@ -196,6 +216,66 @@ def compact_parquet(
     shutil.rmtree(path)
     os.rename(staging, path)
     return n_files
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-order (Morton) key over ``cols`` as a Column: each column is
+    quantile-bucketed into 2^bits cells (boundaries from a driver-side
+    ``approxQuantile`` — KBs, never data), and the cell indices'
+
+    bits are interleaved. Rows close in z-value are close in EVERY
+    dimension, so range-partitioning + sorting by it gives parquet files
+    whose min/max stats are narrow on all ``cols`` at once — multi-column
+    row-group skipping where a single-key sort only serves one column.
+    The whole expression is plain arithmetic/bitwise ops (codegen)."""
+    from pyspark.sql import functions as F
+
+    cells = 1 << bits
+    cell_cols = []
+    for c in cols:
+        # interior boundaries; approximate is fine — layout quality, not
+        # correctness, depends on them.
+        qs = df.stat.approxQuantile(c, [i / cells for i in range(1, cells)], 0.01)
+        cell = F.lit(0)
+        prev = None
+        for b in qs:
+            if prev is None or b != prev:  # collapse duplicate boundaries
+                cell = cell + F.when(F.col(c) >= F.lit(b), 1).otherwise(0)
+            prev = b
+        cell_cols.append(cell.cast("long"))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for ci, cell in enumerate(cell_cols):
+            z = z + F.shiftleft(
+                F.shiftright(cell, bit).bitwiseAND(F.lit(1)),
+                bit * len(cols) + ci,
+            )
+    return z
+
+
+def write_parquet_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> None:
+    """Parquet laid out in z-order over ``cols``: range-partition + sort by
+    the interleaved-bits key, so point/range predicates on ANY of the
+    z-ordered columns skip most files/row-groups via min/max statistics —
+    the multi-column generalization of ``write_parquet_sorted`` (which is
+    the better choice when only one access path matters). One shuffle
+    (range partitioning on the z key), local sort, no second shuffle."""
+    from pyspark.sql import functions as F
+
+    zed = df.withColumn("_z", zorder_value(df, cols, bits))
+    out = (
+        zed.repartitionByRange(n_files, F.col("_z"))
+        if n_files
+        else zed.repartitionByRange(F.col("_z"))
+    ).sortWithinPartitions("_z").drop("_z")
+    out.write.mode(mode).option("compression", "snappy").parquet(path)
 
 
 def write_parquet_sorted(

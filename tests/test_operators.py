@@ -143,6 +143,87 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert q.count() == 2
 
 
+def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
+    """ORC sink/scan twin of the parquet path: values survive the
+    round-trip exactly and a partition-column filter prunes at the scan."""
+    from bigdatapipelne_spark.sources.io import read_orc, write_orc_partitioned
+
+    df = spark.createDataFrame(
+        [("SP", 1.5, "a"), ("RJ", 2.25, "b"), ("SP", 4.75, "c")],
+        "estado string, valor double, tag string",
+    )
+    path = str(tmp_path / "orc_byestado")
+    write_orc_partitioned(df, path, ["estado"])
+
+    back = read_orc(spark, path)
+    assert {tuple(r) for r in back.select("estado", "valor", "tag").collect()} == {
+        ("SP", 1.5, "a"), ("RJ", 2.25, "b"), ("SP", 4.75, "c")
+    }
+    q = back.filter("estado = 'SP'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(estado" in plan
+    assert q.count() == 2
+
+
+def test_zorder_layout_narrows_minmax_on_both_columns(spark, tmp_path):
+    """Z-order layout: every output file's (min, max) envelope must be
+    narrow on BOTH z-ordered columns, so row-group skipping works for
+    predicates on either — the property a single-key sort cannot give the
+    second column."""
+    import pyarrow.parquet as pq
+
+    from bigdatapipelne_spark.sources.io import (
+        write_parquet_sorted,
+        write_parquet_zorder,
+    )
+    from bigdatapipelne_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    lo_u, hi_u = 0, 99  # user_id range in testdata
+    lo_v, hi_v = [r[0] for r in ev.agg({"value": "min"}).collect()], None
+
+    def coverage(path, col, lo, hi):
+        import glob as _glob
+
+        widths = []
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            stats = [md.row_group(i).column(idx).statistics
+                     for i in range(md.num_row_groups)]
+            mn = min(s.min for s in stats)
+            mx = max(s.max for s in stats)
+            widths.append((mx - mn) / (hi - lo))
+        return sum(widths) / len(widths), len(widths)
+
+    zpath = str(tmp_path / "zorder")
+    write_parquet_zorder(ev, zpath, ["user_id", "value"], bits=4, n_files=16)
+    spath = str(tmp_path / "sorted")
+    write_parquet_sorted(ev, spath, ["user_id"], n_files=16)
+
+    vmin = ev.agg({"value": "min"}).collect()[0][0]
+    vmax = ev.agg({"value": "max"}).collect()[0][0]
+
+    zu, nz = coverage(zpath, "user_id", lo_u, hi_u)
+    zv, _ = coverage(zpath, "value", vmin, vmax)
+    su, _ = coverage(spath, "user_id", lo_u, hi_u)
+    sv, _ = coverage(spath, "value", vmin, vmax)
+
+    assert nz > 1
+    # single-key sort: first column tight, second column wide (~0.70 here —
+    # each file still spans most of the value range)
+    assert su < 0.1 and sv > 0.5
+    # z-order: BOTH columns substantially narrowed (measured ~0.05 / ~0.22),
+    # and the second column strictly better than the sorted layout's
+    assert zu < 0.3 and zv < 0.4, (zu, zv)
+    assert zv < sv
+
+    # and the layout is a pure permutation: same multiset of rows
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    assert back.subtract(ev).count() == 0 and ev.subtract(back).count() == 0
+
+
 def test_stage_schema_evolution_merge(spark, tmp_path):
     """Schema evolution: a new column appearing in later loads is readable
     across old+new files with mergeSchema (old rows null)."""

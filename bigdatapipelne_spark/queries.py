@@ -652,10 +652,13 @@ _GATE_PRIORITY = [
     "embedding_near_dup",
     "embedding_ann_recall",
     "near_dup_clusters",
-    # Streaming / pipeline anchors
-    "fraud_stream_drain",
-    "serving_upsert",
-    "card_spec_mart",
+    # Streaming / pipeline anchors + round-3 additions. card_medallion_disk
+    # supersedes card_spec_mart in-gate (same oracle, adds the disk
+    # round-trip); card_spec_mart, serving_upsert and fraud_stream_drain
+    # rotate out with their round-2 green rows standing (code unchanged).
+    "purchase_view_outer_drain",
+    "purchase_view_interval_join",
+    "stream_dedup_drain",
     "card_medallion_disk",
 ]
 

@@ -336,6 +336,127 @@ def fraud_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "purchase_view_outer_drain",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id AS view_id, ts AS vts
+          FROM events WHERE event_type = 'view'),
+    wm AS (SELECT least(
+             (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase'),
+             (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'view')
+           ) - 10000 AS wm_ms)
+    SELECT p.user_id, p.purchase_id, p.pts, v.view_id, v.vts
+    FROM p JOIN v ON p.user_id = v.user_id
+       AND v.vts <= p.pts AND v.vts >= p.pts - INTERVAL '6 hours'
+    UNION ALL
+    SELECT p.user_id, p.purchase_id, p.pts, NULL, NULL
+    FROM p, wm
+    WHERE epoch_ms(p.pts) < wm_ms
+      AND NOT EXISTS (SELECT 1 FROM v
+                      WHERE v.user_id = p.user_id
+                        AND v.vts <= p.pts AND v.vts >= p.pts - INTERVAL '6 hours')
+    """,
+)
+def purchase_view_outer_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join, drained: matched purchase/view pairs
+    emit like the inner join; an unmatched purchase emits a null-extended
+    row only once the global watermark (min across both streams, 10 s
+    delay) strictly passes its event time — match impossible from then on,
+    since arriving views satisfy vts >= watermark and the join needs
+    vts <= pts. Purchases at or inside the watermark stay unemitted (the
+    append-tail rule; boundary behavior probed: pts == wm holds back).
+    The oracle reproduces the inner part AND the eviction rule, so the
+    outer emission semantics are hash-checked."""
+    import os
+
+    from bigdatapipelne_spark.streaming.fraud import (
+        EVENTS_NANOS_SCHEMA,
+        read_events_stream,
+        run_available_now,
+    )
+    from bigdatapipelne_spark.streaming.joins import correlate_streams
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def side(event_type: str, cols: dict[str, str]) -> DataFrame:
+        s = read_events_stream(
+            spark, f"{sf_dir}/events.parquet", schema=EVENTS_NANOS_SCHEMA, fmt="parquet"
+        ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        s = s.filter(F.col("event_type") == event_type)
+        return s.select("user_id", *[F.col(c).alias(a) for c, a in cols.items()])
+
+    purchases = side("purchase", {"event_id": "purchase_id", "ts": "pts"})
+    views = side("view", {"event_id": "view_id", "ts": "vts"})
+    joined = correlate_streams(
+        purchases, views, key="user_id", left_time="pts", right_time="vts",
+        lookback="6 hours", how="left_outer",
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ss_outer_")
+    out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
+    run_available_now(joined, out, cp)
+    return spark.read.parquet(out).select(
+        "user_id", "purchase_id", "pts", "view_id", "vts"
+    )
+
+
+@query(
+    "stream_dedup_drain",
+    oracle="""
+    SELECT event_id, ts, user_id, value FROM events
+    """,
+)
+def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup drained end-to-end: the events table is landed
+    TWICE into a staging dir (an at-least-once source replaying every
+    record), streamed with dropDuplicatesWithinWatermark on event_id
+    (streaming/sessions.py: deduped_stream), and the drained sink must
+    equal the original table exactly — first-writer-wins collapses each
+    replayed pair, certified against the plain SELECT of events."""
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bigdatapipelne_spark.streaming.fraud import (
+        read_events_stream,
+        run_available_now,
+    )
+    from bigdatapipelne_spark.streaming.sessions import deduped_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    src_dir = os.path.join(tmp, "src")
+    # Stage the doubled source: load_table already surfaces ts as a real
+    # timestamp, so the staged parquet is plain TIMESTAMP(MICROS).
+    once = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    once.unionAll(once).write.mode("overwrite").parquet(src_dir)
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    sdf = read_events_stream(spark, src_dir, schema=schema, fmt="parquet")
+    deduped = deduped_stream(sdf, keys=["event_id"], watermark="10 seconds")
+
+    out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
+    run_available_now(deduped, out, cp)
+    return spark.read.parquet(out).select("event_id", "ts", "user_id", "value")
+
+
+@query(
     "purchase_view_stream_join",
     oracle="""
     SELECT p.user_id, p.purchase_id, p.pts, p.purchase_value,

@@ -34,13 +34,25 @@ def correlate_streams(
     right_time: str,
     lookback: str = "6 hours",
     watermark: str = "10 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``left`` rows to ``right`` rows with the same ``key``
-    whose ``right_time`` falls in ``[left_time - lookback, left_time]``.
+    """Join ``left`` rows to ``right`` rows with the same ``key`` whose
+    ``right_time`` falls in ``[left_time - lookback, left_time]``.
+
+    ``how='inner'`` emits as soon as both sides arrive (drained == batch
+    join exactly). ``how='left_outer'`` additionally emits null-extended
+    rows for unmatched left rows — but only once the watermark passes the
+    point where a match is impossible (arriving right rows always have
+    ``right_time`` >= watermark, so a left row is closed when watermark >
+    ``left_time``): left rows still inside the watermark at drain end stay
+    unemitted, exactly like append-mode aggregation tails
+    (tests/test_streaming pins this emission semantics).
 
     Column names must be disjoint apart from ``key`` (rename before
     calling). Works identically on batch frames (withWatermark is a no-op)
     — the lambda-parity story again."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError("correlate_streams supports how='inner' or 'left_outer'")
     lw = left.withWatermark(left_time, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_time, watermark) if right.isStreaming else right
     cond = (
@@ -48,7 +60,7 @@ def correlate_streams(
         & (rw[right_time] <= lw[left_time])
         & (rw[right_time] >= lw[left_time] - F.expr(f"INTERVAL {lookback}"))
     )
-    return lw.join(rw, cond, "inner").drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])
 
 
 def enrich_stream(

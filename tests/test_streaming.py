@@ -158,6 +158,68 @@ def test_stream_to_serving_upsert(spark, tmp_path):
     assert rows[0].n_events == 2
 
 
+def test_stream_stream_left_outer_emission(spark, tmp_path):
+    """Left-outer stream-stream join: matched rows emit like the inner
+    join; an unmatched left row emits null-extended only once the final
+    watermark passes its event time (match impossible); a left row still
+    inside the watermark stays unemitted — the append-tail rule."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bigdatapipelne_spark.streaming.joins import correlate_streams
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    p_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("purchase_id", LongType()),
+            StructField("pts", TimestampType()),
+        ]
+    )
+    v_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("view_id", LongType()),
+            StructField("vts", TimestampType()),
+        ]
+    )
+    # p1 matched; p2 unmatched + closed by the final watermark (990 s);
+    # p3 unmatched but at the watermark frontier -> held back.
+    purchases = [(1, 100, at(100)), (2, 200, at(200)), (3, 300, at(1000))]
+    # v1 matches p1; v99 only advances the right-side watermark.
+    views = [(1, 900, at(50)), (99, 999, at(1000))]
+
+    p_src, v_src = str(tmp_path / "p"), str(tmp_path / "v")
+    spark.createDataFrame(purchases, p_schema).coalesce(1).write.parquet(p_src)
+    spark.createDataFrame(views, v_schema).coalesce(1).write.parquet(v_src)
+
+    joined = correlate_streams(
+        spark.readStream.schema(p_schema).parquet(p_src),
+        spark.readStream.schema(v_schema).parquet(v_src),
+        key="user_id",
+        left_time="pts",
+        right_time="vts",
+        lookback="1 minutes",
+        watermark="10 seconds",
+        how="left_outer",
+    )
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    run_available_now(joined, out, cp)
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(100, 900), (200, None)}
+
+
 def test_enrich_stream_matches_batch_and_keeps_unmatched(spark, tmp_path):
     """Stream-static enrichment: drained stream⋈dim == batch join, and the
     left join keeps events whose key misses the dim (facts never drop)."""

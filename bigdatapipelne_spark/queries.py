@@ -608,15 +608,16 @@ _GATE_PRIORITY = [
     "fraud_windows",
     "fraud_literal",
     "serving_ttl",
-    # TPC-H-style analytics surface
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q4_priority_count",
-    "q5_nation_revenue",
+    # TPC-H-style analytics surface. q1/q3/q4/q5 rotate out this round
+    # (round-2 green rows standing, code unchanged) so the round-3
+    # additions q2/q11/q12/q20/q21 — completing the TPC-H 22 — get gated.
+    "q2_min_cost_supplier",
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
+    "q11_value_concentration",
+    "q12_priority_late_lines",
     "q13_custdist",
     "q14_promo_revenue",
     "q15_top_supplier",
@@ -624,6 +625,8 @@ _GATE_PRIORITY = [
     "q17_small_qty_revenue",
     "q18_large_orders",
     "q19_discounted_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_orders",
     "q22_idle_customers",
     "top_customers",
     "distinct_parts_per_brand",
@@ -648,10 +651,11 @@ _GATE_PRIORITY = [
     "price_histogram",
     "value_percentiles_approx",
     # LLM-pipeline + multimodal entries needing fresh driver evidence
+    # (near_dup_clusters rotates out; its round-2 row stands and the
+    # pointer-doubling twin shares its oracle in the local sweep)
     "multimodal_features",
     "embedding_near_dup",
     "embedding_ann_recall",
-    "near_dup_clusters",
     # Streaming / pipeline anchors + round-3 additions. card_medallion_disk
     # supersedes card_spec_mart in-gate (same oracle, adds the disk
     # round-trip); card_spec_mart, serving_upsert and fraud_stream_drain

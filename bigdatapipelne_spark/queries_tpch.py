@@ -544,3 +544,244 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(_disc_price() - cost).cast("double").alias("profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# The remaining classic TPC-H shapes, adapted to the driver schema (no
+# partsupp / l_commitdate / l_shipmode columns): each keeps the defining
+# plan shape — correlated scalar-min (Q2), group-vs-global threshold (Q11),
+# CASE-sum over a join (Q12), nested semi-join with a correlated share
+# threshold (Q20), double-correlated EXISTS / NOT EXISTS (Q21).
+# ---------------------------------------------------------------------------
+
+_AVG_COST = (
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+    " / CAST(COUNT(*) AS DOUBLE)"
+)
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, {_AVG_COST} AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type, c.cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 15
+      AND c.cost = (SELECT MIN(c2.cost) FROM cost c2
+                    WHERE c2.l_partkey = p.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table, so 'supply cost' is the
+    supplier's exact average sale price of the part from lineitem): for
+    every size-15 part, the supplier(s) offering it at the minimum cost —
+    the correlated scalar-min subquery, decorrelated into a per-part min
+    join (ties keep every minimal supplier, as the classic query does).
+    The per-(part, supplier) aggregate reduces the fact table before any
+    dimension join, so the correlated min costs one grouped pass + a
+    broadcastable per-part min table."""
+    li = t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("cost")
+    )
+    min_cost = cost.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        cost.join(min_cost, "l_partkey")
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "cost")
+    )
+
+
+@query(
+    "q11_value_concentration",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_partkey, {OSUM_RAW(_DISC_PRICE)} AS part_value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value FROM v
+    WHERE part_value > 0.001 * (SELECT SUM(part_value) FROM v)
+    """,
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: part value = revenue shipped by one
+    nation's suppliers instead of partsupp stock value): parts whose value
+    exceeds a fraction of the nation's total — the group-vs-global-scalar
+    threshold. The global total is a 1-row broadcast over the SAME grouped
+    frame (computed once, reused via localCheckpoint), so the fact table
+    is scanned and aggregated exactly once."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    v = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                            .select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_disc_price()).cast("double").alias("part_value"))
+        .localCheckpoint(eager=True)
+    )
+    total = v.agg(F.sum("part_value").alias("_t"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.001 * F.col("_t"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "q12_priority_late_lines",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     AND l_shipdate > o_orderdate + INTERVAL '60 days'
+                    THEN 1 ELSE 0 END) AS high_late_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     AND l_shipdate > o_orderdate + INTERVAL '60 days'
+                    THEN 1 ELSE 0 END) AS low_late_count,
+           COUNT(*) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no shipmode/commitdate — lines are 'late'
+    when shipped >60 days after the order date, classified by order
+    priority, grouped by linestatus): the CASE-sum-over-join scan. One
+    fact-fact join on orderkey, then a 2-row aggregate; the CASE terms are
+    pure codegen arithmetic."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high & late, 1).otherwise(0)).alias("high_late_count"),
+            F.sum(F.when((~high) & late, 1).otherwise(0)).alias("low_late_count"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS q
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT l_partkey, SUM(q) AS tq FROM pq GROUP BY l_partkey)
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT pq.l_suppkey FROM pq
+      JOIN tot ON pq.l_partkey = tot.l_partkey
+      JOIN part p ON p.p_partkey = pq.l_partkey
+      WHERE p.p_name LIKE 'red%' AND pq.q > 0.15 * tot.tq
+    )
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp availqty — a supplier has
+    'excess share' of a part when it shipped >15% of the part's total
+    quantity): suppliers holding a dominant share of any 'red...' part —
+    the nested semi-join with a correlated share threshold. The share test
+    runs on the twice-grouped fact table (partial aggregates both times);
+    the supplier table is only semi-joined, never exploded."""
+    li = t(spark, sf_dir, "lineitem")
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("q")
+    ).localCheckpoint(eager=True)
+    tot = pq.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    red = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    dominant = (
+        pq.join(tot, "l_partkey")
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("q") > 0.15 * F.col("tq"))
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@query(
+    "q21_waiting_orders",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    smax AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
+      FROM li GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM smax m
+    JOIN supplier s ON s.s_suppkey = m.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM smax o2
+                  WHERE o2.l_orderkey = m.l_orderkey
+                    AND o2.l_suppkey <> m.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM smax o3
+                      WHERE o3.l_orderkey = m.l_orderkey
+                        AND o3.l_suppkey <> m.l_suppkey
+                        AND o3.s_max > m.s_max)
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no receiptdate/commitdate — a supplier
+    'kept the order waiting' when it shipped the final line of a
+    multi-supplier completed order): per supplier, the number of 'F'
+    orders where another supplier participated (EXISTS) but none shipped
+    strictly later (NOT EXISTS). Decorrelated: per (order, supplier) max
+    ship date, then per order the global max and supplier count — a
+    supplier qualifies iff n_suppliers >= 2 and its max equals the
+    order's max (strict-inequality NOT EXISTS keeps ties, matching the
+    classic query). Two grouped passes + one broadcastable order-stats
+    join instead of two correlated subqueries per row."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem").join(
+        o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    smax = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("s_max"))
+    ordstats = smax.groupBy("l_orderkey").agg(
+        F.max("s_max").alias("m1"), F.countDistinct("l_suppkey").alias("n_sup")
+    )
+    s = t(spark, sf_dir, "supplier")
+    waiting = (
+        smax.join(ordstats, "l_orderkey")
+        .filter((F.col("n_sup") >= 2) & (F.col("s_max") == F.col("m1")))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -66,10 +66,12 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
     # tfidf_top_terms broadcasts the 1-row corpus count N the same way.
     # embedding_ann_recall embeds the exact baseline (its whole point is
     # measuring the SRP path against it) plus a 1-row x 1-row scalar join.
+    # q11's global total is a 1-row broadcast like q22's scalar average.
     allowed_nested_loop = {
         "embedding_near_dup",
         "embedding_ann_recall",
         "embedding_topk",
+        "q11_value_concentration",
         "q22_idle_customers",
         "tfidf_top_terms",
     }

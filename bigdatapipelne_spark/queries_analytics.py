@@ -299,6 +299,30 @@ def purchase_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "purchase_id", "pts", "view_id", "vts")
 
 
+@query(
+    "user_value_median_udaf",
+    oracle="""
+    SELECT user_id,
+           median(value) AS median_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_value_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-aggregate extension surface: per-user exact median through a
+    Pandas GROUPED_AGG UDAF (functions/udafs.py: median_agg), hash-checked
+    against DuckDB's median — certifying the Arrow aggregate path
+    end-to-end the way doc_chunks_udtf certifies UDTFs. The builtin twin
+    (value_percentiles uses Spark's own percentile) remains the hot-path
+    choice. (Spark disallows mixing GROUPED_AGG pandas UDFs with builtin
+    aggregates in one agg — a real constraint of this surface, worth
+    knowing before reaching for it.)"""
+    from bigdatapipelne_spark.functions.udafs import median_agg
+
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(median_agg("value").alias("median_value"))
+
+
 @query("approx_users_per_type")  # HLL sketch: engine-specific -> rows-only
 def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the constant-memory distinct

@@ -97,6 +97,67 @@ def as_of_join(
     return out
 
 
+def as_of_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+) -> DataFrame:
+    """The two-sided Arrow extension surface: ``as_of_join`` re-expressed
+    as ``cogroup(...).applyInPandas`` with a per-key ``pd.merge_asof``.
+
+    Row-identical to ``as_of_join`` (left semantics; certified by sharing
+    its DuckDB oracle in queries_analytics), and deliberately NOT the hot
+    path — the union+window form stays pure Catalyst. This exists to prove
+    the escape hatch a user needs when per-key logic outgrows the
+    expression language (bespoke alignment rules, model scoring over
+    aligned pairs): both sides shuffle once on the key, each key's two
+    groups meet in one Arrow batch.
+
+    Caveats of the surface, worth knowing: right-side payload columns
+    must tolerate nulls (unmatched lefts), and a single key's groups must
+    fit in one worker's memory — same boundedness rule as any
+    applyInPandas."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    right_payload = [c for c in right.columns if c not in on]
+    overlap = set(right_payload) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right-side columns {sorted(overlap)} collide with left columns; "
+            "rename before joining"
+        )
+    out_schema = StructType(
+        list(left.schema.fields) + [right.schema[c] for c in right_payload]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(l_pdf) == 0:
+            return pd.DataFrame(columns=out_cols)
+        l_sorted = l_pdf.sort_values(left_time, kind="mergesort")
+        if len(r_pdf) == 0:
+            out = l_sorted.copy()
+            for c in right_payload:
+                out[c] = None
+            return out[out_cols]
+        r_sorted = r_pdf.drop(columns=list(on)).sort_values(
+            right_time, kind="mergesort"
+        )
+        return pd.merge_asof(
+            l_sorted, r_sorted, left_on=left_time, right_on=right_time,
+            direction="backward",
+        )[out_cols]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right.groupBy(*on))
+        .applyInPandas(merge, out_schema)
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

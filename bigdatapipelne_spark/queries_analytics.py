@@ -14,17 +14,17 @@ from bigdatapipelne_spark.queries import OSUM, dsum, query
 from bigdatapipelne_spark.sources.testdata import load_table as t
 
 
-@query(
-    "asof_purchase_view",
-    oracle="""
+_ASOF_ORACLE = """
     SELECT p.user_id, p.event_id, p.ts, p.value, v.view_ts, v.view_value
     FROM (SELECT user_id, event_id, ts, value FROM events
           WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT user_id, ts AS view_ts, value AS view_value
                     FROM events WHERE event_type = 'view') v
       ON p.user_id = v.user_id AND p.ts >= v.view_ts
-    """,
-)
+    """
+
+
+@query("asof_purchase_view", oracle=_ASOF_ORACLE)
 def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (point-in-time) join: each purchase gets the user's most recent
     prior (or simultaneous) view. Implemented as union+window — one shuffle
@@ -40,6 +40,31 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("view_value"),
     )
     return as_of_join(
+        purchases, views, on=["user_id"], left_time="ts", right_time="view_ts"
+    )
+
+
+@query("asof_purchase_view_cogroup", oracle=_ASOF_ORACLE)
+def asof_purchase_view_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of join through the cogrouped-Arrow extension surface
+    (operators/joins.py: as_of_join_cogroup — cogroup + applyInPandas +
+    per-key merge_asof), hash-checked against the same ASOF LEFT JOIN
+    oracle as asof_purchase_view: certifies the two-sided escape hatch the
+    way doc_chunks_udtf certifies UDTFs and user_value_median_udaf
+    certifies grouped aggregates. The union+window form stays the hot
+    path."""
+    from bigdatapipelne_spark.operators.joins import as_of_join_cogroup
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return as_of_join_cogroup(
         purchases, views, on=["user_id"], left_time="ts", right_time="view_ts"
     )
 

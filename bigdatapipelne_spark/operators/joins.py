@@ -103,22 +103,30 @@ def as_of_join_cogroup(
     on: list[str],
     left_time: str,
     right_time: str,
+    num_buckets: int = 64,
 ) -> DataFrame:
     """The two-sided Arrow extension surface: ``as_of_join`` re-expressed
-    as ``cogroup(...).applyInPandas`` with a per-key ``pd.merge_asof``.
+    as ``cogroup(...).applyInPandas`` with ``pd.merge_asof``.
 
     Row-identical to ``as_of_join`` (left semantics; certified by sharing
     its DuckDB oracle in queries_analytics), and deliberately NOT the hot
     path — the union+window form stays pure Catalyst. This exists to prove
     the escape hatch a user needs when per-key logic outgrows the
     expression language (bespoke alignment rules, model scoring over
-    aligned pairs): both sides shuffle once on the key, each key's two
-    groups meet in one Arrow batch.
+    aligned pairs).
 
-    Caveats of the surface, worth knowing: right-side payload columns
-    must tolerate nulls (unmatched lefts), and a single key's groups must
-    fit in one worker's memory — same boundedness rule as any
-    applyInPandas."""
+    Scale design: cogrouping directly on ``on`` would invoke Python once
+    per key — at 10^8 keys that is 10^8 Arrow batches and the per-call
+    overhead, not the merge, dominates. Instead both sides cogroup on a
+    hash BUCKET of the key (``num_buckets`` fixed, so Python-call count is
+    bounded and independent of key cardinality) and ``merge_asof(by=on)``
+    does the per-key alignment vectorized in C inside each bucket. One
+    shuffle per side either way; ties on (key, time) resolve identically
+    because the bucket-wide stable sort preserves each key's relative row
+    order. A bucket's two sides must fit in one worker's memory — size
+    ``num_buckets`` to rows/num_buckets ≈ a few million rows. Time columns
+    must be non-null (nulls would poison merge_asof's sort contract);
+    right-side payload columns get NULL for unmatched lefts."""
     import pandas as pd
     from pyspark.sql.types import StructType
 
@@ -134,7 +142,23 @@ def as_of_join_cogroup(
     )
     out_cols = [f.name for f in out_schema.fields]
 
+    # When both sides share lineage (e.g. two filters of one scan), the
+    # right side's key attributes carry the SAME exprIds as the left's and
+    # Spark's self-cogroup dedup prunes them from the right Arrow frame.
+    # Re-aliasing the right keys mints fresh attributes so they survive;
+    # the pandas side renames them back before merge_asof(by=...).
+    key_alias = {c: f"_k{i}" for i, c in enumerate(on)}
+    r_keyed = right.select(
+        *[F.col(c).alias(key_alias[c]) for c in on],
+        *[F.col(c) for c in right_payload],
+    )
+    l_bucket = F.pmod(F.xxhash64(*on), F.lit(num_buckets))
+    r_bucket = F.pmod(
+        F.xxhash64(*[key_alias[c] for c in on]), F.lit(num_buckets)
+    )
+
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_pdf = l_pdf.drop(columns=["_b"])
         if len(l_pdf) == 0:
             return pd.DataFrame(columns=out_cols)
         l_sorted = l_pdf.sort_values(left_time, kind="mergesort")
@@ -143,17 +167,20 @@ def as_of_join_cogroup(
             for c in right_payload:
                 out[c] = None
             return out[out_cols]
-        r_sorted = r_pdf.drop(columns=list(on)).sort_values(
-            right_time, kind="mergesort"
+        r_sorted = (
+            r_pdf.drop(columns=["_b"])
+            .rename(columns={v: k for k, v in key_alias.items()})
+            .sort_values(right_time, kind="mergesort")
         )
         return pd.merge_asof(
             l_sorted, r_sorted, left_on=left_time, right_on=right_time,
-            direction="backward",
+            by=list(on), direction="backward",
         )[out_cols]
 
     return (
-        left.groupBy(*on)
-        .cogroup(right.groupBy(*on))
+        left.withColumn("_b", l_bucket)
+        .groupBy("_b")
+        .cogroup(r_keyed.withColumn("_b", r_bucket).groupBy("_b"))
         .applyInPandas(merge, out_schema)
     )
 

@@ -689,3 +689,83 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_pcts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_SCD2_ORACLE = """
+    WITH changes AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value) AS INTEGER) % 3 AS plan
+      FROM events WHERE event_type = 'signup'
+    ), flagged AS (
+      SELECT *,
+             LAG(plan) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_plan,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM changes
+    ), versions AS (
+      SELECT user_id, ts, event_id, plan FROM flagged
+      WHERE prev_ts IS NULL OR plan IS DISTINCT FROM prev_plan
+    )
+    SELECT user_id, plan,
+           ts AS effective_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS effective_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL) AS is_current,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS BIGINT) AS version,
+           event_id
+    FROM versions
+    """
+
+
+def _signup_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup events as an SCD2 change feed: the tracked attribute is a
+    3-valued plan derived from the event value, so consecutive no-op
+    restatements (same plan twice in a row) genuinely occur and the
+    collapse path is exercised, not just compiled."""
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.floor("value").cast("int") % 3).alias("plan"),
+    )
+
+
+@query("user_scd2", oracle=_SCD2_ORACLE)
+def user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history from a change feed (operators/scd.py:
+    scd2_snapshot): collapse no-op restatements, then effective_from/
+    effective_to/is_current/version via LEAD + ROW_NUMBER — two window
+    passes over ONE shuffle on the dimension key. The warehouse history
+    surface the reference's full-rebuild spec mart lacks."""
+    from bigdatapipelne_spark.operators.scd import scd2_snapshot
+
+    return scd2_snapshot(
+        _signup_changes(spark, sf_dir),
+        keys=["user_id"], ts_col="ts", attrs=["plan"], tiebreak=["event_id"],
+    )
+
+
+@query("user_scd2_incremental", oracle=_SCD2_ORACLE)
+def user_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME history built INCREMENTALLY (operators/scd.py: scd2_merge):
+    snapshot the feed up to Jan 16, then fold the rest in as a CDC batch —
+    untouched keys pass through anti-join-only, affected keys replay
+    version-starts + batch. Hash-equality with the full-rebuild oracle
+    certifies merge == snapshot for append-style batches."""
+    from bigdatapipelne_spark.operators.scd import scd2_merge, scd2_snapshot
+
+    changes = _signup_changes(spark, sf_dir)
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    dim = scd2_snapshot(
+        changes.filter(F.col("ts") < cutoff),
+        keys=["user_id"], ts_col="ts", attrs=["plan"], tiebreak=["event_id"],
+    )
+    return scd2_merge(
+        dim,
+        changes.filter(F.col("ts") >= cutoff),
+        keys=["user_id"], ts_col="ts", attrs=["plan"], tiebreak=["event_id"],
+    )

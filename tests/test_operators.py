@@ -271,3 +271,86 @@ def test_approx_percentile_rank_error_bounded(spark):
             target = q * n
             # rank of the returned value must be within 1% of target rank
             assert lo - 0.01 * n <= target <= hi + 0.01 * n, (flag, q, got)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 (operators/scd.py)
+# ---------------------------------------------------------------------------
+
+def _scd2_rows(out):
+    return sorted(
+        (r.user_id, r.version, r.plan,
+         r.effective_from, r.effective_to, r.is_current)
+        for r in out.collect()
+    )
+
+
+def test_scd2_snapshot_collapses_noops_and_versions(spark):
+    from bigdatapipelne_spark.operators.scd import scd2_snapshot
+
+    feed = spark.createDataFrame(
+        [  # user 1: plan 1 -> restated 1 (no-op) -> 2 -> 1 again
+            (1, 10, 100, 1), (1, 20, 101, 1), (1, 30, 102, 2), (1, 40, 103, 1),
+            # user 2: single record
+            (2, 15, 200, 9),
+        ],
+        "user_id int, ts int, event_id int, plan int",
+    )
+    out = scd2_snapshot(
+        feed, keys=["user_id"], ts_col="ts", attrs=["plan"],
+        tiebreak=["event_id"],
+    )
+    assert _scd2_rows(out) == [
+        (1, 1, 1, 10, 30, False),   # no-op at ts=20 absorbed
+        (1, 2, 2, 30, 40, False),
+        (1, 3, 1, 40, None, True),  # change BACK to 1 is a new version
+        (2, 1, 9, 15, None, True),
+    ]
+
+
+def test_scd2_snapshot_null_attr_transitions(spark):
+    from bigdatapipelne_spark.operators.scd import scd2_snapshot
+
+    feed = spark.createDataFrame(
+        [(1, 10, 100, None), (1, 20, 101, None), (1, 30, 102, 5)],
+        "user_id int, ts int, event_id int, plan int",
+    )
+    out = scd2_snapshot(
+        feed, keys=["user_id"], ts_col="ts", attrs=["plan"],
+        tiebreak=["event_id"],
+    )
+    # null==null is a no-op (null-safe compare); null->5 is a change
+    assert _scd2_rows(out) == [
+        (1, 1, None, 10, 30, False),
+        (1, 2, 5, 30, None, True),
+    ]
+
+
+def test_scd2_merge_untouched_keys_pass_through_and_splice(spark):
+    from bigdatapipelne_spark.operators.scd import scd2_merge, scd2_snapshot
+
+    base = spark.createDataFrame(
+        [(1, 10, 100, 1), (1, 30, 102, 2), (2, 15, 200, 9)],
+        "user_id int, ts int, event_id int, plan int",
+    )
+    dim = scd2_snapshot(
+        base, keys=["user_id"], ts_col="ts", attrs=["plan"],
+        tiebreak=["event_id"],
+    )
+    # late correction splices BETWEEN user 1's existing versions
+    batch = spark.createDataFrame(
+        [(1, 20, 300, 3)], "user_id int, ts int, event_id int, plan int"
+    )
+    merged = scd2_merge(
+        dim, batch, keys=["user_id"], ts_col="ts", attrs=["plan"],
+        tiebreak=["event_id"],
+    )
+    full = scd2_snapshot(
+        base.unionByName(batch), keys=["user_id"], ts_col="ts",
+        attrs=["plan"], tiebreak=["event_id"],
+    )
+    assert _scd2_rows(merged) == _scd2_rows(full)
+    # untouched key 2 still has its single current row
+    assert [r for r in _scd2_rows(merged) if r[0] == 2] == [
+        (2, 1, 9, 15, None, True)
+    ]

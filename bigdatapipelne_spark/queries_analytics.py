@@ -769,3 +769,94 @@ def user_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         changes.filter(F.col("ts") >= cutoff),
         keys=["user_id"], ts_col="ts", attrs=["plan"], tiebreak=["event_id"],
     )
+
+
+@query(
+    "lineitem_quality",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
+    checks AS (
+      SELECT 'not_null:l_orderkey' AS expectation, 'not_null' AS kind,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS violations,
+             (SELECT total FROM n) AS total
+      FROM lineitem
+      UNION ALL
+      SELECT 'accepted_values:l_returnflag', 'accepted_values',
+             CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('A','N','R')
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             (SELECT total FROM n)
+      FROM lineitem
+      UNION ALL
+      SELECT 'in_range:l_quantity', 'in_range',
+             CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                            AND l_quantity NOT BETWEEN 1 AND 50
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             (SELECT total FROM n)
+      FROM lineitem
+      UNION ALL
+      SELECT 'in_range:l_discount', 'in_range',
+             CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                            AND l_discount NOT BETWEEN 0 AND 0.05
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             (SELECT total FROM n)
+      FROM lineitem
+      UNION ALL
+      SELECT 'matches_regex:l_linestatus', 'matches_regex',
+             CAST(SUM(CASE WHEN l_linestatus IS NOT NULL
+                            AND NOT regexp_matches(l_linestatus, '^[OF]$')
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             (SELECT total FROM n)
+      FROM lineitem
+      UNION ALL
+      SELECT 'satisfies:l_extendedprice', 'satisfies',
+             CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             (SELECT total FROM n)
+      FROM lineitem
+      UNION ALL
+      SELECT 'unique:l_orderkey,l_linenumber', 'unique',
+             CAST(COALESCE((SELECT SUM(c) FROM (
+               SELECT COUNT(*) AS c FROM lineitem
+               GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)), 0)
+               AS BIGINT),
+             (SELECT total FROM n)
+      UNION ALL
+      SELECT 'referential:l_orderkey', 'referential',
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+                     SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+             (SELECT total FROM n)
+    )
+    SELECT expectation, kind, violations, total,
+           (violations = 0) AS passed
+    FROM checks
+    """,
+)
+def lineitem_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality contract over lineitem (operators/quality.py):
+    six row-level rules fused into ONE scan/aggregate plus a uniqueness
+    groupBy and a referential anti-join against orders — the dbt/Deequ-
+    style publish gate the reference's parse-time bad-record capture
+    (S5) stops short of. in_range:l_discount is deliberately tighter
+    than the data so the violations path is certified with real
+    nonzero counts, not just zeros."""
+    from bigdatapipelne_spark.operators import quality as Q
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    return Q.check_expectations(
+        li,
+        [
+            Q.not_null("l_orderkey"),
+            Q.accepted_values("l_returnflag", ["A", "N", "R"]),
+            Q.in_range("l_quantity", 1, 50),
+            Q.in_range("l_discount", 0, 0.05),
+            Q.matches_regex("l_linestatus", "^[OF]$"),
+            Q.satisfies("l_extendedprice", "l_extendedprice > 0"),
+            Q.unique(["l_orderkey", "l_linenumber"]),
+            Q.referential("l_orderkey", orders, "o_orderkey"),
+        ],
+    )

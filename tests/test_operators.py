@@ -354,3 +354,57 @@ def test_scd2_merge_untouched_keys_pass_through_and_splice(spark):
     assert [r for r in _scd2_rows(merged) if r[0] == 2] == [
         (2, 1, 9, 15, None, True)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+def test_check_expectations_all_kinds(spark):
+    from bigdatapipelne_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0, "ok@x.io", 100),
+            (1, "A", -5.0, "bad", 100),    # dup key, range viol, regex viol
+            (None, "Z", 20.0, None, 999),  # null id, bad value, orphan ref
+        ],
+        "id int, flag string, qty double, email string, ref int",
+    )
+    ref = spark.createDataFrame([(100,)], "k int")
+    out = {
+        r.expectation: (r.violations, r.total, r.passed)
+        for r in Q.check_expectations(
+            df,
+            [
+                Q.not_null("id"),
+                Q.accepted_values("flag", ["A", "B"]),
+                Q.in_range("qty", 0, 100),
+                Q.matches_regex("email", r"^[^@]+@[^@]+$"),
+                Q.satisfies("qty", "qty > 0"),
+                Q.unique(["id"]),
+                Q.referential("ref", ref, "k"),
+            ],
+        ).collect()
+    }
+    assert out["not_null:id"] == (1, 3, False)
+    assert out["accepted_values:flag"] == (1, 3, False)
+    assert out["in_range:qty"] == (1, 3, False)
+    # NULL email is not a regex violation (pair with not_null to require it)
+    assert out["matches_regex:email"] == (1, 3, False)
+    assert out["satisfies:qty"] == (1, 3, False)
+    # both rows of the duplicated key count as violations
+    assert out["unique:id"] == (2, 3, False)
+    assert out["referential:ref"] == (1, 3, False)
+
+
+def test_check_expectations_clean_table_passes(spark):
+    from bigdatapipelne_spark.operators import quality as Q
+
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "id int, flag string")
+    rows = Q.check_expectations(
+        df, [Q.not_null("id"), Q.unique(["id"]),
+             Q.accepted_values("flag", ["A", "B"])]
+    ).collect()
+    assert all(r.passed and r.violations == 0 for r in rows)
+    assert all(r.total == 2 for r in rows)

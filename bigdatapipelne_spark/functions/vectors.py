@@ -52,3 +52,47 @@ def cosine_from_norms(
     na = F.col(norm_a) if isinstance(norm_a, str) else norm_a
     nb = F.col(norm_b) if isinstance(norm_b, str) else norm_b
     return dot(a, b) / (na * nb)
+
+
+def l2_normalize(a: Column | str, norm: Column | str | None = None) -> Column:
+    """Unit-normalize an embedding (zero vectors stay zero).
+
+    Pass ``norm`` as a PRECOMPUTED column in pairwise/hot paths: Spark does
+    no CSE across higher-order-function lambda boundaries, so an inlined
+    norm is re-evaluated per element — O(dim^2) per row instead of O(dim)
+    (same trap as tokenize-inside-shingle; see .claude verify notes)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    n = (F.col(norm) if isinstance(norm, str) else norm) if norm is not None else l2_norm(ca)
+    return F.when(
+        n == F.lit(0.0), F.transform(ca, lambda x: F.lit(0.0))
+    ).otherwise(F.transform(ca, lambda x: x.cast("double") / n))
+
+
+def int8_scale(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization scale: max|x| / 127, so the
+    widest component maps to +-127 exactly. 0.0 for the zero vector."""
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.array_max(F.transform(ca, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+
+
+def quantize_int8(a: Column | str, scale: Column | str) -> Column:
+    """array<float> -> array<tinyint> with the given per-vector scale
+    (use ``int8_scale`` materialized as a real column first — see
+    ``l2_normalize`` on why it must not be inlined). 4x smaller than
+    float32 at rest; |q| <= 127 by construction of the scale. Zero-scale
+    (zero vector) quantizes to zeros."""
+    ca = F.col(a) if isinstance(a, str) else a
+    s = F.col(scale) if isinstance(scale, str) else scale
+    return F.transform(
+        ca,
+        lambda x: F.when(s == F.lit(0.0), F.lit(0.0))
+        .otherwise(F.round(x.cast("double") / s))
+        .cast("tinyint"),
+    )
+
+
+def dequantize_int8(q: Column | str, scale: Column | str) -> Column:
+    """array<tinyint> -> array<double> reconstruction (q * scale)."""
+    cq = F.col(q) if isinstance(q, str) else q
+    s = F.col(scale) if isinstance(scale, str) else scale
+    return F.transform(cq, lambda x: x.cast("double") * s)

@@ -1022,3 +1022,63 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keep = F.when(F.col("lang") == "en", bucket < 2).otherwise(bucket < 5)
     return docs.select("doc_id", "lang").filter(keep)
+
+
+@query(
+    "embedding_quantized",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings
+    ), dq AS (
+      SELECT vec_id, scale, embedding,
+             list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT)
+                    AS DOUBLE) * scale) AS d
+      FROM scaled
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0 THEN 1.0 ELSE
+             {_SQL_DOT.format(a='embedding', b='d')} /
+             ({_SQL_NORM.format(a='embedding')} * {_SQL_NORM.format(a='d')})
+           END AS cos_recon,
+           list_max(list_transform(generate_series(1, len(embedding)),
+             i -> abs(CAST(embedding[i] AS DOUBLE) - d[i]))) AS max_abs_err
+    FROM dq
+    """,
+)
+def embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (functions/vectors.py:
+    int8_scale/quantize_int8/dequantize_int8) — the 4x storage compression
+    an embedding store runs before writing 100 TB of float32 vectors —
+    certified by reconstruction: per-vector scale, cosine(original,
+    dequantized) and max absolute element error all hash-match the oracle.
+    Scale and the quantized array are materialized as real columns BEFORE
+    the element lambdas reference them (no CSE across lambda boundaries —
+    inlining int8_scale would re-run the array_max per element)."""
+    from bigdatapipelne_spark.functions.vectors import (
+        cosine_similarity,
+        dequantize_int8,
+        int8_scale,
+        quantize_int8,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.withColumn("scale", int8_scale("embedding"))
+    dq = scaled.withColumn(
+        "d", dequantize_int8(quantize_int8("embedding", "scale"), "scale")
+    )
+    return dq.select(
+        "vec_id",
+        "scale",
+        F.when(F.col("scale") == 0, F.lit(1.0))
+        .otherwise(cosine_similarity("embedding", "d"))
+        .alias("cos_recon"),
+        F.array_max(
+            F.zip_with(
+                "embedding", "d", lambda a, b: F.abs(a.cast("double") - b)
+            )
+        ).alias("max_abs_err"),
+    )

@@ -413,3 +413,47 @@ def test_redact_pii_known(spark):
     assert got[0] == "mail me at <EMAIL> thanks"
     assert got[1] == "call <PHONE> or <PHONE> today"
     assert got[2] == "no pii here"
+
+
+def test_int8_quantization_roundtrip_bounds(spark):
+    from bigdatapipelne_spark.functions.vectors import (
+        dequantize_int8,
+        int8_scale,
+        l2_normalize,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [100.0, 0.001, -100.0, 50.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ],
+        "id int, v array<float>",
+    ).withColumn("scale", int8_scale("v"))
+    out = df.select(
+        "id", "scale",
+        quantize_int8("v", "scale").alias("q"),
+        dequantize_int8(quantize_int8("v", "scale"), "scale").alias("d"),
+        l2_normalize("v").alias("u"),
+        "v",
+    ).collect()
+    by_id = {r.id: r for r in out}
+
+    for r in out:
+        assert all(-127 <= x <= 127 for x in r.q)
+        # reconstruction error bounded by half a quantization step
+        for orig, rec in zip(r.v, r.d):
+            assert abs(orig - rec) <= r.scale / 2 + 1e-12
+    # widest component maps to +-127 exactly
+    assert max(abs(x) for x in by_id[2].q) == 127
+    # zero vector: scale 0, quantizes to zeros, normalizes to zeros
+    assert by_id[3].scale == 0.0
+    assert list(by_id[3].q) == [0, 0, 0, 0]
+    assert list(by_id[3].u) == [0.0, 0.0, 0.0, 0.0]
+    # unit norm for non-zero vectors
+    import math
+    for i in (1, 2):
+        assert math.isclose(
+            math.fsum(x * x for x in by_id[i].u), 1.0, rel_tol=1e-9
+        )

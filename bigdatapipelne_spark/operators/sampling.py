@@ -1,0 +1,61 @@
+"""Deterministic sampling operators.
+
+Complements the rate-based samplers in queries_llm (dataset_splits /
+stratified_sample, md5-bucket fractions): ``sample_k_per_group`` draws an
+exact COUNT per group — "5 examples per (lang, source)" — as a pure
+function of the row key, so the same rows are drawn on any cluster size,
+any partitioning, any run.
+
+The draw order is md5(seed:id): a keyed hash is a uniform random permutation
+for sampling purposes, and ranking by it is exactly reservoir sampling's
+distribution without reservoir state. Changing ``seed`` redraws.
+
+Scale design: naive ``row_number() OVER (PARTITION BY group)`` sorts every
+group in full — a single hot group (half a 100 TB table in one skewed key)
+serializes onto one task. Instead top-k-by-hash decomposes: stage 1 ranks
+within (group, salt) — ``salts`` parallel sorts of 1/salts of the group
+each — and keeps k per salted subgroup; stage 2 re-ranks the survivors
+(<= salts*k rows per group, trivial) for the true per-group top k. Both
+stages pick by the same total order (md5, then id), so the two-stage
+result is row-identical to the naive form — asserted in
+tests/test_operators.py — while the heavy sort parallelizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    seed: str = "sample",
+    salts: int = 16,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, drawn deterministically by
+    md5(seed:id) with ``id_col`` as the tiebreaker; adds ``sample_rank``
+    (1-based draw order within the group). ``salts=1`` degenerates to the
+    naive single-sort form."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    draw = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    salted = df.withColumn("_draw", draw).withColumn(
+        "_salt", F.pmod(F.xxhash64(id_col), F.lit(salts))
+    )
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_draw", id_col)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("_draw", id_col)
+    return (
+        survivors.withColumn(
+            "sample_rank", F.row_number().over(w2).cast("bigint")
+        )
+        .filter(F.col("sample_rank") <= k)
+        .drop("_draw")
+    )

@@ -1082,3 +1082,34 @@ def embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("max_abs_err"),
     )
+
+
+@query(
+    "docs_sample_per_group",
+    oracle="""
+    SELECT doc_id, lang, source, sample_rank
+    FROM (
+      SELECT doc_id, lang, source,
+             CAST(row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('corpus-v1:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS sample_rank
+      FROM documents
+    )
+    WHERE sample_rank <= 5
+    """,
+)
+def docs_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count deterministic sampling: 5 docs per (lang, source) drawn
+    by keyed hash (operators/sampling.py: sample_k_per_group) — the
+    \"fixed examples per stratum\" draw an eval-set builder needs, stable
+    across cluster size and reruns. Runs the salted two-stage top-k (the
+    skew-safe plan); the oracle is the naive single-sort form, so the
+    hash match also certifies stage-decomposition equivalence on real
+    data."""
+    from bigdatapipelne_spark.operators.sampling import sample_k_per_group
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sample_k_per_group(
+        docs, ["lang", "source"], "doc_id", k=5, seed="corpus-v1"
+    )

@@ -408,3 +408,32 @@ def test_check_expectations_clean_table_passes(spark):
     ).collect()
     assert all(r.passed and r.violations == 0 for r in rows)
     assert all(r.total == 2 for r in rows)
+
+
+def test_sample_k_per_group_two_stage_equals_naive(spark):
+    from bigdatapipelne_spark.operators.sampling import sample_k_per_group
+
+    df = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    salted = sample_k_per_group(df, ["lang"], "doc_id", k=7, salts=16)
+    naive = sample_k_per_group(df, ["lang"], "doc_id", k=7, salts=1)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    # exact count per group (unless the group is smaller than k)
+    sizes = {r.lang: r.n for r in df.groupBy("lang").count()
+             .withColumnRenamed("count", "n").collect()}
+    got = {r.lang: r.n for r in salted.groupBy("lang").count()
+           .withColumnRenamed("count", "n").collect()}
+    for lang, n in got.items():
+        assert n == min(7, sizes[lang])
+    # deterministic across runs, redraws under a different seed
+    again = sample_k_per_group(df, ["lang"], "doc_id", k=7, salts=16)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    other = sample_k_per_group(df, ["lang"], "doc_id", k=7, seed="B")
+    assert sorted(map(tuple, other.collect())) != sorted(
+        map(tuple, salted.collect())
+    )

@@ -860,3 +860,56 @@ def lineitem_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q.referential("l_orderkey", orders, "o_orderkey"),
         ],
     )
+
+
+@query("user_scd2_stream_drain", oracle=_SCD2_ORACLE)
+def user_scd2_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME dimension maintained by STREAMING CDC (streaming/scd.py:
+    scd2_stream_to_dim): the signup feed is staged as four ascending
+    time-range files, replayed as ordered micro-batches
+    (maxFilesPerTrigger=1), and folded into the dim store one scd2_merge
+    per batch — snapshot, then three incremental merges. The drained
+    store hash-matches the full-rebuild oracle shared with user_scd2:
+    continuous maintenance loses nothing vs batch rebuild."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.streaming.scd import (
+        read_dim,
+        scd2_stream_to_dim,
+        stage_ordered_files,
+    )
+
+    changes = _signup_changes(spark, sf_dir)
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24"]
+    lo = [None, *cuts]
+    hi = [*cuts, None]
+    frames = []
+    for a, b in zip(lo, hi):
+        part = changes
+        if a is not None:
+            part = part.filter(F.col("ts") >= F.lit(a).cast("timestamp"))
+        if b is not None:
+            part = part.filter(F.col("ts") < F.lit(b).cast("timestamp"))
+        frames.append(part)
+
+    tmp = tempfile.mkdtemp(prefix="scd2_stream_")
+    staging = os.path.join(tmp, "staged")
+    stage_ordered_files(frames, staging)
+
+    src = (
+        spark.readStream.schema(frames[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    dim_path = os.path.join(tmp, "dim")
+    scd2_stream_to_dim(
+        src,
+        dim_path,
+        os.path.join(tmp, "cp"),
+        keys=["user_id"], ts_col="ts", attrs=["plan"], tiebreak=["event_id"],
+    )
+    return read_dim(spark, dim_path).select(
+        "user_id", "plan", "effective_from", "effective_to",
+        "is_current", "version", "event_id",
+    )

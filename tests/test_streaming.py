@@ -252,3 +252,41 @@ def test_enrich_stream_matches_batch_and_keeps_unmatched(spark, tmp_path):
     assert got == exp
     assert len(got) == 200  # left join: every event survives
     assert any(r[-1] is None for r in got)  # odd ids enriched with null
+
+
+def test_scd2_stream_drain_equals_snapshot(spark, tmp_path):
+    from bigdatapipelne_spark.operators.scd import scd2_snapshot
+    from bigdatapipelne_spark.streaming.scd import (
+        read_dim,
+        scd2_stream_to_dim,
+        stage_ordered_files,
+    )
+
+    feed = spark.createDataFrame(
+        [  # batch 1: v1 + a restatement; batch 2: change, change-back
+            (1, 10, 100, 1), (1, 20, 101, 1), (2, 15, 200, 9),
+            (1, 30, 102, 2), (1, 40, 103, 1), (3, 35, 300, 5),
+        ],
+        "user_id int, ts int, event_id int, plan int",
+    )
+    b1 = feed.filter("ts < 25")
+    b2 = feed.filter("ts >= 25")
+    staging = str(tmp_path / "staged")
+    stage_ordered_files([b1, b2], staging)
+
+    src = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    dim_path = str(tmp_path / "dim")
+    scd2_stream_to_dim(
+        src, dim_path, str(tmp_path / "cp"),
+        keys=["user_id"], ts_col="ts", attrs=["plan"], tiebreak=["event_id"],
+    )
+    got = sorted(map(tuple, read_dim(spark, dim_path).collect()))
+    want = sorted(map(tuple, scd2_snapshot(
+        feed, keys=["user_id"], ts_col="ts", attrs=["plan"],
+        tiebreak=["event_id"],
+    ).collect()))
+    assert got == want

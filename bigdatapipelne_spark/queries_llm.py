@@ -1113,3 +1113,61 @@ def docs_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_k_per_group(
         docs, ["lang", "source"], "doc_id", k=5, seed="corpus-v1"
     )
+
+
+_BM25_TERMS = ["join", "hash", "stream", "filter", "batch"]
+
+
+def _bm25_oracle(terms: list[str], k: int) -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    term_scores = "\n           + ".join(
+        f"(ln(1.0 + (N - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * (1.2 + 1.0))"
+        f" / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / N))))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM toks
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS N,
+             SUM(CAST(dl AS BIGINT)) AS sumdl,
+             {df_cols}
+      FROM tf
+    ), scored AS (
+      SELECT doc_id,
+           {term_scores} AS s
+      FROM tf, stats
+    )
+    SELECT doc_id, round(s, 6) AS score,
+           CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+    FROM scored WHERE s > 0
+    ORDER BY s DESC, doc_id LIMIT {k}
+    """
+
+
+@query("bm25_search", oracle=_bm25_oracle(_BM25_TERMS, 25))
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus (operators/search.py:
+    bm25_topk) — the relevance scorer a curation pipeline uses for
+    topical filtering and eval retrieval. For a fixed term list the whole
+    thing is codegen expression work + one global-stats broadcast; the
+    corpus is never shuffled, top-k is a TakeOrdered. Score addition is
+    an explicit left-to-right chain over the term list so a distributed
+    run hash-matches the single-threaded oracle; emitted scores are
+    rounded to 6 dp to absorb the cross-engine ln() ulp."""
+    from bigdatapipelne_spark.operators.search import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=25)

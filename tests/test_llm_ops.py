@@ -457,3 +457,29 @@ def test_int8_quantization_roundtrip_bounds(spark):
         assert math.isclose(
             math.fsum(x * x for x in by_id[i].u), 1.0, rel_tol=1e-9
         )
+
+
+def test_bm25_topk_ranking_sanity(spark):
+    from bigdatapipelne_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join join join"),      # high tf of rare term
+            (2, "join the party"),                    # one rare-term hit
+            (3, "the the the the the"),               # only the common term
+            (4, "nothing relevant here"),             # no hits
+        ],
+        "doc_id int, text string",
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["join", "the"], k=3).collect()
+    ids = [r.doc_id for r in out]
+    ranks = [r.rank for r in out]
+    assert 4 not in ids                     # zero-score docs excluded
+    assert ranks == [1, 2, 3]
+    # doc 2 matches BOTH terms; with k1=1.2 doc 3's tf=5 of one term still
+    # outscores doc 1's tf=3 (saturation is gradual, both terms share idf)
+    assert ids == [2, 3, 1]
+    assert out[0].score > out[1].score > out[2].score
+    # deterministic across runs
+    again = bm25_topk(docs, "doc_id", "text", ["join", "the"], k=3).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]

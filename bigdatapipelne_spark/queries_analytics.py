@@ -913,3 +913,80 @@ def user_scd2_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "plan", "effective_from", "effective_to",
         "is_current", "version", "event_id",
     )
+
+
+@query(
+    "customer_merge",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_custkey AS c_custkey,
+             {OSUM('o_totalprice')} AS total_spent,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ), srcall AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT c_custkey + 1000000, total_spent, n_orders
+      FROM src WHERE c_custkey % 7 = 0
+    )
+    SELECT
+      COALESCE(c.c_custkey, s.c_custkey) AS c_custkey,
+      CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name
+           ELSE 'new#' || CAST(s.c_custkey AS VARCHAR) END AS c_name,
+      CASE WHEN c.c_custkey IS NOT NULL THEN c.c_nationkey
+           ELSE 0 END AS c_nationkey,
+      CASE WHEN c.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+             THEN c.c_acctbal + s.total_spent
+           WHEN c.c_custkey IS NOT NULL THEN c.c_acctbal
+           ELSE s.total_spent END AS c_acctbal,
+      CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment
+           ELSE 'NEW' END AS c_mktsegment
+    FROM customer c FULL OUTER JOIN srcall s ON c.c_custkey = s.c_custkey
+    WHERE NOT (c.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+               AND s.n_orders >= 20)
+    """,
+)
+def customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE INTO over plain DataFrames (operators/merge.py): fold a
+    per-customer order summary into the customer dimension in ONE
+    full-outer join — matched rows get a both-sides update (acctbal +=
+    exact-decimal total spent), heavy customers (>=20 orders) are
+    deleted, source-only keys (a synthetic new-customer slice) insert
+    typed rows, and customers with no orders pass through. All four
+    branches are live on real data and hash-checked at once."""
+    from bigdatapipelne_spark.operators.merge import merge_into
+
+    cust = t(spark, sf_dir, "customer")
+    src = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            dsum("o_totalprice", "total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    srcall = src.unionByName(
+        src.filter(F.col("c_custkey") % 7 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            "total_spent",
+            "n_orders",
+        )
+    )
+    return merge_into(
+        cust,
+        srcall,
+        on=["c_custkey"],
+        matched_update={
+            "c_acctbal": F.col("t.c_acctbal") + F.col("s.total_spent")
+        },
+        matched_delete=F.col("s.n_orders") >= 20,
+        not_matched_insert={
+            "c_custkey": F.col("s.c_custkey"),
+            "c_name": F.concat(
+                F.lit("new#"), F.col("s.c_custkey").cast("string")
+            ),
+            "c_nationkey": F.lit(0),
+            "c_acctbal": F.col("s.total_spent"),
+            "c_mktsegment": F.lit("NEW"),
+        },
+    )

@@ -437,3 +437,69 @@ def test_sample_k_per_group_two_stage_equals_naive(spark):
     assert sorted(map(tuple, other.collect())) != sorted(
         map(tuple, salted.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (operators/merge.py)
+# ---------------------------------------------------------------------------
+
+def test_merge_into_branches(spark):
+    from bigdatapipelne_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id int, name string, bal double",
+    )
+    source = spark.createDataFrame(
+        [(1, 5.0, False), (2, 0.0, True), (9, 99.0, False)],
+        "id int, delta double, kill boolean",
+    )
+    out = merge_into(
+        target, source, on=["id"],
+        matched_update={"bal": F.col("t.bal") + F.col("s.delta")},
+        matched_delete=F.col("s.kill"),
+        not_matched_insert={
+            "id": F.col("s.id"), "name": F.lit("ins"),
+            "bal": F.col("s.delta"),
+        },
+    )
+    rows = {r.id: (r.name, r.bal) for r in out.collect()}
+    assert rows == {
+        1: ("a", 15.0),    # matched update
+        3: ("c", 30.0),    # target-only pass-through
+        9: ("ins", 99.0),  # source-only insert
+    }                      # id 2 deleted
+
+
+def test_merge_into_insert_disabled_and_schema(spark):
+    from bigdatapipelne_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, 10.0)], "id int, bal double")
+    source = spark.createDataFrame([(9, 1.0)], "id int, delta double")
+    out = merge_into(target, source, on=["id"], not_matched_insert=None)
+    assert out.columns == target.columns
+    assert out.schema == target.schema
+    assert [tuple(r) for r in out.collect()] == [(1, 10.0)]
+
+
+def test_merge_into_duplicate_source_keys_raise(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from bigdatapipelne_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, 10.0)], "id int, bal double")
+    dup = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0)], "id int, delta double"
+    )
+    merged = merge_into(
+        target, dup, on=["id"],
+        matched_update={"bal": F.col("s.delta")},
+    )
+    with pytest.raises(Exception, match="duplicate source key"):
+        merged.collect()
+    # opting out accepts the duplicates (last-writer unspecified -> both rows join)
+    relaxed = merge_into(
+        target, dup, on=["id"],
+        matched_update={"bal": F.col("s.delta")}, strict_keys=False,
+    )
+    assert relaxed.count() == 2

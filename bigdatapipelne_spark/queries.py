@@ -626,8 +626,8 @@ _GATE_PRIORITY = [
     "q20_dominant_suppliers",
     "q21_waiting_orders",
     "q22_idle_customers",
-    # top_customers rotates out (round-2 green row stands, code unchanged)
-    "distinct_parts_per_brand",
+    # top_customers and distinct_parts_per_brand rotate out (round-2
+    # green rows stand, code unchanged)
     "user_running_total",
     "user_sessions",
     # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,
@@ -671,6 +671,7 @@ _GATE_PRIORITY = [
     "embedding_quantized",
     "docs_sample_per_group",
     "bm25_search",
+    "customer_merge",
 ]
 
 

@@ -681,13 +681,29 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's values, the sketch merges map-side in O(1/accuracy) space.
     Sketch internals are engine-specific, so rows-only; the exact
     counterpart (value_percentiles) is the oracle-checked twin, and
-    tests/test_operators.py bounds this sketch's rank error against it."""
+    tests/test_operators.py bounds this sketch's rank error against it.
+
+    Emitted as SCALAR p50/p90/p99 columns: the driver's rows-only
+    canonicalizer sorts a pandas frame over all columns, and an
+    array<double> column hard-errors it (unhashable list — the exact
+    failure multimodal_features hit in round 2). The sketch still runs
+    once; the array is projected after the aggregate."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("approx_pcts"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("_pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_pcts")[0].alias("p50"),
+            F.col("_pcts")[1].alias("p90"),
+            F.col("_pcts")[2].alias("p99"),
+            "n",
+        )
     )
 
 

@@ -652,12 +652,14 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_late_lines",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           -- CAST: DuckDB SUM(int) is HUGEINT, which pandas fetches as
+           -- float64 — the driver's canonicalizer would see 5840.0 vs 5840
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                      AND l_shipdate > o_orderdate + INTERVAL '60 days'
-                    THEN 1 ELSE 0 END) AS high_late_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_late_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                      AND l_shipdate > o_orderdate + INTERVAL '60 days'
-                    THEN 1 ELSE 0 END) AS low_late_count,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_late_count,
            COUNT(*) AS n_lines
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY l_linestatus

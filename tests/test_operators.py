@@ -263,7 +263,9 @@ def test_approx_percentile_rank_error_bounded(spark):
             .collect()
         )
         n = len(vals)
-        for got, q in zip(row["approx_pcts"], (0.5, 0.9, 0.99)):
+        for got, q in zip(
+            (row["p50"], row["p90"], row["p99"]), (0.5, 0.9, 0.99)
+        ):
             import bisect
 
             lo = bisect.bisect_left(vals, got)

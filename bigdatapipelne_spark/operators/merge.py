@@ -85,3 +85,24 @@ def merge_into(
             expr = expr.otherwise(ins.cast(f_.dataType))
         out_cols.append(expr.cast(f_.dataType).alias(c))
     return j.select(*out_cols)
+
+
+def golden_record(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+) -> DataFrame:
+    """Survivorship dedup (MDM golden record): keep exactly one row per
+    key, chosen by a deterministic rule cascade — ``order_by`` is the
+    priority order (e.g. completeness DESC, recency DESC, id ASC; make
+    the last rule a unique column so the winner is total-ordered).
+
+    One window shuffle on the keys; same shape as exact_duplicates'
+    canonical pick but with caller-supplied survivorship rules instead of
+    min-id."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

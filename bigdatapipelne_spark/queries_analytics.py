@@ -1006,3 +1006,109 @@ def customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment": F.lit("NEW"),
         },
     )
+
+
+@query(
+    "purchase_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, s1.t1,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+                      THEN e.ts END) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id, s1.t1
+    ), s3 AS (
+      SELECT e.user_id, s2.t1, s2.t2,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+                      THEN e.ts END) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      GROUP BY e.user_id, s2.t1, s2.t2
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t1) AS n_viewed,
+           COUNT(t2) AS n_clicked_after_view,
+           COUNT(t3) AS n_purchased_after_click
+    FROM s3
+    """,
+)
+def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (view -> click-after-view -> purchase-after-
+    click): each step's timestamp is the MIN event time strictly after
+    the previous step's, so out-of-order events can't fake a conversion.
+    Three grouped aggregates all keyed on user_id — Catalyst reuses the
+    exchange, so it's one logical shuffle of the events table plus two
+    joins of tiny per-user frames; counts are null-skipping COUNTs, no
+    window sort of the raw events."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    return s3.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
+    )
+
+
+@query(
+    "golden_events",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY (value IS NULL), ts DESC, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def golden_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship dedup (operators/merge.py: golden_record): one
+    representative event per (user, type) by rule cascade — non-null
+    value beats null, then most recent, then lowest event_id as the
+    total-order tiebreak. The MDM best-record pattern over a raw feed."""
+    from bigdatapipelne_spark.operators.merge import golden_record
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    return golden_record(
+        ev,
+        keys=["user_id", "event_type"],
+        order_by=[
+            F.col("value").isNull().asc(),
+            F.col("ts").desc(),
+            F.col("event_id").asc(),
+        ],
+    )

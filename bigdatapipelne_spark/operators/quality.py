@@ -95,6 +95,10 @@ def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     one aggregate/scan; unique and referential each add one aggregation."""
     row_rules = [r for r in rules if r.kind not in ("unique", "referential")]
     total = F.count(F.lit(1)).cast("bigint")
+    # ONE total-count frame shared by every relational rule: the identical
+    # 1-row aggregate subplans are eligible for AQE stage reuse at runtime
+    # (static planning still shows one count-only scan per use)
+    totals = df.agg(total.alias("total"))
 
     parts: list[DataFrame] = []
     if row_rules:
@@ -132,7 +136,7 @@ def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
                 )
             )
             parts.append(
-                dup.crossJoin(df.agg(total.alias("total"))).select(
+                dup.crossJoin(totals).select(
                     F.lit(r.name).alias("expectation"),
                     F.lit(r.kind).alias("kind"),
                     "violations",
@@ -149,7 +153,7 @@ def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
                 .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
             )
             parts.append(
-                orphans.crossJoin(df.agg(total.alias("total"))).select(
+                orphans.crossJoin(totals).select(
                     F.lit(r.name).alias("expectation"),
                     F.lit(r.kind).alias("kind"),
                     "violations",

@@ -74,6 +74,8 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         "q11_value_concentration",
         "q22_idle_customers",
         "tfidf_top_terms",
+        "bm25_search",       # 1-row corpus-stats broadcast
+        "lineitem_quality",  # 1-row total-count broadcast per relational rule
     }
     streaming_drains = {  # these run a stream; audited in their own tests
         "fraud_stream_drain",
@@ -110,3 +112,33 @@ def test_asof_join_is_window_not_range_join(spark):
     p = plan(spark, "asof_purchase_view")
     assert "Join" not in p  # union + running window, no join operator
     assert "Window" in p
+
+
+def test_bm25_corpus_never_joined_or_shuffled_wide(spark):
+    p = plan(spark, "bm25_search")
+    # corpus-side work is scan + expressions; stats arrive by broadcast
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p      # 1-row stats crossJoin
+    assert "TakeOrderedAndProject" in p        # top-k, never a global sort
+    assert p.count("Scan parquet") <= 4        # formatted doubles nodes: <=2 real scans
+
+
+def test_scd2_two_window_passes_share_one_shuffle(spark):
+    p = plan(spark, "user_scd2")
+    assert p.count("Window") == 4              # 2 real window nodes
+    assert p.count("Exchange") == 2            # but only 1 real exchange
+    assert "CartesianProduct" not in p
+
+
+def test_merge_into_is_one_full_outer_join(spark):
+    p = plan(spark, "customer_merge")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_quality_contract_plan_bounded(spark):
+    p = plan(spark, "lineitem_quality")
+    # 8 rules must NOT mean 8 scans: row-level rules fuse into one
+    # aggregate; unique/referential/total add a bounded handful
+    assert p.count("Scan parquet") <= 12       # <=6 real scans for 8 rules
+    assert "CartesianProduct" not in p

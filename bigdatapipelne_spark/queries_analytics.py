@@ -1112,3 +1112,45 @@ def golden_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").asc(),
         ],
     )
+
+
+@query(
+    "events_time_rollup",
+    oracle=f"""
+    SELECT COALESCE(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                    TIMESTAMP '1900-01-01') AS day,
+           COALESCE(EXTRACT(hour FROM ts), -1) AS hour,
+           COUNT(*) AS n_events,
+           {OSUM('value')} AS sum_value
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS TIMESTAMP),
+                     EXTRACT(hour FROM ts))
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup (the hypertable/continuous-aggregate
+    pattern): hourly, daily and grand-total aggregates of the event
+    stream in ONE pass via ROLLUP(day, hour) — Spark expands the grouping
+    sets map-side, so the fact table is scanned and shuffled once for
+    all three grains instead of once per grain. DuckDB date_trunc
+    returns DATE and EXTRACT returns a wider int — both cast to match
+    Spark's TIMESTAMP/BIGINT. Subtotal-marker NULLs are COALESCEd to
+    sentinels (1900-01-01 / -1) on both sides: the harness sorts rows as
+    tuples and None is unordered against real values."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.hour("ts").cast("bigint").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.coalesce(F.col("day"), F.lit("1900-01-01").cast("timestamp"))
+            .alias("day"),
+            F.coalesce(F.col("hour"), F.lit(-1).cast("bigint")).alias("hour"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,92 @@
+"""Versioned parquet store with an atomic manifest pointer: snapshot
+isolation for concurrent readers without a table format.
+
+The plain serving-store swap (fraud.py ``_swap_parquet``, serving.py
+expiry/compaction) is crash-safe but not reader-atomic: between rmtree
+and rename the path does not exist. This store closes that gap the way
+Delta/Iceberg do, minus the format: every write lands in a NEW version
+directory (``v_00000001``, ``v_00000002``, ...) and readers resolve the
+current version through a one-line ``MANIFEST`` file that is updated with
+``os.replace`` — atomic on POSIX — so a reader sees either the old
+version or the new one, never a missing or half-written store. Old
+versions stay on disk (still readable by in-flight queries) until
+``gc_versions`` reclaims them.
+
+Contract and limits, honestly: SINGLE writer (concurrent writers would
+last-wins the manifest, not merge — real multi-writer needs the table
+format's commit protocol); readers must resolve the manifest at query
+START and not re-resolve mid-query; GC must keep at least as many
+versions as the longest-running reader. That is exactly the
+snapshot/GC discipline Delta calls VACUUM retention.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "MANIFEST"
+
+
+def _versions(root: str) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d for d in os.listdir(root)
+        if d.startswith("v_") and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def current_version(root: str) -> str | None:
+    """The version directory name the manifest points at, or None for an
+    empty store."""
+    path = os.path.join(root, _MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return fh.read().strip() or None
+
+
+def commit_version(df: DataFrame, root: str) -> str:
+    """Write ``df`` as the next version and atomically repoint the
+    manifest. Returns the new version's directory path. Safe against
+    crashes at any point: an unreferenced ``v_N`` dir (crash before the
+    manifest flip) is invisible to readers and reclaimed by the next
+    ``gc_versions``."""
+    os.makedirs(root, exist_ok=True)
+    vs = _versions(root)
+    nxt = (int(vs[-1][2:]) + 1) if vs else 1
+    vdir = os.path.join(root, f"v_{nxt:08d}")
+    df.write.mode("errorifexists").parquet(vdir)
+    tmp = os.path.join(root, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(os.path.basename(vdir))
+    os.replace(tmp, os.path.join(root, _MANIFEST))  # atomic pointer flip
+    return vdir
+
+
+def read_current(spark: SparkSession, root: str) -> DataFrame:
+    """Resolve the manifest ONCE and read that snapshot; later commits do
+    not affect this DataFrame's underlying files until GC passes the
+    snapshot's version."""
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"empty versioned store: {root}")
+    return spark.read.parquet(os.path.join(root, cur))
+
+
+def gc_versions(root: str, keep: int = 2) -> list[str]:
+    """Delete all version dirs except the newest ``keep`` (the current
+    version is always within the newest ``keep``; unreferenced
+    crash-orphans older than that are removed too). Returns the deleted
+    directory names. Size ``keep`` to cover the longest-running reader."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    vs = _versions(root)
+    cur = current_version(root)
+    doomed = [v for v in vs[:-keep] if v != cur]
+    for v in doomed:
+        shutil.rmtree(os.path.join(root, v))
+    return doomed

@@ -505,3 +505,57 @@ def test_merge_into_duplicate_source_keys_raise(spark):
         matched_update={"bal": F.col("s.delta")}, strict_keys=False,
     )
     assert relaxed.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshot store (sources/store.py)
+# ---------------------------------------------------------------------------
+
+def test_versioned_store_snapshot_isolation(spark, tmp_path):
+    import os
+    from bigdatapipelne_spark.sources import store
+
+    root = str(tmp_path / "vstore")
+    v1 = store.commit_version(
+        spark.createDataFrame([(1, "a")], "id int, x string"), root
+    )
+    reader_v1 = store.read_current(spark, root)   # resolves manifest NOW
+    v2 = store.commit_version(
+        spark.createDataFrame([(2, "b")], "id int, x string"), root
+    )
+    # the v1 snapshot still reads its original files after the v2 commit
+    assert [tuple(r) for r in reader_v1.collect()] == [(1, "a")]
+    assert [tuple(r) for r in store.read_current(spark, root).collect()] == [
+        (2, "b")
+    ]
+    # manifest never absent across commits
+    assert store.current_version(root) == os.path.basename(v2)
+    assert os.path.exists(os.path.join(root, "MANIFEST"))
+
+    store.commit_version(
+        spark.createDataFrame([(3, "c")], "id int, x string"), root
+    )
+    deleted = store.gc_versions(root, keep=2)
+    assert deleted == [os.path.basename(v1)]
+    # current still readable after GC
+    assert store.read_current(spark, root).count() == 1
+
+
+def test_versioned_store_crash_orphan_invisible_and_gcd(spark, tmp_path):
+    import os
+    from bigdatapipelne_spark.sources import store
+
+    root = str(tmp_path / "vstore")
+    store.commit_version(spark.createDataFrame([(1,)], "id int"), root)
+    cur = store.current_version(root)
+    # simulate a crash AFTER writing v_2 but BEFORE the manifest flip
+    spark.createDataFrame([(9,)], "id int").write.parquet(
+        os.path.join(root, "v_00000002")
+    )
+    assert store.current_version(root) == cur          # orphan invisible
+    assert store.read_current(spark, root).count() == 1
+    store.commit_version(spark.createDataFrame([(2,)], "id int"), root)
+    # next commit went PAST the orphan (v_3), orphan reclaimable by gc
+    assert store.current_version(root) == "v_00000003"
+    deleted = store.gc_versions(root, keep=2)
+    assert "v_00000001" in deleted

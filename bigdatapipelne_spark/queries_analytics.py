@@ -268,18 +268,12 @@ def session_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from bigdatapipelne_spark.streaming.fraud import (
-        EVENTS_NANOS_SCHEMA,
-        read_events_stream,
+        read_events_parquet_stream,
         run_available_now,
     )
     from bigdatapipelne_spark.streaming.sessions import sessionize_stream
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = read_events_stream(
-        spark, f"{sf_dir}/events.parquet", schema=EVENTS_NANOS_SCHEMA, fmt="parquet"
-    )
-    src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    src = read_events_parquet_stream(spark, f"{sf_dir}/events.parquet")
     sessions = sessionize_stream(src, gap="30 minutes", watermark="10 seconds")
 
     tmp = tempfile.mkdtemp(prefix="session_stream_")

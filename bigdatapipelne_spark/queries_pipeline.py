@@ -313,18 +313,12 @@ def fraud_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from bigdatapipelne_spark.streaming.fraud import (
-        EVENTS_NANOS_SCHEMA,
         fraud_alerts,
-        read_events_stream,
+        read_events_parquet_stream,
         run_available_now,
     )
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = read_events_stream(
-        spark, f"{sf_dir}/events.parquet", schema=EVENTS_NANOS_SCHEMA, fmt="parquet"
-    )
-    src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    src = read_events_parquet_stream(spark, f"{sf_dir}/events.parquet")
     alerts = fraud_alerts(src)
 
     tmp = tempfile.mkdtemp(prefix="fraud_stream_")
@@ -371,19 +365,13 @@ def purchase_view_outer_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from bigdatapipelne_spark.streaming.fraud import (
-        EVENTS_NANOS_SCHEMA,
-        read_events_stream,
+        read_events_parquet_stream,
         run_available_now,
     )
     from bigdatapipelne_spark.streaming.joins import correlate_streams
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def side(event_type: str, cols: dict[str, str]) -> DataFrame:
-        s = read_events_stream(
-            spark, f"{sf_dir}/events.parquet", schema=EVENTS_NANOS_SCHEMA, fmt="parquet"
-        ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        s = read_events_parquet_stream(spark, f"{sf_dir}/events.parquet")
         s = s.filter(F.col("event_type") == event_type)
         return s.select("user_id", *[F.col(c).alias(a) for c, a in cols.items()])
 
@@ -479,19 +467,13 @@ def purchase_view_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from bigdatapipelne_spark.streaming.fraud import (
-        EVENTS_NANOS_SCHEMA,
-        read_events_stream,
+        read_events_parquet_stream,
         run_available_now,
     )
     from bigdatapipelne_spark.streaming.joins import correlate_streams
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def side(event_type: str, cols: dict[str, str]) -> DataFrame:
-        s = read_events_stream(
-            spark, f"{sf_dir}/events.parquet", schema=EVENTS_NANOS_SCHEMA, fmt="parquet"
-        ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        s = read_events_parquet_stream(spark, f"{sf_dir}/events.parquet")
         s = s.filter(F.col("event_type") == event_type)
         return s.select("user_id", *[F.col(c).alias(a) for c, a in cols.items()])
 

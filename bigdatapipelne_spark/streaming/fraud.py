@@ -56,12 +56,43 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
-# The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-# only accepts as int64 (spark.sql.legacy.parquet.nanosAsLong) — streaming
-# scans of those files read ts as long and convert (testdata.py rationale).
+# Some testdata generations store events.ts as parquet TIMESTAMP(NANOS),
+# which Spark's reader only accepts as int64
+# (spark.sql.legacy.parquet.nanosAsLong) — streaming scans of those files
+# read ts as long and convert (testdata.py rationale). Other generations
+# store TIMESTAMP(MICROS), which Spark reads natively. Streaming sources
+# need an explicit schema, so the unit must be sniffed from the footer
+# before the readStream is declared: use read_events_parquet_stream.
 EVENTS_NANOS_SCHEMA = StructType(
     [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENTS_SCHEMA.fields]
 )
+
+
+def read_events_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming scan of an events parquet file/dir with ``ts`` normalized
+    to TimestampType regardless of the file's physical unit.
+
+    Reads the parquet footer (driver-side, no data IO) to pick the schema:
+    TIMESTAMP(NANOS) files stream as int64 under nanosAsLong and convert
+    with integer division (never float — precision above 2^53 ns); native
+    MICROS files stream with TimestampType directly. Pins the UTC session
+    timezone either way so downstream window math is wall-clock-independent.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probe = path if os.path.isfile(path) else sorted(_glob.glob(f"{path}/*.parquet"))[0]
+    unit = next(
+        f.type.unit for f in pq.read_schema(probe) if pat.is_timestamp(f.type)
+    )
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        src = read_events_stream(spark, path, schema=EVENTS_NANOS_SCHEMA, fmt="parquet")
+        return src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return read_events_stream(spark, path, schema=EVENTS_SCHEMA, fmt="parquet")
 
 
 def read_events_stream(

@@ -626,10 +626,8 @@ _GATE_PRIORITY = [
     "q20_dominant_suppliers",
     "q21_waiting_orders",
     "q22_idle_customers",
-    # top_customers and distinct_parts_per_brand rotate out (round-2
-    # green rows stand, code unchanged)
-    "user_running_total",
-    "user_sessions",
+    # top_customers, distinct_parts_per_brand, user_running_total and
+    # user_sessions rotate out (round-2 green rows stand, code unchanged)
     # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,
     # set ops, skew handling, profiling)
     "priority_rollup",
@@ -663,8 +661,10 @@ _GATE_PRIORITY = [
     "stream_dedup_drain",
     "card_medallion_disk",
     # Late round-3 operators (SCD2 family, quality contract, quantization,
-    # exact-count sampling, BM25) — the seven slots freed above.
-    "user_scd2",
+    # exact-count sampling, BM25) — the slots freed above. Plain user_scd2
+    # rotates out: user_scd2_incremental exercises scd2_snapshot AND
+    # scd2_merge against the SAME oracle, so the snapshot path stays
+    # certified through it (plus the local parity sweep).
     "user_scd2_incremental",
     "user_scd2_stream_drain",
     "lineitem_quality",
@@ -672,6 +672,11 @@ _GATE_PRIORITY = [
     "docs_sample_per_group",
     "bm25_search",
     "customer_merge",
+    # Newest round-3 operators: funnel attribution, golden-record entity
+    # resolution, multi-grain time rollup — the three slots freed above.
+    "purchase_funnel",
+    "golden_events",
+    "events_time_rollup",
 ]
 
 

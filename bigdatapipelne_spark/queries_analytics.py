@@ -342,16 +342,37 @@ def user_value_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(median_agg("value").alias("median_value"))
 
 
-@query("approx_users_per_type")  # HLL sketch: engine-specific -> rows-only
+@query(
+    "approx_users_per_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the constant-memory distinct
     estimate a 100 TB pipeline uses instead of exact COUNT(DISTINCT).
-    Sketches are engine-specific, so this is a rows-only check; the exact
-    counterpart is oracle-checked in global_agg / distinct_parts_per_brand."""
+
+    Sketch estimates are engine-specific, so the estimate itself can't be
+    hash-compared with DuckDB; instead the query emits a BOUNDED-ERROR
+    certificate the oracle CAN check: ``within_tol`` is true iff the HLL
+    estimate lands within 5% of the exact count (rsd=0.02, so 5% = 2.5
+    standard errors; HLL++ is exact in sparse mode at these cardinalities).
+    The oracle emits literal TRUE — if the sketch ever drifts out of
+    tolerance the hash check fails. Same pattern as embedding_ann_recall."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
         F.countDistinct("user_id").alias("exact_users"),
+    ).select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_tol"),
     )
 
 
@@ -668,36 +689,49 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("value_percentiles_approx")  # GK sketch: engine-specific -> rows-only
+@query(
+    "value_percentiles_approx",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch): the bounded-memory
     quantile path for 100 TB — exact percentile() must materialize each
     group's values, the sketch merges map-side in O(1/accuracy) space.
-    Sketch internals are engine-specific, so rows-only; the exact
-    counterpart (value_percentiles) is the oracle-checked twin, and
-    tests/test_operators.py bounds this sketch's rank error against it.
 
-    Emitted as SCALAR p50/p90/p99 columns: the driver's rows-only
-    canonicalizer sorts a pandas frame over all columns, and an
-    array<double> column hard-errors it (unhashable list — the exact
-    failure multimodal_features hit in round 2). The sketch still runs
-    once; the array is projected after the aggregate."""
+    Sketch outputs are engine-specific, so the quantile values can't be
+    hash-compared with DuckDB; instead the query emits a BOUNDED-ERROR
+    certificate the oracle CAN check: for each p, ``p{p}_ok`` is true iff
+    the sketch value lands inside the exact [p-0.01, p+0.01] rank bracket
+    (accuracy 10000 guarantees rank error <= 1/10000, far inside the
+    bracket). The exact percentile() twin runs only to certify — the
+    scale path is the sketch alone (value_percentiles is the exact twin).
+    Oracle emits literal TRUE per bracket; sketch drift fails the hash."""
     li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
-            ).alias("_pcts"),
-            F.count(F.lit(1)).alias("n"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("_apx"),
+        F.expr(
+            "percentile(l_extendedprice,"
+            " array(0.49, 0.51, 0.89, 0.91, 0.98, 1.0))"
+        ).alias("_brk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    def ok(i: int, lo: int, hi: int):
+        return (
+            (F.col("_apx")[i] >= F.col("_brk")[lo])
+            & (F.col("_apx")[i] <= F.col("_brk")[hi])
         )
-        .select(
-            "l_returnflag",
-            F.col("_pcts")[0].alias("p50"),
-            F.col("_pcts")[1].alias("p90"),
-            F.col("_pcts")[2].alias("p99"),
-            "n",
-        )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        ok(0, 0, 1).alias("p50_ok"),
+        ok(1, 2, 3).alias("p90_ok"),
+        ok(2, 4, 5).alias("p99_ok"),
     )
 
 

@@ -1171,3 +1171,65 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=25)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch assembly)
+# ---------------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 512
+_PACK_BUCKETS = 8
+
+_PACK_ORACLE = f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    lens AS (
+      SELECT doc_id,
+             LEAST(len(w), {_PACK_SEQ_LEN}) AS n,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS INTEGER) % {_PACK_BUCKETS} AS bucket
+      FROM toks
+    ),
+    ord AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM lens
+    ),
+    fill(bucket, rn, doc_id, n, acc, seq, off) AS (
+      SELECT bucket, rn, doc_id, n, n, 0, 0 FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.n,
+             CASE WHEN f.acc + o.n > {_PACK_SEQ_LEN}
+                  THEN o.n ELSE f.acc + o.n END,
+             CASE WHEN f.acc + o.n > {_PACK_SEQ_LEN}
+                  THEN f.seq + 1 ELSE f.seq END,
+             CASE WHEN f.acc + o.n > {_PACK_SEQ_LEN}
+                  THEN 0 ELSE f.acc END
+      FROM fill f JOIN ord o ON o.bucket = f.bucket AND o.rn = f.rn + 1
+    )
+    SELECT doc_id, bucket,
+           CAST(seq AS BIGINT) AS seq_no,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(off AS BIGINT) AS start_off
+    FROM fill
+    """
+
+
+@query("packed_sequences", oracle=_PACK_ORACLE)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py: pack_sequences): every
+    document gets a (bucket, seq_no, start_off) slot in a 512-token
+    context window via bucketed next-fit. The bucket hash and in-bucket
+    order are pure functions of doc_id, so DuckDB re-derives the exact
+    layout with a recursive CTE — a hash-match certifies the packing
+    algorithm itself, not just row counts. Only (id, length) pairs cross
+    the shuffle; buckets pack independently (the 100 TB path: raise
+    n_buckets until a bucket's id-list fits a task)."""
+    from bigdatapipelne_spark.operators.packing import pack_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        sized, "doc_id", "n_tokens",
+        seq_len=_PACK_SEQ_LEN, n_buckets=_PACK_BUCKETS,
+    )

@@ -483,3 +483,44 @@ def test_bm25_topk_ranking_sanity(spark):
     # deterministic across runs
     again = bm25_topk(docs, "doc_id", "text", ["join", "the"], k=3).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_pack_sequences_invariants(spark):
+    """Next-fit invariants: no sequence overflows, offsets are contiguous
+    within a sequence, oversized items are capped into their own window,
+    and the layout is independent of input partitioning."""
+    from bigdatapipelne_spark.operators.packing import pack_sequences, packing_stats
+
+    rows = [(i, (i * 37) % 300 + 1) for i in range(200)] + [(1000, 5000)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    packed = pack_sequences(df, "doc_id", "n", seq_len=256, n_buckets=4)
+    out = packed.collect()
+    assert len(out) == 201
+
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault((r.bucket, r.seq_no), []).append(r)
+    for items in by_seq.values():
+        items.sort(key=lambda r: r.start_off)
+        total = sum(r.n_tokens for r in items)
+        assert total <= 256
+        off = 0
+        for r in items:
+            assert r.start_off == off
+            off += r.n_tokens
+    # the 5000-token item is capped to the window and sits alone at off 0
+    big = next(r for r in out if r.doc_id == 1000)
+    assert big.n_tokens == 256 and big.start_off == 0
+    assert len(by_seq[(big.bucket, big.seq_no)]) == 1
+
+    # layout is a pure function of ids/lengths, not partition layout
+    repacked = pack_sequences(
+        df.repartition(13), "doc_id", "n", seq_len=256, n_buckets=4
+    )
+    assert sorted(map(tuple, repacked.collect())) == sorted(map(tuple, out))
+
+    stats = packing_stats(packed, seq_len=256)
+    srow = stats.filter(
+        (F.col("bucket") == big.bucket) & (F.col("seq_no") == big.seq_no)
+    ).collect()[0]
+    assert srow.n_items == 1 and srow.fill_ratio == 1.0

@@ -44,3 +44,46 @@ def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust anomaly detection: per-group modified z-score from the median
+    and the median absolute deviation (Iglewicz-Hoberg: z = 0.6745 *
+    (x - median) / MAD), appended as a ``robust_z`` column (null when the
+    group's MAD is 0) plus an ``is_outlier`` flag at |z| >= threshold.
+
+    Mean/stddev z-scores break on the very rows they should catch (one
+    extreme value inflates sigma and hides itself); median/MAD have a 50%
+    breakdown point. Plan shape: two grouped percentile aggregations over
+    the same key (median, then MAD of the residuals) and two joins of the
+    tiny per-group stats frame back to the data — with low-cardinality
+    groups both joins broadcast, so the full pass is two scans and zero
+    wide shuffles of the fact table.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    mad = (
+        df.join(F.broadcast(med), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad"),
+            F.first("_med").alias("_med"),
+        )
+    )
+    scored = df.join(F.broadcast(mad), group_cols)
+    z = F.when(
+        F.col("_mad") > 0,
+        0.6745 * (F.col(value_col) - F.col("_med")) / F.col("_mad"),
+    )
+    return (
+        scored.withColumn("robust_z", z)
+        .withColumn("is_outlier", F.abs(F.round(z, 6)) >= threshold)
+        .drop("_med", "_mad")
+    )

@@ -1182,3 +1182,41 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "value_anomalies",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad, MAX(m.med) AS med
+      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             CASE WHEN m.mad > 0
+                  THEN 0.6745 * (e.value - m.med) / m.mad END AS z
+      FROM events e JOIN mad m USING (event_type)
+    )
+    SELECT event_id, event_type, value, ROUND(z, 6) AS robust_z
+    FROM scored WHERE abs(ROUND(z, 6)) >= 3.5
+    """,
+)
+def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection (operators/profile.py: mad_outliers):
+    modified z-score from per-type median + MAD, flagging |z| >= 3.5 —
+    the outlier sweep a 100 TB ingest runs per load. Median/MAD resist
+    the very outliers being hunted (50% breakdown vs mean/stddev's 0%).
+    Two tiny stat aggregates broadcast back onto the fact scan — no wide
+    shuffle. z is emitted rounded to 6 dp and the threshold compares the
+    ROUNDED value on both engines, absorbing the cross-engine percentile
+    interpolation ulp."""
+    from bigdatapipelne_spark.operators.profile import mad_outliers
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = mad_outliers(ev, "value", ["event_type"], threshold=3.5)
+    return out.filter("is_outlier").select(
+        "event_id", "event_type", "value", F.round("robust_z", 6).alias("robust_z")
+    )

@@ -559,3 +559,24 @@ def test_versioned_store_crash_orphan_invisible_and_gcd(spark, tmp_path):
     assert store.current_version(root) == "v_00000003"
     deleted = store.gc_versions(root, keep=2)
     assert "v_00000001" in deleted
+
+
+def test_mad_outliers_robustness(spark):
+    """MAD flags a gross outlier that inflates the mean/stddev z-score;
+    a constant group (MAD=0) yields null z and no flags."""
+    from bigdatapipelne_spark.operators.profile import mad_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 9, 10, 1000]]
+    rows += [("b", 5.0)] * 6
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = mad_outliers(df, "v", ["grp"], threshold=3.5).collect()
+
+    a = [r for r in out if r.grp == "a"]
+    flagged = [r for r in a if r.is_outlier]
+    assert [r.v for r in flagged] == [1000.0]
+    # the robust score of the outlier is enormous; inliers stay small
+    assert abs(flagged[0].robust_z) > 100
+    assert all(abs(r.robust_z) < 3.5 for r in a if not r.is_outlier)
+
+    b = [r for r in out if r.grp == "b"]
+    assert all(r.robust_z is None and not r.is_outlier for r in b)

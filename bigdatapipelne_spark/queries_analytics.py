@@ -1220,3 +1220,52 @@ def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter("is_outlier").select(
         "event_id", "event_type", "value", F.round("robust_z", 6).alias("robust_z")
     )
+
+
+@query(
+    "hll_users_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT TIMESTAMP '1970-01-01 00:00:00',
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           TRUE
+    FROM events
+    """,
+)
+def hll_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketch rollup (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): per-day user sketches, then the
+    global cardinality re-derived by UNIONING the daily sketches — never
+    rescanning the facts. This re-aggregability is why sketches beat
+    exact COUNT(DISTINCT) at 100 TB: daily sketch bytes persist in a
+    rollup mart and any coarser grain (week/month/all-time) is a cheap
+    sketch merge. Emits the bounded-error certificate pattern
+    (approx_users_per_type): each estimate — including the one from the
+    MERGED sketch, sentinel day 1970-01-01 — must land within 5% of the
+    exact count or the oracle hash fails. countDistinct here only
+    certifies; the scale path carries sketches alone."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    tol = lambda est, exact: F.abs(est - exact) <= 0.05 * exact  # noqa: E731
+    daily_rows = daily.select(
+        "day",
+        "exact_users",
+        tol(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias("within_tol"),
+    )
+    merged = daily.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.hll_sketch_estimate("sk").alias("est")
+    )
+    global_exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    total_row = merged.crossJoin(global_exact).select(
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("day"),
+        "exact_users",
+        tol(F.col("est"), F.col("exact_users")).alias("within_tol"),
+    )
+    return daily_rows.unionByName(total_row)

@@ -30,26 +30,35 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 @functools.lru_cache(maxsize=256)
-def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
-    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read once from the footer (driver-side, no data IO)."""
+def _timestamp_cols(path: str) -> tuple[tuple[str, str], ...]:
+    """(name, unit) of every timestamp column, read once from the parquet
+    footer (driver-side, no data IO). The driver regenerates testdata
+    between rounds with varying units (ns in round 2, us in round 3), so
+    nothing downstream may hardcode either."""
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
     schema = pq.read_schema(path)
     return tuple(
-        f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        (f.name, f.type.unit) for f in schema if pat.is_timestamp(f.type)
     )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, normalizing nanosecond timestamps.
+    """Read one testdata table, normalizing every timestamp column to plain
+    TimestampType regardless of the file's physical unit.
 
     Parquet TIMESTAMP(NANOS) is unsupported by Spark's parquet reader; with
     ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) the column
     arrives as int64 nanoseconds and we convert to TimestampType with integer
     division (``div 1000`` — never float division, which loses precision
     above 2^53 ns). Truncation toward zero matches DuckDB's ns->us handling.
+
+    TIMESTAMP(MICROS) files read natively — but with isAdjustedToUTC=false
+    they surface as TIMESTAMP_NTZ, which functions like ``unix_micros`` and
+    time-zone-aware window math reject. Cast to TimestampType: the session
+    zone is pinned to UTC first, so the cast is value-preserving and every
+    query sees the same type and values in every testdata generation.
     """
     path = f"{sf_dir}/{name}.parquet"
     # The caller may hand us a vanilla session (the correctness driver does);
@@ -57,12 +66,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # window/unix_timestamp math is wall-clock-independent, nanosAsLong so
     # the scan accepts TIMESTAMP(NANOS) files.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    nanos_cols = _nanos_timestamp_cols(path)
-    if nanos_cols:
+    ts_cols = _timestamp_cols(path)
+    if any(unit == "ns" for _, unit in ts_cols):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in nanos_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    for c, unit in ts_cols:
+        if unit == "ns":
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        else:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -76,6 +76,7 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         "tfidf_top_terms",
         "bm25_search",       # 1-row corpus-stats broadcast
         "lineitem_quality",  # 1-row total-count broadcast per relational rule
+        "hll_users_rollup",  # 1-row x 1-row merged-sketch vs exact-count join
     }
     streaming_drains = {  # these run a stream; audited in their own tests
         "fraud_stream_drain",

@@ -1233,3 +1233,142 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         sized, "doc_id", "n_tokens",
         seq_len=_PACK_SEQ_LEN, n_buckets=_PACK_BUCKETS,
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-corpus pipeline
+# ---------------------------------------------------------------------------
+
+_CORPUS_ORACLE = f"""
+    WITH docs2 AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, lang FROM documents
+    ),
+    base AS (
+      SELECT doc_id, text, lang, {_SQL_TOKS} AS toks,
+             {_SQL_FINGERPRINT} AS fp
+      FROM docs2
+    ),
+    sig AS (
+      SELECT doc_id, lang, fp, toks, len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> list_contains({_SQL_STOPWORD_LIST}, x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END AS sr,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) END AS pr
+      FROM base
+    ),
+    filtered AS (
+      SELECT * FROM sig
+      WHERE sr * 0.5 + (1.0 - pr) * 0.5 >= 0.53 AND doc_id % 100000 >= 25
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    ),
+    bench_sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_SQL_TOKS} AS w FROM documents WHERE doc_id < 25)
+    ),
+    bench_hashed AS (
+      SELECT doc_id, md5(s) AS sh
+      FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM bench_sh)
+    ),
+    corp_sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, toks AS w FROM deduped)
+    ),
+    corp_hashed AS (
+      SELECT doc_id, md5(s) AS sh
+      FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM corp_sh)
+    ),
+    bsz AS (SELECT doc_id, COUNT(*) AS bsz FROM bench_hashed GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, COUNT(*) AS i
+      FROM corp_hashed c JOIN bench_hashed b USING (sh) GROUP BY 1, 2
+    ),
+    contam AS (
+      SELECT DISTINCT corpus_id FROM inter
+      JOIN bsz ON bsz.doc_id = bench_id
+      WHERE CAST(i AS DOUBLE) / CAST(bsz AS DOUBLE) >= 0.15
+    ),
+    clean AS (
+      SELECT d.* FROM deduped d
+      LEFT JOIN contam ON d.doc_id = contam.corpus_id
+      WHERE contam.corpus_id IS NULL
+    )
+    SELECT CASE
+             WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                       AS INTEGER) % 10 < 8 THEN 'train'
+             WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                       AS INTEGER) % 10 < 9 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM clean GROUP BY 1
+    """
+
+
+@query("corpus_pipeline", oracle=_CORPUS_ORACLE)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus build, the whole curation chain in one
+    lazy plan: quality filter (composite stopword/punctuation score) ->
+    exact dedup (md5 fingerprint, canonical-min-id survivor) ->
+    benchmark decontamination (trigram containment >= 0.15 vs docs 0-24
+    as the stand-in eval set) -> deterministic 80/10/10 split -> per-split
+    doc/token budget. The corpus is unioned with a re-keyed copy of
+    itself (exact_dedup's trick) so the dedup stage genuinely removes
+    rows at small SF. Every stage is the already-certified operator —
+    this query certifies their COMPOSITION end-to-end against one SQL
+    oracle replaying the identical chain. Scale shape: the text column
+    never shuffles (dedup moves id+hash, decontamination moves benchmark
+    shingle hashes via broadcast-sized semi-join); the only wide exchange
+    is the fingerprint groupBy."""
+    from bigdatapipelne_spark.operators.dedup import decontaminate, exact_duplicates
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs2 = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000)))
+    enriched = docs2.select(
+        "doc_id",
+        "text",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        quality_score("text").alias("q"),
+    )
+    filtered = enriched.filter(
+        (F.col("q") >= 0.53) & (F.col("doc_id") % 100000 >= 25)
+    )
+    canon = exact_duplicates(filtered.select("doc_id", "text"), "doc_id", "text")
+    deduped = filtered.join(
+        canon.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+    )
+    bench = docs.filter(F.col("doc_id") < 25).select("doc_id", "text")
+    contam = (
+        decontaminate(
+            deduped.select("doc_id", "text"), bench, "doc_id", "text",
+            n=3, threshold=0.15,
+        )
+        .select("corpus_id")
+        .distinct()
+    )
+    clean = deduped.join(
+        contam, deduped.doc_id == contam.corpus_id, "left_anti"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 10
+    )
+    split = F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    return (
+        clean.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

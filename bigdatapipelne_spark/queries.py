@@ -635,10 +635,12 @@ _GATE_PRIORITY = [
     "session_stream_drain",
     "approx_users_per_type",
     "user_type_pivot",
-    "cube_order_stats",
-    "value_percentiles",
+    # cube_order_stats, engaged_days and value_percentiles rotate to the
+    # local sweep: the grouping-sets / set-op families stay gated via
+    # priority_rollup, user_type_pivot and purchase_only_days, and exact
+    # percentile() is still driver-exercised inside
+    # value_percentiles_approx's rank brackets.
     "purchase_only_days",
-    "engaged_days",
     "user_moving_avg",
     "top_parts_per_brand",
     "salted_skew_join",
@@ -649,8 +651,10 @@ _GATE_PRIORITY = [
     # LLM-pipeline + multimodal entries needing fresh driver evidence
     # (near_dup_clusters rotates out; its round-2 row stands and the
     # pointer-doubling twin shares its oracle in the local sweep)
+    # embedding_near_dup rotates out (round-2 green row; the sf0.01 gate
+    # can't exercise this round's >100k-row auto-routing anyway — local
+    # parity covers it)
     "multimodal_features",
-    "embedding_near_dup",
     "embedding_ann_recall",
     # Streaming / pipeline anchors + round-3 additions. card_medallion_disk
     # supersedes card_spec_mart in-gate (same oracle, adds the disk
@@ -673,10 +677,16 @@ _GATE_PRIORITY = [
     "bm25_search",
     "customer_merge",
     # Newest round-3 operators: funnel attribution, golden-record entity
-    # resolution, multi-grain time rollup — the three slots freed above.
+    # resolution, multi-grain time rollup, sequence packing, robust
+    # anomaly detection, mergeable-HLL rollup, and the end-to-end corpus
+    # pipeline — the slots freed above.
     "purchase_funnel",
     "golden_events",
     "events_time_rollup",
+    "packed_sequences",
+    "value_anomalies",
+    "hll_users_rollup",
+    "corpus_pipeline",
 ]
 
 

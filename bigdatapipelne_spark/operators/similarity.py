@@ -331,7 +331,11 @@ def _srp_table_frame(
         cols.append(
             _bucket_expr(vec_col, dim, nbits, bit_offset=tbl * nbits).alias(f"_b{tbl}")
         )
-    return df.select(*cols).localCheckpoint(eager=True)
+    # Repartition BEFORE the projection: a single-file scan arrives as one
+    # partition, which would run the L x nbits interpreted dot products per
+    # row on one core (measured 4x on the 64-dim corpus).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par).select(*cols).localCheckpoint(eager=True)
 
 
 def _pin_bucket_partitions(side: DataFrame) -> DataFrame:
@@ -378,6 +382,7 @@ def srp_bucket_ann(
     probe_bits: int = 1,
     max_bucket_size: int | None = 4096,
     n_tables: int = 1,
+    scorer: str = "catalyst",
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates share an SRP bucket in one of
     ``n_tables`` independent hash tables (with 1-bit multi-probe on the
@@ -389,6 +394,12 @@ def srp_bucket_ann(
     EVERY table splits the pair — the knob to spend for recall when the
     similarity floor is far from 1 (wide angles split often). Cost grows
     linearly in L while staying sum-of-bucket^2 bounded, never N^2.
+
+    ``scorer="arrow"`` scores each bucket as one numpy matmul instead of
+    the per-pair interpreted Catalyst expression (~10x on the scoring
+    stage; see the Arrow-scorer block below). Same pairs, same ranking;
+    scores differ from the Catalyst fold only in final-ulp rounding, so
+    hash-checked callers keep the default.
     """
     if nbits is None:
         nbits = pick_nbits(df.count(), target_bucket_size)
@@ -428,14 +439,19 @@ def srp_bucket_ann(
     # then moves (ids, score), never the vectors themselves. A pair
     # surfacing via two buckets scores identically, so keeping either row
     # is exact.
-    scored = (
-        _pin_bucket_partitions(q)
-        .join(_pin_bucket_partitions(cand), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine_from_norms("qv", "cv", "qn", "cn"))
-        .select("query_id", "neighbor_id", "score")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    if scorer == "arrow":
+        scored = _score_buckets_topk_arrow(q, cand, k).dropDuplicates(
+            ["query_id", "neighbor_id"]
+        )
+    else:
+        scored = (
+            _pin_bucket_partitions(q)
+            .join(_pin_bucket_partitions(cand), "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("score", cosine_from_norms("qv", "cv", "qn", "cn"))
+            .select("query_id", "neighbor_id", "score")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -455,6 +471,7 @@ def srp_near_duplicate_pairs(
     probe_bits: int = 1,
     max_bucket_size: int | None = 4096,
     n_tables: int = 1,
+    scorer: str = "catalyst",
 ) -> DataFrame:
     """The SCALE path for ``near_duplicate_pairs``: candidate pairs share an
     SRP bucket in one of ``n_tables`` independent tables (one side
@@ -499,6 +516,14 @@ def srp_near_duplicate_pairs(
         F.col("_norm").alias("na"),
         F.explode(_probe_keys(nbits, n_tables, probe_bits)).alias("bucket"),
     )
+    if scorer == "arrow":
+        # ulp-level score divergence from the Catalyst fold means the
+        # output is no longer guaranteed a strict SUBSET of the exact pair
+        # set at the threshold boundary — certificate callers
+        # (embedding_ann_recall) keep the default scorer.
+        return _score_buckets_pairs_arrow(a_side, b_side, threshold).dropDuplicates(
+            ["id_a", "id_b"]
+        )
     return (
         _pin_bucket_partitions(a_side)
         .join(_pin_bucket_partitions(b_side), "bucket")
@@ -507,4 +532,116 @@ def srp_near_duplicate_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow bucket scorers — the vectorized escape hatch for bucket scoring.
+#
+# The Catalyst cosine (functions/vectors.cosine_from_norms) is a
+# higher-order-function chain, which Spark evaluates INTERPRETED (HOF
+# lambdas never enter whole-stage codegen) — fine for row counts linear in
+# N, but bucket scoring evaluates it once per CANDIDATE PAIR. These
+# scorers instead cogroup the two bucket sides and score each bucket as
+# ONE numpy matmul (Q x C^T), so the per-pair cost is a fused BLAS flop
+# instead of an interpreted expression tree (~10x at 64 dims).
+#
+# Used by the APPROXIMATE paths only (scorer="arrow"): numpy's pairwise
+# summation differs from the Catalyst fold by final-ulp rounding, so
+# hash-checked exact paths (brute_force_topk, near_duplicate_pairs,
+# embedding_ann_recall's subset certificate) stay on the Catalyst scorer.
+#
+# Scale shape: Python-call count == bucket count (bounded work per call:
+# max_bucket_size caps the candidate matrix, bucket_size x (nbits+1)
+# bounds the query matrix); vectors cross the shuffle once per bucket
+# membership, never per pair. Both sides keep the pinned numbered
+# repartition on bucket, which satisfies the cogroup's distribution
+# requirement and is exempt from AQE coalescing (see
+# _pin_bucket_partitions).
+# ---------------------------------------------------------------------------
+
+
+def _score_buckets_topk_arrow(q: DataFrame, cand: DataFrame, k: int) -> DataFrame:
+    """Per-bucket top-k cosine via one matmul per bucket. Emits each
+    query's k best neighbors WITHIN each bucket (superset of the global
+    top-k: a globally-top-k neighbor is top-k in every bucket containing
+    it); callers dedup and re-rank globally. Ties break by neighbor_id
+    ascending, matching the deterministic global window."""
+    import numpy as np
+    import pandas as pd
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        Q = np.stack(left["qv"].to_numpy()).astype(np.float64)
+        C = np.stack(right["cv"].to_numpy()).astype(np.float64)
+        qid = left["query_id"].to_numpy()
+        nid = right["neighbor_id"].to_numpy()
+        # columns in neighbor_id order so a stable sort on -score breaks
+        # ties by neighbor_id ascending
+        nido = np.argsort(nid, kind="stable")
+        nid_s, C = nid[nido], C[nido]
+        cn = right["cn"].to_numpy()[nido]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = (Q @ C.T) / np.outer(left["qn"].to_numpy(), cn)
+        S[qid[:, None] == nid_s[None, :]] = -np.inf  # mask self-pairs
+        kk = min(k, S.shape[1])
+        top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        out_s = np.take_along_axis(S, top, axis=1).ravel()
+        keep = out_s > -np.inf
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qid, kk)[keep],
+                "neighbor_id": nid_s[top].ravel()[keep],
+                "score": out_s[keep],
+            }
+        )
+
+    # fresh key name on the right side: self-cogroup of two frames derived
+    # from one scan dedups shared exprIds and would prune the right key out
+    # of the Arrow frame (see operators/joins.as_of_join_cogroup)
+    cand_r = cand.withColumnRenamed("bucket", "bucket_r")
+    return (
+        _pin_bucket_partitions(q)
+        .groupBy("bucket")
+        .cogroup(cand_r.repartition(
+            q.sparkSession.sparkContext.defaultParallelism, F.col("bucket_r")
+        ).groupBy("bucket_r"))
+        .applyInPandas(score, "query_id long, neighbor_id long, score double")
+    )
+
+
+def _score_buckets_pairs_arrow(
+    a_side: DataFrame, b_side: DataFrame, threshold: float
+) -> DataFrame:
+    """Per-bucket thresholded cosine pairs via one matmul per bucket.
+    Emits (id_a, id_b, cosine) with id_a < id_b and cosine >= threshold;
+    callers dedup across buckets."""
+    import numpy as np
+    import pandas as pd
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        A = np.stack(left["va"].to_numpy()).astype(np.float64)
+        B = np.stack(right["vb"].to_numpy()).astype(np.float64)
+        ida = left["id_a"].to_numpy()
+        idb = right["id_b"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = (A @ B.T) / np.outer(left["na"].to_numpy(), right["nb"].to_numpy())
+        ii, jj = np.nonzero((S >= threshold) & (ida[:, None] < idb[None, :]))
+        return pd.DataFrame(
+            {"id_a": ida[ii], "id_b": idb[jj], "cosine": S[ii, jj]}
+        )
+
+    b_r = b_side.withColumnRenamed("bucket", "bucket_r")
+    return (
+        _pin_bucket_partitions(a_side)
+        .groupBy("bucket")
+        .cogroup(b_r.repartition(
+            a_side.sparkSession.sparkContext.defaultParallelism, F.col("bucket_r")
+        ).groupBy("bucket_r"))
+        .applyInPandas(score, "id_a long, id_b long, cosine double")
     )

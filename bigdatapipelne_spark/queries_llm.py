@@ -446,13 +446,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embedding_near_dup_ann")  # approximate candidates -> rows-only check
 def embedding_near_dup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for embedding_near_dup: SRP-bucketed candidate pairs
-    (8 OR-amplified tables, multi-probe) scored with the EXACT cosine and
-    thresholded — never O(N^2). Recall vs the exact baseline and
-    score-exactness are asserted in tests/test_llm_ops.py; the recall bound
-    is also driver-gated via embedding_ann_recall below."""
+    (8 OR-amplified tables, multi-probe) scored per-bucket as one numpy
+    matmul (Arrow scorer) and thresholded — never O(N^2), and no
+    interpreted per-pair expression either. Recall vs the exact baseline
+    and score-exactness are asserted in tests/test_llm_ops.py; the recall
+    bound is also driver-gated via embedding_ann_recall below (which keeps
+    the Catalyst scorer for its strict-subset certificate)."""
     emb = t(spark, sf_dir, "embeddings")
     return srp_near_duplicate_pairs(
-        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, threshold=0.42, n_tables=8
+        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, threshold=0.42,
+        n_tables=8, scorer="arrow",
     )
 
 
@@ -571,7 +574,10 @@ def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     force on this corpus (0.51 single-table), asserted with a floor in
     tests/test_llm_ops.py."""
     emb = t(spark, sf_dir, "embeddings")
-    return srp_bucket_ann(emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=5, n_tables=4)
+    return srp_bucket_ann(
+        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=5, n_tables=4,
+        scorer="arrow",
+    )
 
 
 @query("embedding_ivf")  # approximate by design -> rows-only check

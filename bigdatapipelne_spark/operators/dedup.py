@@ -38,6 +38,24 @@ BANDS = 6
 ROWS_PER_BAND = 2
 
 
+def _widen_narrow_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of the raw input IF it arrives narrower
+    than the default parallelism — a small single-file table is one scan
+    partition, which would run the expensive tokenize/shingle/hash
+    projections on a single core (measured 2-5x on the sf0.1 corpus).
+
+    Conditional on the input's partitioning so the 100 TB case (scans
+    already wide) passes through with NO added exchange: at scale the
+    document body still never shuffles — the only exchanges are the
+    (id, hash)-shaped joins/aggregations downstream. The round-robin
+    redistribution is row-wise and every downstream operator here is
+    order-independent (hashes, grouped mins), so results are identical."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Map every document to the canonical (minimum) id of its exact-content
     group. Output: id, canonical_id, group_size.
@@ -45,6 +63,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     One shuffle on the md5 fingerprint; the heavy text column is dropped
     before the shuffle (only hash + id move).
     """
+    df = _widen_narrow_input(df)
     keyed = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
     groups = keyed.groupBy("fp").agg(
         F.min(id_col).alias("canonical_id"),
@@ -75,6 +94,7 @@ def minhash_signatures(
     explode(shingles) -> groupBy(id) with k min-aggregates. Partial
     aggregation collapses each document's shingles map-side, so the shuffle
     carries one row per (partition, document)."""
+    df = _widen_narrow_input(df)
     exploded = (
         df.select(F.col(id_col), tokens(text_col).alias("__toks"))
         .select(
@@ -146,6 +166,7 @@ def minhash_near_duplicates(
     LSH-candidate pairs always share >= ROWS_PER_BAND min-shingles, so the
     inner intersection join cannot drop a pair that would pass ``threshold``.
     """
+    df = _widen_narrow_input(df)
     cands = minhash_candidate_pairs(df, id_col, text_col, n)
     sh = (
         df.select(F.col(id_col).alias("sid"), tokens(text_col).alias("__toks"))
@@ -210,6 +231,7 @@ def ngram_jaccard_duplicates(
     """
     # The shingle index feeds three consumers (sizes + both join sides);
     # materialize it once instead of re-tokenizing the corpus per consumer.
+    df = _widen_narrow_input(df)
     sh_full = (
         df.select(F.col(id_col).alias("sid"), tokens(text_col).alias("__toks"))
         .select(
@@ -276,6 +298,7 @@ def winnow_fingerprints(
     the paper's rightmost-min tie rule — ties between *different* grams are
     md5 collisions, i.e. nonexistent in practice.
     """
+    df = _widen_narrow_input(df)
     # Each projection materializes its input as a plain column first:
     # expressions referenced inside a higher-order-function lambda are
     # re-evaluated per element (no CSE across the lambda boundary), so
@@ -347,6 +370,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (p,i) votes +1/-1 per document; the signature bit is 1 iff the vote sum
     is positive. One explode + one grouped aggregation with 64 sum
     expressions — all codegen, shuffle is one row per document."""
+    df = _widen_narrow_input(df)
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
@@ -536,6 +560,7 @@ def decontaminate(
     enough for AQE to broadcast. ``max_doc_freq`` (applied to the corpus
     index) caps boilerplate shingles as in ngram_jaccard_duplicates.
     """
+    corpus = _widen_narrow_input(corpus)
     def index(df: DataFrame, out_id: str) -> DataFrame:
         return (
             df.select(F.col(id_col).alias(out_id), tokens(text_col).alias("__toks"))

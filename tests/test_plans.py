@@ -99,13 +99,19 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
 
 
 def test_dedup_pipelines_shuffle_hashes_not_documents(spark):
-    # The text column must be projected away before any Exchange: the
-    # shuffled payload is (id, hash)-shaped, never the document body.
+    # The text column must be projected away before any KEYED Exchange:
+    # every hash-partitioned shuffle (join/agg) payload is (id, hash)-
+    # shaped, never the document body. A ROUND-ROBIN exchange of the raw
+    # input is allowed — that is _widen_narrow_input spreading a
+    # single-partition local scan across cores, which self-disables on
+    # wide (at-scale) inputs.
     for name in ("minhash_near_dups", "ngram_jaccard_pairs", "decontaminated_overlap"):
         p = plan(spark, name)
         exchanges = p.split("Exchange")[1:]
         for ex in exchanges:
             first_line = ex.split("\n")[0]
+            if "RoundRobinPartitioning" in first_line:
+                continue
             assert "text#" not in first_line, name
 
 

@@ -493,3 +493,56 @@ def purchase_view_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "user_id", "purchase_id", "pts", "purchase_value", "view_id", "vts"
     )
+
+
+@query(
+    "enriched_stream_drain",
+    oracle="""
+    WITH tiers AS (
+      SELECT user_id,
+             CASE WHEN SUM(CAST(value AS DECIMAL(12,2))) >= 4500 THEN 'gold'
+                  WHEN SUM(CAST(value AS DECIMAL(12,2))) >= 3000 THEN 'silver'
+                  ELSE 'standard' END AS tier
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type, e.value, t.tier
+    FROM events e JOIN tiers t USING (user_id)
+    """,
+)
+def enriched_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join, drained: the stateless Structured
+    Streaming pattern that decorates an event stream with a slowly-changing
+    dimension — here a per-user spend tier computed in batch. The static
+    side is broadcast into every micro-batch (no watermark, no state
+    store: stream-static inner joins are stateless by construction), so at
+    scale the stream never shuffles — each batch is a map-side hash join
+    against the broadcast dim. Tier thresholds compare DECIMAL sums, so
+    the batch oracle reproduces the dimension exactly (double sums are
+    order-dependent; decimal sums are not)."""
+    import os
+
+    from bigdatapipelne_spark.streaming.fraud import (
+        read_events_parquet_stream,
+        run_available_now,
+    )
+
+    dim = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("_sv"))
+        .select(
+            "user_id",
+            F.when(F.col("_sv") >= 4500, "gold")
+            .when(F.col("_sv") >= 3000, "silver")
+            .otherwise("standard")
+            .alias("tier"),
+        )
+    )
+    src = read_events_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    enriched = src.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "value", "tier"
+    )
+    tmp = tempfile.mkdtemp(prefix="enriched_stream_")
+    out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
+    run_available_now(enriched, out, cp)
+    return spark.read.parquet(out)

@@ -78,11 +78,11 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         "lineitem_quality",  # 1-row total-count broadcast per relational rule
         "hll_users_rollup",  # 1-row x 1-row merged-sketch vs exact-count join
     }
-    streaming_drains = {  # these run a stream; audited in their own tests
-        "fraud_stream_drain",
-        "session_stream_drain",
-        "purchase_view_stream_join",
-    }
+    # *_drain queries (and the stream-join twin) RUN a stream when their
+    # DataFrame is constructed; they are audited in their own tests.
+    streaming_drains = {
+        n for n in QUERIES if n.endswith("_drain")
+    } | {"purchase_view_stream_join"}
     # doc_chunks_udtf IS the deliberate Python-UDTF escape hatch — its
     # codegen twin (doc_chunks) is the hot path and their row-equality is
     # asserted in test_llm_ops.

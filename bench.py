@@ -45,6 +45,17 @@ def main() -> None:
     # Warm the JVM/codegen once so per-query timings measure the plan, not
     # first-touch class loading.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    # Warm the Arrow/Python workers too: daemon + worker spin-up is a
+    # per-session environment constant (~3-8 s) that would otherwise be
+    # charged entirely to whichever applyInPandas query runs first.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    (
+        spark.range(64)
+        .groupBy((F.col("id") % 8).alias("g"))
+        .applyInPandas(lambda p: p, "id long, g long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -52,7 +52,8 @@ def main() -> None:
 
     (
         spark.range(64)
-        .groupBy((F.col("id") % 8).alias("g"))
+        .withColumn("g", F.col("id") % 8)
+        .groupBy("g")
         .applyInPandas(lambda p: p, "id long, g long")
         .write.format("noop").mode("overwrite").save()
     )

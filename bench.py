@@ -58,16 +58,30 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in sorted(QUERIES):
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
+            return time.perf_counter() - t0
         except Exception as e:  # a broken query must not kill the sweep
             print(f"# bench error in {name}: {e}", file=sys.stderr)
-            dt = float("nan")
+            return float("nan")
+
+    # Best-of-two: this box shows 2-10x run-to-run swings on identical
+    # plans (noisy neighbors); the min of two passes is a far better
+    # estimate of the plan's cost than either single sample. Queries
+    # whose first pass exceeds the cap are not re-run (bounds added wall
+    # time; at that size the relative noise is smaller anyway).
+    RERUN_CAP_S = 30.0
+    timings: dict[str, float] = {}
+    total = 0.0
+    first = {name: run_once(name) for name in sorted(QUERIES)}
+    for name, dt1 in first.items():
+        dt = dt1
+        if dt1 == dt1 and dt1 < RERUN_CAP_S:
+            dt2 = run_once(name)
+            if dt2 == dt2:
+                dt = min(dt1, dt2)
         timings[name] = round(dt, 3)
         if dt == dt:  # not NaN
             total += dt

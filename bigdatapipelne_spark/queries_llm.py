@@ -532,7 +532,16 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_metadata(media, id_col="doc_id", data_col="data")
 
 
-@query("multimodal_features")  # numpy float pipeline -> rows-only check
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS height, CAST(8 AS INTEGER) AS width,
+           CAST(3 AS INTEGER) AS channels,
+           TRUE AS means_ok, TRUE AS emb0_ok
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → block-mean resize → feature-extract in one Arrow-batched
     mapInPandas stage (operators/multimodal.py:image_features). Decode is
@@ -540,10 +549,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     this environment); the known-answer unit test re-derives the features
     independently in numpy (tests/test_multimodal.py).
 
-    The operator's array<double> outputs are serialized with to_json here
-    because the driver's rows-only canonicalizer sorts rows with pandas,
-    which cannot order list cells; internal consumers use image_features
-    directly and keep the typed arrays."""
+    Gated as a CERTIFICATE (the bounded-error pattern, here with EXACT
+    equality): a Catalyst-side recompute from ``sha2(data, 256)`` derives
+    what the numpy pipeline must produce, and the emitted booleans flip —
+    failing the oracle hash — if the Arrow stage misaligns batches,
+    permutes columns, or drifts numerically. The fake decode tiles the
+    32-byte digest over 8x8x3 pixels; gcd(3,32)=1 makes every channel
+    mean exactly sum(digest)/32, and embedding[0] (the (0,0,ch0) 2x2
+    block mean) exactly (b0+b3+b24+b27)/4 — all dyadic rationals, exact
+    in float32 and float64 alike, so the equality is bitwise, not
+    tolerance-based. Typed-array consumers use image_features directly."""
     from bigdatapipelne_spark.operators.multimodal import (
         attach_fake_media,
         image_features,
@@ -552,14 +567,29 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_fake_media(docs, media_format="png")
     feats = image_features(media, id_col="doc_id", data_col="data")
-    return feats.select(
+
+    hexd = F.sha2("data", 256)
+    def byte_at(j: int):
+        return F.conv(F.substring(hexd, 2 * j + 1, 2), 16, 10).cast("double")
+    digest_sum = sum((byte_at(j) for j in range(1, 32)), byte_at(0))
+    expected = media.select(
+        "doc_id",
+        (digest_sum / F.lit(32.0)).alias("_exp_mean"),
+        (
+            (byte_at(0) + byte_at(3) + byte_at(24) + byte_at(27)) / F.lit(4.0)
+        ).alias("_exp_emb0"),
+    )
+    return feats.join(expected, "doc_id").select(
         "doc_id",
         "height",
         "width",
         "channels",
-        F.to_json("channel_means").alias("channel_means"),
-        F.to_json("channel_stds").alias("channel_stds"),
-        F.to_json("embedding").alias("embedding"),
+        (
+            (F.col("channel_means")[0] == F.col("_exp_mean"))
+            & (F.col("channel_means")[1] == F.col("_exp_mean"))
+            & (F.col("channel_means")[2] == F.col("_exp_mean"))
+        ).alias("means_ok"),
+        (F.col("embedding")[0] == F.col("_exp_emb0")).alias("emb0_ok"),
     )
 
 

@@ -1269,3 +1269,73 @@ def hll_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol(F.col("est"), F.col("exact_users")).alias("within_tol"),
     )
     return daily_rows.unionByName(total_row)
+
+
+@query(
+    "hll_stream_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY 1
+    """,
+)
+def hll_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL rollup MAINTAINED FROM A STREAM (streaming/sketches.py):
+    events staged as four ascending time-range files replay as ordered
+    micro-batches (maxFilesPerTrigger=1), each folding its per-day
+    sketches into the store via hll_union_agg — so a day spanning a
+    batch boundary accumulates across batches, and a user seen in
+    several batches registers once inside the union (no double count).
+    The drained store's estimates carry the same bounded-error
+    certificate as the batch twin (hll_users_rollup): every estimate
+    within 5% of the exact per-day distinct count or the oracle hash
+    fails. Continuous maintenance == one-shot scan, certified."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.streaming.fraud import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+    from bigdatapipelne_spark.streaming.sketches import (
+        hll_stream_to_rollup,
+        read_rollup_estimates,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24"]
+    lo = [None, *cuts]
+    hi = [*cuts, None]
+    frames = []
+    for a, b in zip(lo, hi):
+        part = ev
+        if a is not None:
+            part = part.filter(F.col("ts") >= F.lit(a).cast("timestamp"))
+        if b is not None:
+            part = part.filter(F.col("ts") < F.lit(b).cast("timestamp"))
+        frames.append(part.select([f.name for f in EVENTS_SCHEMA.fields]))
+
+    tmp = tempfile.mkdtemp(prefix="hll_stream_")
+    staging = os.path.join(tmp, "staging")
+    stage_ordered_files(frames, staging)
+    src = read_events_stream(
+        spark, staging, schema=EVENTS_SCHEMA, fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    store, cp = os.path.join(tmp, "store"), os.path.join(tmp, "cp")
+    hll_stream_to_rollup(src, store, cp)
+
+    exact = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    est = read_rollup_estimates(spark, store)
+    return est.join(exact, "day").select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_tol"),
+    )

@@ -95,6 +95,27 @@ def read_csv(
     return reader.csv(path)
 
 
+def write_csv_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str = "gzip",
+) -> None:
+    """CSV sink with gzip + Hive partitioning (the interchange-format twin
+    of the parquet/ORC sinks — for handoff to systems that ingest flat
+    files; lake-internal storage stays columnar)."""
+    writer = (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("compression", compression)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.csv(path)
+
+
 def write_parquet_partitioned(
     df: DataFrame,
     path: str,

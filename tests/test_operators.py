@@ -586,3 +586,36 @@ def test_mad_outliers_robustness(spark):
 
     b = [r for r in out if r.grp == "b"]
     assert all(r.robust_z is None and not r.is_outlier for r in b)
+
+
+def test_csv_roundtrip_with_partition_pruning(spark, tmp_path):
+    """CSV sink/scan twin (gzip, header, Hive-partitioned): values survive
+    the round-trip with an explicit schema and a partition-column filter
+    prunes at the scan, same contract as the parquet/ORC twins."""
+    from bigdatapipelne_spark.sources.io import read_csv, write_csv_partitioned
+
+    df = spark.createDataFrame(
+        [("SP", 1.5, "a"), ("RJ", 2.25, "b"), ("SP", 4.75, "c")],
+        "estado string, valor double, tag string",
+    )
+    path = str(tmp_path / "csv_byestado")
+    write_csv_partitioned(df, path, ["estado"])
+
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+    schema = StructType(
+        [
+            StructField("valor", DoubleType()),
+            StructField("tag", StringType()),
+            StructField("estado", StringType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    assert {tuple(r) for r in back.select("estado", "valor", "tag").collect()} == {
+        ("SP", 1.5, "a"), ("RJ", 2.25, "b"), ("SP", 4.75, "c")
+    }
+    q = back.filter("estado = 'SP'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(estado" in plan
+    assert q.count() == 2

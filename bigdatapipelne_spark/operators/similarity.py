@@ -211,6 +211,7 @@ def ivf_topk(
     n_centroids: int | None = None,
     n_probe: int = 2,
     iters: int = 2,
+    scorer: str = "catalyst",
 ) -> DataFrame:
     """IVF approximate all-pairs top-k: coarse k-means cells, queries probe
     their ``n_probe`` nearest cells, exact cosine within the probed cells.
@@ -219,7 +220,9 @@ def ivf_topk(
     equi-join on cluster id — O(N * cell population * n_probe), never
     O(N^2). ``n_centroids`` defaults to ~sqrt(N) (balanced cells). Scores
     are cosines of the original vectors (dot of normalized copies) —
-    exactly comparable across cells.
+    exactly comparable across cells. ``scorer="arrow"`` scores each cell
+    as one numpy matmul (vectors are pre-normalized, so unit norms feed
+    the shared bucket scorer); same trade-off as srp_bucket_ann's.
     """
     if n_centroids is None:
         n_centroids = max(4, int(math.sqrt(df.count())))
@@ -239,20 +242,27 @@ def ivf_topk(
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col("vn").alias("cv"), "cluster"
     )
-    scored = (
-        q.join(c, "cluster")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "score",
-            F.aggregate(
-                F.zip_with("qv", "cv", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+    if scorer == "arrow":
+        q2 = q.withColumnRenamed("cluster", "bucket").withColumn("qn", F.lit(1.0))
+        c2 = c.withColumnRenamed("cluster", "bucket").withColumn("cn", F.lit(1.0))
+        scored = _score_buckets_topk_arrow(q2, c2, k).dropDuplicates(
+            ["query_id", "neighbor_id"]
         )
-        .select("query_id", "neighbor_id", "score")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    else:
+        scored = (
+            q.join(c, "cluster")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "score",
+                F.aggregate(
+                    F.zip_with("qv", "cv", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            .select("query_id", "neighbor_id", "score")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -524,3 +524,24 @@ def test_pack_sequences_invariants(spark):
         (F.col("bucket") == big.bucket) & (F.col("seq_no") == big.seq_no)
     ).collect()[0]
     assert srow.n_items == 1 and srow.fill_ratio == 1.0
+
+
+def test_arrow_scorers_match_catalyst(spark):
+    """The Arrow bucket scorers must produce the same pairs and ranks as
+    the Catalyst fold (scores may differ by final-ulp rounding only) for
+    both the SRP and IVF paths."""
+    from bigdatapipelne_spark.operators.similarity import ivf_topk, srp_bucket_ann
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    for fn, kw in (
+        (srp_bucket_ann, dict(dim=64, k=5, n_tables=4)),
+        (ivf_topk, dict(k=5, n_centroids=16, iters=1)),
+    ):
+        cat = {(r.query_id, r.neighbor_id): (r.rank, r.score)
+               for r in fn(emb, "vec_id", "embedding", scorer="catalyst", **kw).collect()}
+        arr = {(r.query_id, r.neighbor_id): (r.rank, r.score)
+               for r in fn(emb, "vec_id", "embedding", scorer="arrow", **kw).collect()}
+        assert set(cat) == set(arr), fn.__name__
+        for p in cat:
+            assert cat[p][0] == arr[p][0], (fn.__name__, p)       # same rank
+            assert abs(cat[p][1] - arr[p][1]) < 1e-12, (fn.__name__, p)

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -135,6 +137,38 @@ def _normalized(vec_col: str) -> F.Column:
     return F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
 
 
+def _cell_scores_udf(centroids: list[list[float]], n_out: int):
+    """Arrow-batched centroid scoring: one numpy (batch x C) matmul per
+    Arrow batch against the broadcast centroid matrix, replacing the
+    interpreted per-row transform(C x dim dot) expression (~4 evaluations
+    per vector in the IVF pipeline). ``n_out=1`` returns the best cell id
+    (np.argmax == Catalyst array_position-of-max: both take the FIRST
+    maximum); ``n_out>1`` returns the n_out highest-scoring cells, ties
+    broken toward the higher cell index to match the reverse(array_sort)
+    probe ranking."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+
+    if n_out == 1:
+        @pandas_udf("int")
+        def best_cell(vn: pd.Series) -> pd.Series:
+            S = np.stack(vn.to_numpy()) @ C.T
+            return pd.Series(np.argmax(S, axis=1).astype("int32"))
+        return best_cell
+
+    @pandas_udf("array<int>")
+    def probe_cells(vn: pd.Series) -> pd.Series:
+        S = np.stack(vn.to_numpy()) @ C.T
+        # sort by (score desc, index desc): stable argsort over
+        # index-descending columns
+        order = np.argsort(-S[:, ::-1], axis=1, kind="stable")[:, :n_out]
+        cells = (C.shape[0] - 1) - order
+        return pd.Series(list(cells.astype("int32")))
+    return probe_cells
+
+
 def ivf_assignments(
     df: DataFrame,
     id_col: str,
@@ -175,12 +209,9 @@ def ivf_assignments(
     centroids = [list(r.vn) for r in seed_rows]
 
     for _ in range(iters):
-        cents_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        assigned = normed.withColumn(
+            "cluster", _cell_scores_udf(centroids, 1)(F.col("vn"))
         )
-        scores = F.transform(cents_lit, lambda c: _dot_lit(F.col("vn"), c))
-        best = F.array_position(scores, F.array_max(scores)).cast("int") - 1
-        assigned = normed.withColumn("cluster", best)
         sums = (
             assigned.select("cluster", F.posexplode("vn").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -197,10 +228,10 @@ def ivf_assignments(
                 norm = math.sqrt(sum(x * x for x in vec)) or 1.0
                 centroids[ci] = [x / norm for x in vec]
 
-    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    scores = F.transform(cents_lit, lambda c: _dot_lit(F.col("vn"), c))
-    best = F.array_position(scores, F.array_max(scores)).cast("int") - 1
-    return normed.withColumn("cluster", best), centroids
+    return (
+        normed.withColumn("cluster", _cell_scores_udf(centroids, 1)(F.col("vn"))),
+        centroids,
+    )
 
 
 def ivf_topk(
@@ -228,11 +259,7 @@ def ivf_topk(
         n_centroids = max(4, int(math.sqrt(df.count())))
     assigned, centroids = ivf_assignments(df, id_col, vec_col, n_centroids, iters)
 
-    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    scores = F.transform(cents_lit, lambda c: _dot_lit(F.col("vn"), c))
-    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-    ranked = F.reverse(F.array_sort(F.arrays_zip(scores.alias("s"), idx.alias("i"))))
-    probes = F.transform(F.slice(ranked, 1, n_probe), lambda st: st["i"])
+    probes = _cell_scores_udf(centroids, n_probe)(F.col("vn"))
 
     q = assigned.select(
         F.col(id_col).alias("query_id"),

@@ -96,3 +96,40 @@ def dequantize_int8(q: Column | str, scale: Column | str) -> Column:
     cq = F.col(q) if isinstance(q, str) else q
     s = F.col(scale) if isinstance(scale, str) else scale
     return F.transform(cq, lambda x: x.cast("double") * s)
+
+
+def feature_hash_buckets(tok_col, dim: int):
+    """Hashing-trick bucket id per token: first 8 md5 hex chars mod
+    ``dim`` — the model-free featurizer that maps unbounded vocabulary
+    into a fixed-dimension space (Weinberger et al.'s feature hashing).
+    Deterministic and engine-portable; DuckDB mirror:
+    ``CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % dim``."""
+    from pyspark.sql import functions as F
+
+    c = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint") % dim
+
+
+def feature_hash_counts(df, id_col: str, text_col: str, dim: int = 64):
+    """Sparse hashed bag-of-words: one row per (id, bucket) with the token
+    count landing in that bucket. The fixed-dimension representation a
+    pipeline feeds to clustering/classification without training a
+    vocabulary; collisions are the accepted trade (bounded by 1/dim).
+
+    Plan shape: tokenize (narrow, codegen) -> explode -> ONE grouped count
+    on (id, bucket) with map-side partial aggregation — the shuffle
+    carries at most dim rows per document regardless of document length.
+    Assemble the dense ``array`` form downstream with
+    ``F.array([F.sum(F.when(bucket == i, cnt)) ...])`` or a pivot only
+    when a consumer needs it; the sparse rows are the scale form."""
+    from pyspark.sql import functions as F
+
+    from bigdatapipelne_spark.functions.text import tokens
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    exploded = toks.select(id_col, F.explode("__toks").alias("tok"))
+    return (
+        exploded.withColumn("bucket", feature_hash_buckets("tok", dim))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1408,3 +1408,31 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "doc_feature_hash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    exploded AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+    bucketed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket
+      FROM exploded
+    )
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bucketed GROUP BY doc_id, bucket
+    """,
+)
+def doc_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (functions/vectors.py: feature_hash_counts): every
+    document's tokens mapped into a fixed 64-dim space by md5-bucket —
+    the model-free featurizer for clustering/classification over
+    unbounded vocabularies. Emitted as sparse (doc_id, bucket, cnt) rows
+    (the scale form: <= dim rows per doc cross the shuffle regardless of
+    document length); the md5 bucket function is engine-portable, so the
+    oracle replays it exactly."""
+    from bigdatapipelne_spark.functions.vectors import feature_hash_counts
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return feature_hash_counts(docs, "doc_id", "text", dim=64)

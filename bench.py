@@ -74,14 +74,17 @@ def main() -> None:
     # time; at that size the relative noise is smaller anyway).
     RERUN_CAP_S = 30.0
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     total = 0.0
     first = {name: run_once(name) for name in sorted(QUERIES)}
     for name, dt1 in first.items():
         dt = dt1
+        samples[name] = [round(dt1, 3)]
         if dt1 == dt1 and dt1 < RERUN_CAP_S:
             dt2 = run_once(name)
             if dt2 == dt2:
                 dt = min(dt1, dt2)
+                samples[name].append(round(dt2, 3))
         timings[name] = round(dt, 3)
         if dt == dt:  # not NaN
             total += dt
@@ -90,7 +93,13 @@ def main() -> None:
         "metric": "query_sweep_total",
         "value": round(total, 3),
         "unit": "sec",
+        # Methodology is tagged (and both raw samples recorded) so
+        # cross-round totals are comparable: rounds 1-2 were single-pass,
+        # round 3+ is min-of-two capped at 30 s. Compare like with like —
+        # samples[name][0] is the single-pass-equivalent figure.
+        "methodology": "best_of_two_min_capped_30s",
         "queries": timings,
+        "samples": samples,
         "n_queries": len(timings),
         "sf": sf,
     }
@@ -107,6 +116,7 @@ def main() -> None:
                 "metric": "query_sweep_total",
                 "value": round(total, 3),
                 "unit": "sec",
+                "methodology": "best_of_two_min_capped_30s",
                 "queries": slowest,
                 "n_queries": len(timings),
                 "sf": sf,

@@ -60,7 +60,7 @@ def l2_normalize(a: Column | str, norm: Column | str | None = None) -> Column:
     Pass ``norm`` as a PRECOMPUTED column in pairwise/hot paths: Spark does
     no CSE across higher-order-function lambda boundaries, so an inlined
     norm is re-evaluated per element — O(dim^2) per row instead of O(dim)
-    (same trap as tokenize-inside-shingle; see .claude verify notes)."""
+    (same trap as tokenize-inside-shingle in operators/dedup.py)."""
     ca = F.col(a) if isinstance(a, str) else a
     n = (F.col(norm) if isinstance(norm, str) else norm) if norm is not None else l2_norm(ca)
     return F.when(

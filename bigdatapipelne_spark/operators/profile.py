@@ -52,6 +52,7 @@ def mad_outliers(
     group_cols: list[str],
     *,
     threshold: float = 3.5,
+    broadcast_stats: bool = False,
 ) -> DataFrame:
     """Robust anomaly detection: per-group modified z-score from the median
     and the median absolute deviation (Iglewicz-Hoberg: z = 0.6745 *
@@ -65,19 +66,28 @@ def mad_outliers(
     tiny per-group stats frame back to the data — with low-cardinality
     groups both joins broadcast, so the full pass is two scans and zero
     wide shuffles of the fact table.
+
+    ``group_cols`` cardinality is caller-controlled, so the stats frames
+    are NOT force-broadcast by default: AQE sizes them at runtime and
+    broadcasts when they fit (a forced hint on a high-cardinality group
+    set would OOM the driver). Pass ``broadcast_stats=True`` only when the
+    caller knows the group count is small and wants to pin the plan.
     """
+    def _hint(frame: DataFrame) -> DataFrame:
+        return F.broadcast(frame) if broadcast_stats else frame
+
     med = df.groupBy(*group_cols).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("_med")
     )
     mad = (
-        df.join(F.broadcast(med), group_cols)
+        df.join(_hint(med), group_cols)
         .groupBy(*group_cols)
         .agg(
             F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad"),
             F.first("_med").alias("_med"),
         )
     )
-    scored = df.join(F.broadcast(mad), group_cols)
+    scored = df.join(_hint(mad), group_cols)
     z = F.when(
         F.col("_mad") > 0,
         0.6745 * (F.col(value_col) - F.col("_med")) / F.col("_mad"),

@@ -84,10 +84,28 @@ def read_events_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow.types as pat
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    probe = path if os.path.isfile(path) else sorted(_glob.glob(f"{path}/*.parquet"))[0]
+    if os.path.isfile(path):
+        probe = path
+    else:
+        candidates = sorted(_glob.glob(f"{path}/*.parquet")) or sorted(
+            _glob.glob(f"{path}/**/*.parquet", recursive=True)
+        )
+        if not candidates:
+            raise FileNotFoundError(
+                f"read_events_parquet_stream: no *.parquet files under {path!r} "
+                "to probe for the timestamp unit (empty or non-parquet directory)"
+            )
+        probe = candidates[0]
     unit = next(
-        f.type.unit for f in pq.read_schema(probe) if pat.is_timestamp(f.type)
+        (f.type.unit for f in pq.read_schema(probe) if pat.is_timestamp(f.type)),
+        None,
     )
+    if unit is None:
+        # No physical timestamp column in the footer: fall back to the
+        # canonical EVENTS_SCHEMA (MICROS path) instead of an opaque
+        # StopIteration — a genuinely incompatible file then fails in the
+        # scan with the column name in the error.
+        unit = "us"
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         src = read_events_stream(spark, path, schema=EVENTS_NANOS_SCHEMA, fmt="parquet")

@@ -543,5 +543,23 @@ def test_arrow_scorers_match_catalyst(spark):
                for r in fn(emb, "vec_id", "embedding", scorer="arrow", **kw).collect()}
         assert set(cat) == set(arr), fn.__name__
         for p in cat:
-            assert cat[p][0] == arr[p][0], (fn.__name__, p)       # same rank
             assert abs(cat[p][1] - arr[p][1]) < 1e-12, (fn.__name__, p)
+        # Ranks must agree EXCEPT among candidates whose scores sit within
+        # the summation-ulp tolerance: two neighbors closer than the
+        # numpy-vs-Catalyst fold divergence can legitimately swap order, so
+        # a strict rank equality would be fragile to data/BLAS changes.
+        TOL = 1e-9
+        by_query: dict = {}
+        for (q, n), (rank, score) in cat.items():
+            by_query.setdefault(q, []).append((n, rank, arr[(q, n)][0], score))
+        for q, rows in by_query.items():
+            for n, cat_rank, arr_rank, score in rows:
+                if cat_rank == arr_rank:
+                    continue
+                # every candidate between the two rank positions must be a
+                # near-tie with this one, else the swap is a real bug
+                lo, hi = sorted((cat_rank, arr_rank))
+                crossed = [s for (_, r2, _, s) in rows if lo <= r2 <= hi]
+                assert all(abs(s - score) < TOL for s in crossed), (
+                    fn.__name__, q, n, cat_rank, arr_rank,
+                )

@@ -78,11 +78,24 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         "lineitem_quality",  # 1-row total-count broadcast per relational rule
         "hll_users_rollup",  # 1-row x 1-row merged-sketch vs exact-count join
     }
-    # *_drain queries (and the stream-join twin) RUN a stream when their
-    # DataFrame is constructed; they are audited in their own tests.
+    # Queries that RUN a stream when their DataFrame is constructed are
+    # audited in their own tests. The exemption list is EXPLICIT (not a
+    # name-suffix rule): a future query named *_drain does not silently
+    # escape the audit, and the set-equality check below forces every new
+    # drain to be added here deliberately.
     streaming_drains = {
-        n for n in QUERIES if n.endswith("_drain")
-    } | {"purchase_view_stream_join"}
+        "fraud_stream_drain",
+        "session_stream_drain",
+        "stream_dedup_drain",
+        "enriched_stream_drain",
+        "purchase_view_outer_drain",
+        "user_scd2_stream_drain",
+        "purchase_view_stream_join",
+    }
+    assert {n for n in QUERIES if n.endswith("_drain")} <= streaming_drains, (
+        "new *_drain query must be explicitly reviewed and added to the "
+        "streaming exemption list (it escapes the plan audit)"
+    )
     # doc_chunks_udtf IS the deliberate Python-UDTF escape hatch — its
     # codegen twin (doc_chunks) is the hot path and their row-equality is
     # asserted in test_llm_ops.

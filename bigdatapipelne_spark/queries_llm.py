@@ -624,6 +624,94 @@ def embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=32, iters=1)
 
 
+# ---------------------------------------------------------------------------
+# Top-k ANN recall certificates. embedding_ann / embedding_ivf above are
+# rows-only by nature (approximate output, no SQL twin); these two convert
+# their evidence to value-checked: the oracle computes the EXACT top-k pair
+# count in SQL and asserts recall_ge_floor = TRUE, the Spark side emits
+# TRUE only if the ANN pairs (semi-joined against an in-plan exact top-k
+# twin) cover >= the floor. A recall regression flips the boolean and the
+# driver's hash check fails. Same pattern as embedding_ann_recall, applied
+# to the top-k paths.
+# ---------------------------------------------------------------------------
+
+# Deterministic input bound: keeps the exact twin's O(C^2) scoring capped at
+# any SF (no-op at the test SFs, where the corpus has <= 2048 vectors).
+TOPK_RECALL_CAP = 2048
+
+# Floors measured on the synthetic corpus across sf0.001/0.01/0.1:
+# SRP 8-table top-5 recall 0.978-0.996 (single table ~0.5) -> 0.9 leaves
+# drift margin without letting a table-construction regression through.
+# IVF 16-cell/4-probe scans 25% of the corpus and measures 0.531-0.572 ->
+# 0.4 is decisively above the 0.25 random-scan baseline a broken assignment
+# would produce.
+ANN_TOPK_RECALL_FLOOR = 0.9
+IVF_TOPK_RECALL_FLOOR = 0.4
+
+
+def _topk_recall_certificate(
+    emb: DataFrame, ann: DataFrame, floor: float
+) -> DataFrame:
+    """(n_exact_pairs, recall_ge_floor) from an exact in-plan top-5 twin."""
+    exact = brute_force_topk(emb, emb, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    found = ann.select("query_id", "neighbor_id").join(
+        exact, ["query_id", "neighbor_id"], "left_semi"
+    )
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return ne.crossJoin(nf).select(
+        "n_exact_pairs",
+        (F.col("n_found") >= F.lit(floor) * F.col("n_exact_pairs")).alias(
+            "recall_ge_floor"
+        ),
+    )
+
+
+_TOPK_EXACT_COUNT_SQL = f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {TOPK_RECALL_CAP}),
+    scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             {_sql_cosine('a.embedding', 'b.embedding')} AS score
+      FROM v a, v b WHERE a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT qid, row_number() OVER (
+        PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+      FROM scored
+    )
+    SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ge_floor
+    FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("ann_topk_recall", oracle=_TOPK_EXACT_COUNT_SQL)
+def ann_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked recall bound for the SRP top-k path
+    (operators/similarity.py: srp_bucket_ann, 8 OR-amplified tables +
+    1-bit multi-probe): closes the last rows-only gap on the ANN surface
+    alongside embedding_ann_recall's pair-mining certificate."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < TOPK_RECALL_CAP)
+    ann = srp_bucket_ann(
+        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=5, n_tables=8
+    )
+    return _topk_recall_certificate(emb, ann, ANN_TOPK_RECALL_FLOOR)
+
+
+@query("ivf_topk_recall", oracle=_TOPK_EXACT_COUNT_SQL)
+def ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked recall bound for the IVF top-k path
+    (operators/similarity.py: ivf_topk, 16 cells / 4 probes — a 25%
+    corpus scan that must beat its own scan fraction decisively)."""
+    from bigdatapipelne_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < TOPK_RECALL_CAP)
+    ann = ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4, iters=1)
+    return _topk_recall_certificate(emb, ann, IVF_TOPK_RECALL_FLOOR)
+
+
 _CHUNKS_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     ch AS (

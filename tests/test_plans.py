@@ -70,6 +70,8 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
     allowed_nested_loop = {
         "embedding_near_dup",
         "embedding_ann_recall",
+        "ann_topk_recall",   # capped exact top-k twin inside the certificate
+        "ivf_topk_recall",   # capped exact top-k twin inside the certificate
         "embedding_topk",
         "q11_value_concentration",
         "q22_idle_customers",

@@ -38,13 +38,27 @@ def md5_bucket(id_col: Column | str, n_buckets: int) -> Column:
     )
 
 
+TARGET_ROWS_PER_BUCKET = 5_000_000
+"""Adaptive-default bound on a bucket's (id, length) pandas frame: ~5 M
+16-byte pairs ≈ 80 MB per task — comfortable executor headroom."""
+
+
+def pick_n_buckets(n_rows: int, target_rows_per_bucket: int = TARGET_ROWS_PER_BUCKET) -> int:
+    """Bucket count sizing: enough buckets that no bucket's (id, length)
+    list exceeds ``target_rows_per_bucket`` in expectation, floored at 32
+    so small inputs still parallelize. Pure function of the row count, so
+    the derived layout stays a pure function of the data."""
+    return max(32, -(-n_rows // max(1, target_rows_per_bucket)))
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
     len_col: str,
     *,
     seq_len: int,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
+    target_rows_per_bucket: int = TARGET_ROWS_PER_BUCKET,
 ) -> DataFrame:
     """Assign every item a ``(bucket, seq_no, start_off)`` packing slot.
 
@@ -59,7 +73,16 @@ def pack_sequences(
     Only (id, length) rows cross the shuffle — pack first, then join the
     payload back by id, so the text/token arrays never funnel through the
     per-bucket pandas frames.
+
+    ``n_buckets=None`` (the default) sizes the fan-out from the input via
+    ``pick_n_buckets`` (one count job) so per-bucket memory stays bounded
+    at ANY corpus size — a fixed default would grow each bucket's pandas
+    frame linearly with the data. Pass an explicit ``n_buckets`` when the
+    layout must be reproducible independent of the row count (the
+    oracle-checked gate query does).
     """
+    if n_buckets is None:
+        n_buckets = pick_n_buckets(df.count(), target_rows_per_bucket)
     out_schema = (
         f"{id_col} long, bucket int, seq_no long, n_tokens long, start_off long"
     )

@@ -526,6 +526,63 @@ def test_pack_sequences_invariants(spark):
     assert srow.n_items == 1 and srow.fill_ratio == 1.0
 
 
+def test_pack_sequences_adaptive_buckets(spark):
+    """The adaptive default sizes n_buckets from the input so per-bucket
+    row counts stay bounded, and the derived layout is still a pure
+    function of the data (same result across partitionings and reruns) and
+    a valid packing at every bucket count."""
+    from bigdatapipelne_spark.operators.packing import (
+        pack_sequences,
+        pick_n_buckets,
+    )
+
+    # sizing: floored at 32, then ceil(n / target)
+    assert pick_n_buckets(10, 5_000_000) == 32
+    assert pick_n_buckets(5_000_000, 5_000_000) == 32
+    assert pick_n_buckets(320_000_001, 5_000_000) == 65
+    assert pick_n_buckets(10_000_000_000, 5_000_000) == 2000
+
+    rows = [(i, (i * 53) % 300 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+
+    # tiny target -> many buckets; the expected per-bucket bound holds
+    # with md5 slack (hash imbalance, not a layout bug, is the only
+    # reason a bucket may exceed the target slightly)
+    packed = pack_sequences(
+        df, "doc_id", "n", seq_len=256, target_rows_per_bucket=10
+    ).collect()
+    assert len(packed) == 500
+    per_bucket: dict[int, int] = {}
+    for r in packed:
+        per_bucket[r.bucket] = per_bucket.get(r.bucket, 0) + 1
+    assert max(per_bucket.values()) <= 4 * 10  # expectation 10, 4x md5 slack
+
+    # pure function of the data: rerun + repartition give the identical
+    # layout, at the adaptive count and at explicit counts bracketing it
+    again = pack_sequences(
+        df.repartition(17), "doc_id", "n", seq_len=256, target_rows_per_bucket=10
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, packed))
+    for nb in (1, 7, 50):
+        one = pack_sequences(df, "doc_id", "n", seq_len=256, n_buckets=nb)
+        two = pack_sequences(
+            df.repartition(5), "doc_id", "n", seq_len=256, n_buckets=nb
+        )
+        got_one = sorted(map(tuple, one.collect()))
+        assert got_one == sorted(map(tuple, two.collect()))
+        # valid packing at every bucket count: no overflow, contiguous offs
+        by_seq: dict = {}
+        for t_ in got_one:
+            by_seq.setdefault((t_[1], t_[2]), []).append(t_)
+        for items in by_seq.values():
+            items.sort(key=lambda t_: t_[4])
+            assert sum(it[3] for it in items) <= 256
+            off = 0
+            for it in items:
+                assert it[4] == off
+                off += it[3]
+
+
 def test_arrow_scorers_match_catalyst(spark):
     """The Arrow bucket scorers must produce the same pairs and ranks as
     the Catalyst fold (scores may differ by final-ulp rounding only) for

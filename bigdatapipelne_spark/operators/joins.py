@@ -264,7 +264,20 @@ def salted_join(
     NOT used — we hash the whole left row's key + a per-row random-free
     component ``spark_partition_id`` + row position is unstable, so we use
     ``pmod(hash(<all left columns>), salt)``, stable for a given row
-    content)."""
+    content).
+
+    Relationship to AQE's skew-join (certified in
+    tests/test_joins.py::test_aqe_skew_join_splits_and_preserves_semantics):
+    ``spark.sql.adaptive.skewJoin`` splits the hot shuffle partition at
+    runtime with zero code change, and is the first choice for a BARE
+    sort-merge join. But OptimizeSkewedJoin declines whenever the join
+    output must keep its hash distribution — e.g. a groupBy on the join
+    key directly downstream, the common agg-after-join pipeline shape —
+    because splitting would break the required partitioning (unless
+    ``forceOptimizeSkewedJoin`` buys it back with an extra shuffle).
+    Manual salting stays the predictable path there: the salt is part of
+    the join key, so the split survives into any downstream distribution
+    at the cost of replicating the build side ``salt`` times."""
     salt_col = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
     l = left.withColumn("_salt", salt_col)
     r = right.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))

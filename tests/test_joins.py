@@ -127,3 +127,72 @@ def test_salted_join_matches_plain_join(spark):
     salted = {(r.k, r.lv, r.rv) for r in salted_join(left, right, "k", salt=8).collect()}
     assert salted == plain
     assert len(salted) == 1000
+
+
+def test_aqe_skew_join_splits_and_preserves_semantics(spark):
+    """The engine's stance on skew at scale, certified end-to-end: AQE's
+    OptimizeSkewedJoin splits the hot partition of a bare sort-merge join
+    (the plan literally shows SortMergeJoin(skew=true) + AQEShuffleRead
+    skewed) and the result is identical to the unsplit join and to the
+    manual salted_join. Thresholds are lowered so the optimization fires
+    at test scale; at 100 TB the defaults (256 MB / 5x median) fire on
+    real hot keys.
+
+    Also documents WHY salted_join still exists: with a groupBy on the
+    join key downstream, OptimizeSkewedJoin declines (splitting would
+    break the required distribution), so the agg-after-join shape needs
+    the salt — asserted below by the absence of the skew marker."""
+    skew_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in skew_confs}
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        # 90% of 300k rows on one key; 97 cold keys carry the rest
+        big = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise((F.col("id") % 97).cast("string"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 98).select(
+            F.when(F.col("id") == 97, F.lit("hot"))
+            .otherwise(F.col("id").cast("string"))
+            .alias("k"),
+            (F.col("id") * 2).alias("w"),
+        )
+        joined = big.join(right, "k")
+        got = {(r.k, r.v, r.w) for r in joined.collect()}
+        plan = joined._jdf.queryExecution().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+
+        # semantics preserved: identical to the join with skew-split off
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        unsplit = {(r.k, r.v, r.w) for r in big.join(right, "k").collect()}
+        assert got == unsplit
+        # and to the manual salted path (the agg-friendly alternative)
+        salted = {
+            (r.k, r.v, r.w) for r in salted_join(big, right, "k", salt=8).collect()
+        }
+        assert got == salted
+
+        # the agg-after-join shape: distribution requirement forbids the
+        # split, so the skew marker must NOT appear — the case salted_join
+        # is for
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        agged = big.join(right, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        agged.collect()
+        assert "skew=true" not in agged._jdf.queryExecution().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

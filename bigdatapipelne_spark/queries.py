@@ -606,26 +606,37 @@ _GATE_PRIORITY = [
     # this round — their round-2 green rows stand, code unchanged, and
     # card_medallion_disk keeps the medallion chain certified in-gate.
     # Their slots go to the late-round-3 operators below.
-    # TPC-H-style analytics surface. q1/q3/q4/q5 rotate out this round
-    # (round-2 green rows standing, code unchanged) so the round-3
-    # additions q2/q11/q12/q20/q21 — completing the TPC-H 22 — get gated.
+    # TPC-H-style analytics surface. After round 3 every one of the 22 has
+    # a green driver row; 12 rotate out this round (rows standing, code
+    # unchanged) to give their slots to the 10 queries that have NEVER had
+    # a driver row plus the two new ANN recall certificates. Five stay as
+    # family anchors: correlated subquery (q2), multi-join volume (q7),
+    # global-scalar HAVING (q11), semi-join chain (q20), anti-join +
+    # scalar avg (q22).
     "q2_min_cost_supplier",
     "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
     "q11_value_concentration",
-    "q12_priority_late_lines",
-    "q13_custdist",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
     "q20_dominant_suppliers",
-    "q21_waiting_orders",
     "q22_idle_customers",
+    # Never-gated until now (registration slots 51+ in r02 and r03): CUBE,
+    # exact percentiles, INTERSECT, the batch SCD2 snapshot, the streaming
+    # sketch store, stream-static enrichment, the cogrouped as-of twin,
+    # the Pandas UDAF, pointer-doubling CC, feature hashing — every
+    # registered query now has a driver row within r02-r04.
+    "cube_order_stats",
+    "value_percentiles",
+    "engaged_days",
+    "user_scd2",
+    "hll_stream_rollup",
+    "enriched_stream_drain",
+    "asof_purchase_view_cogroup",
+    "user_value_median_udaf",
+    "near_dup_clusters_pd",
+    "doc_feature_hash",
+    # Round-4 additions: recall certificates for the top-k ANN paths (the
+    # last rows-only evidence on the ANN surface becomes value-checked).
+    "ann_topk_recall",
+    "ivf_topk_recall",
     # top_customers, distinct_parts_per_brand, user_running_total and
     # user_sessions rotate out (round-2 green rows stand, code unchanged)
     # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,

@@ -1,0 +1,146 @@
+"""Corpus selection: token-budget selection via a distributed prefix sum,
+and deterministic per-stratum fraction sampling.
+
+The "which documents make the training cut" step after dedup/quality
+scoring. Both operators are built so the document text never moves: they
+compute over narrow (id, score, n_tokens) projections and the caller joins
+the verdict back by id.
+
+Token-budget selection ("take the best documents until the token budget is
+spent") is a global cumulative sum over a total order — the textbook
+straggler if expressed as one unpartitioned window (every row funnels
+through a single WindowExec task). The scale design is the classic
+two-pass distributed prefix sum:
+
+1. range-repartition the narrow projection on the order key, so partition
+   p holds ranks strictly before partition p+1 (Spark's RangePartitioner
+   samples boundaries — one extra pass over the narrow frame);
+2. per-partition token subtotals (a tiny P-row aggregate) are collected,
+   cumulated on the driver (P numbers, KB-sized at any data scale), and
+   broadcast back as each partition's starting offset;
+3. a window partitioned BY the partition id (parallel, no global funnel)
+   adds the in-partition running sum to the offset — the exact global
+   cumulative sum, computed with no single-task bottleneck.
+
+Reference scope: the reference pipeline has no selection step; this is
+north-star surface for the 100 TB training-data use case (SURVEY.md §2
+extension family, same tier as dedup/sampling/packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    score_col: str,
+    *,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy token-budget selection: walk documents in (score DESC, id ASC)
+    order, keep each while the running token total stays <= ``budget``.
+
+    Emits ``id_col, n_tokens, score, cum_tokens, selected`` — one row per
+    input document, ``selected`` true for the kept prefix (callers filter
+    or join back by id). ``cum_tokens`` includes the document's own tokens,
+    so the selection rule is exactly ``cum_tokens <= budget`` — a document
+    that would overflow the budget is dropped but later smaller documents
+    are NOT back-filled (strict prefix semantics: deterministic, order-
+    independent, and SQL-replicable with one window — knapsack-style
+    back-filling would be none of those).
+
+    The global cumsum runs as the two-pass distributed prefix sum described
+    in the module docstring; only (id, tokens, score) rows are ever
+    shuffled. The driver materializes one number per partition — KB-sized
+    at any scale.
+    """
+    narrow = df.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    parts = num_partitions or narrow.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = narrow.repartitionByRange(
+        int(parts), F.desc("score"), F.asc(id_col)
+    ).withColumn("_pid", F.spark_partition_id())
+
+    # Pass 1: per-partition subtotals -> driver-side running offsets.
+    # RangePartitioner keys partition p strictly before p+1 in the sort
+    # order, so offsets[p] = sum of tokens in partitions < p.
+    subtotals = {
+        r["_pid"]: r["subtotal"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("subtotal"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(subtotals):
+        offsets.append((pid, acc))
+        acc += subtotals[pid]
+    spark = narrow.sparkSession
+    offsets_df = spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _offset long"
+    )
+
+    # Pass 2: in-partition running sum (window partitioned by _pid — every
+    # partition cumulates in parallel) + the broadcast per-partition offset.
+    # (The range shuffle re-executes for this second job; RangePartitioner
+    # boundary sampling is seeded deterministically, so both jobs see the
+    # identical row->partition assignment. Callers at scale can persist the
+    # ranged frame to pay the narrow shuffle once.)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets_df), "_pid", "left")
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(w) + F.coalesce(F.col("_offset"), F.lit(0)),
+        )
+        .withColumn("selected", F.col("cum_tokens") <= F.lit(budget))
+        .drop("_pid", "_offset")
+    )
+
+
+def uniform_hash(col: Column | str) -> Column:
+    """Deterministic cross-engine uniform in [0, 1): the first 8 hex chars
+    of md5(value as string) scaled by 2^32. DuckDB mirror:
+    ``('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 8))::BIGINT /
+    4294967296.0`` — the same construction dataset_splits/md5_bucket use,
+    widened to a unit float."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+
+
+def sample_fraction_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Stratified Bernoulli sampling with a deterministic coin: keep a row
+    when ``uniform_hash(id) < fraction(group)``.
+
+    Unlike ``DataFrame.sampleBy`` the decision is a pure function of the
+    row's id — re-runs, retries, and other engines (the DuckDB oracle)
+    reproduce the exact same sample, and the expected rate per stratum is
+    ``fractions[group]``. No shuffle: the filter evaluates in the scan
+    stage and pushes into codegen.
+    """
+    frac = F.lit(float(default_fraction))
+    for g, f in sorted(fractions.items()):
+        frac = F.when(F.col(group_col) == g, F.lit(float(f))).otherwise(frac)
+    return df.filter(uniform_hash(id_col) < frac)

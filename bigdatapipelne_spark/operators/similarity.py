@@ -51,27 +51,57 @@ def brute_force_topk(
     id_col: str,
     vec_col: str,
     k: int = 3,
+    scorer: str = "catalyst",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, score, rank<=k).
 
     Ranking uses (score DESC, neighbor_id) — the unique tiebreaker keeps
-    top-k deterministic under ties on any cluster size."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        l2_norm(vec_col).alias("qn"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm(vec_col).alias("cn"),
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine_from_norms("qv", "cv", "qn", "cn"))
-    )
+    top-k deterministic under ties on any cluster size.
+
+    ``scorer="catalyst"`` (default) scores with the bit-deterministic
+    Catalyst fold — keep it wherever scores feed a hash-checked oracle
+    (embedding_topk). The fold is INTERPRETED per pair, so exact twins
+    inside recall certificates use ``scorer="arrow"``: queries shard into
+    ``n_shards`` groups (default: the session's parallelism), candidates
+    replicate per shard, and each shard scores as one numpy matmul —
+    same pairs and ranks (ties within summation ulp may swap; callers of
+    the arrow path compare pair SETS with a floor, never score hashes)."""
+    if scorer == "arrow":
+        spark = queries.sparkSession
+        shards = int(n_shards or spark.sparkContext.defaultParallelism)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            l2_norm(vec_col).alias("qn"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(shards)).alias("bucket"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            l2_norm(vec_col).alias("cn"),
+            F.explode(F.array(*[F.lit(i) for i in range(shards)])).alias("bucket"),
+        )
+        # every query sees the FULL corpus in its one shard, so per-bucket
+        # top-k is already the global top-k — no dedup/re-rank join needed
+        scored = _score_buckets_topk_arrow(q, c, k)
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            l2_norm(vec_col).alias("qn"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            l2_norm(vec_col).alias("cn"),
+        )
+        scored = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("score", cosine_from_norms("qv", "cv", "qn", "cn"))
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -634,15 +634,23 @@ _GATE_PRIORITY = [
     "near_dup_clusters_pd",
     "doc_feature_hash",
     # Round-4 additions: recall certificates for the top-k ANN paths (the
-    # last rows-only evidence on the ANN surface becomes value-checked).
+    # last rows-only evidence on the ANN surface becomes value-checked)
+    # and the corpus-selection family (quality-ranked dedup
+    # representative, distributed-prefix-sum token budgeting, md5-coin
+    # stratified sampling). Their slots come from q6_forecast_revenue /
+    # user_moving_avg / top_parts_per_brand rotating out with standing
+    # r03 rows (window-family coverage stays via customer_order_gaps and
+    # purchase_only_days).
     "ann_topk_recall",
     "ivf_topk_recall",
+    "deduped_best_quality",
+    "corpus_budget_select",
+    "docs_sample_fraction",
     # top_customers, distinct_parts_per_brand, user_running_total and
     # user_sessions rotate out (round-2 green rows stand, code unchanged)
     # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,
     # set ops, skew handling, profiling)
     "priority_rollup",
-    "q6_forecast_revenue",
     "session_stream_drain",
     "approx_users_per_type",
     "user_type_pivot",
@@ -652,8 +660,6 @@ _GATE_PRIORITY = [
     # percentile() is still driver-exercised inside
     # value_percentiles_approx's rank brackets.
     "purchase_only_days",
-    "user_moving_avg",
-    "top_parts_per_brand",
     "salted_skew_join",
     "customer_order_gaps",
     "lineitem_profile",

@@ -652,10 +652,16 @@ IVF_TOPK_RECALL_FLOOR = 0.4
 def _topk_recall_certificate(
     emb: DataFrame, ann: DataFrame, floor: float
 ) -> DataFrame:
-    """(n_exact_pairs, recall_ge_floor) from an exact in-plan top-5 twin."""
-    exact = brute_force_topk(emb, emb, "vec_id", "embedding", k=5).select(
-        "query_id", "neighbor_id"
-    )
+    """(n_exact_pairs, recall_ge_floor) from an exact in-plan top-5 twin.
+
+    The twin scores via the Arrow matmul path (scorer="arrow"): the
+    certificate compares pair SETS against a floor with margin, so the
+    fold-vs-BLAS final-ulp rank swaps that forbid Arrow on score-hashed
+    queries are harmless here — and the interpreted per-pair fold would
+    otherwise dominate the whole sweep (49 s -> ~4 s at sf0.1)."""
+    exact = brute_force_topk(
+        emb, emb, "vec_id", "embedding", k=5, scorer="arrow"
+    ).select("query_id", "neighbor_id")
     found = ann.select("query_id", "neighbor_id").join(
         exact, ["query_id", "neighbor_id"], "left_semi"
     )
@@ -695,7 +701,8 @@ def ann_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside embedding_ann_recall's pair-mining certificate."""
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < TOPK_RECALL_CAP)
     ann = srp_bucket_ann(
-        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=5, n_tables=8
+        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=5, n_tables=8,
+        scorer="arrow",
     )
     return _topk_recall_certificate(emb, ann, ANN_TOPK_RECALL_FLOOR)
 
@@ -708,7 +715,10 @@ def ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatapipelne_spark.operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < TOPK_RECALL_CAP)
-    ann = ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4, iters=1)
+    ann = ivf_topk(
+        emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4, iters=1,
+        scorer="arrow",
+    )
     return _topk_recall_certificate(emb, ann, IVF_TOPK_RECALL_FLOOR)
 
 
@@ -884,6 +894,177 @@ def deduped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node").isNull() | (F.col("cluster_id") == F.col("doc_id")))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# Shared CTE prefix: ngram-Jaccard pair mining -> recursive-CTE transitive
+# closure (the exact clusters deduped_documents/near_dup_clusters use).
+_DEDUP_CLUSTERS_CTE = f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {{toks}} AS w FROM documents),
+    sh AS (SELECT doc_id, {{shingles}} AS shingles FROM toks),
+    hashed AS (
+      SELECT doc_id, md5(s) AS sh
+      FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    clusters AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    )
+"""
+
+# Per-document composite quality, exactly as doc_quality certifies it
+# (stopword ratio and punctuation ratio halves), null-coalesced to 0 so
+# ranking order is engine-independent for empty/degenerate texts.
+_QUALITY_EXPR_SQL = f"""
+      COALESCE(
+        (CASE WHEN len({_SQL_TOKS}) > 0 THEN
+           CAST(len(list_filter({_SQL_TOKS},
+                x -> list_contains({_SQL_STOPWORD_LIST}, x))) AS DOUBLE)
+           / CAST(len({_SQL_TOKS}) AS DOUBLE) END) * 0.5
+        + (1.0 - (CASE WHEN length(text) > 0 THEN
+             CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                  AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) END)) * 0.5,
+        0.0)
+"""
+
+
+@query(
+    "deduped_best_quality",
+    oracle=_DEDUP_CLUSTERS_CTE.format(toks=_SQL_TOKS, shingles=_SQL_SHINGLES)
+    + f""",
+    scored AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             {_QUALITY_EXPR_SQL} AS quality,
+             COALESCE(c.cluster_id, d.doc_id) AS ck
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars, quality,
+             row_number() OVER (PARTITION BY ck
+                                ORDER BY quality DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, lang, n_chars, quality FROM ranked WHERE rnk = 1
+    """,
+)
+def deduped_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup keeping the BEST document per near-dup cluster instead
+    of the minimum id: pair mining → connected components → rank each
+    cluster by composite quality (ties to the lower doc_id) and keep rank
+    1, plus every unpaired document. The representative choice is what a
+    real training pipeline ships (drop the low-quality mirror, keep the
+    clean original); quality equality across engines is already certified
+    by doc_quality, so the oracle re-derives the identical ranking."""
+    from bigdatapipelne_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_duplicates(
+        docs.select("doc_id", "text"), "doc_id", "text", n=3, threshold=0.05
+    )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    scored = (
+        docs.join(clusters, docs.doc_id == clusters.node, "left")
+        .withColumn("quality", F.coalesce(quality_score("text"), F.lit(0.0)))
+        .withColumn("ck", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("ck").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", "lang", "n_chars", "quality")
+    )
+
+
+# Budget constant for the gated selection query: ~half the sf0.01 corpus
+# by tokens, so `selected` is a discriminating boolean at every SF.
+_CORPUS_TOKEN_BUDGET = 15_000
+
+
+@query(
+    "corpus_budget_select",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             {_QUALITY_EXPR_SQL} AS score
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, score,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, n_tokens, score, cum_tokens,
+           cum_tokens <= {_CORPUS_TOKEN_BUDGET} AS selected
+    FROM c
+    """,
+)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (operators/selection.py:
+    budget_select): walk documents best-quality-first and keep each while
+    the running token total fits the budget — the "which docs make the
+    training cut" step. The global cumulative sum runs as a two-pass
+    distributed prefix sum (range partition → per-partition subtotals →
+    broadcast offsets → per-partition windows), never a single-task
+    global window; the oracle is the one-window SQL equivalent."""
+    from bigdatapipelne_spark.operators.selection import budget_select
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_toks"),
+        F.coalesce(quality_score("text"), F.lit(0.0)).alias("q"),
+    )
+    return budget_select(
+        docs, "doc_id", "n_toks", "q", budget=_CORPUS_TOKEN_BUDGET
+    )
+
+
+@query(
+    "docs_sample_fraction",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                      WHEN 'zh' THEN 0.1 ELSE 0.05 END
+    """,
+)
+def docs_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Bernoulli sampling with a deterministic md5 coin
+    (operators/selection.py: sample_fraction_per_group): per-language keep
+    fractions, reproducible on any engine/cluster-size — unlike sampleBy,
+    whose RNG stream depends on partitioning. Filter evaluates in the scan
+    stage (no shuffle); the oracle replays the identical hash arithmetic."""
+    from bigdatapipelne_spark.operators.selection import sample_fraction_per_group
+
+    docs = t(spark, sf_dir, "documents")
+    return sample_fraction_per_group(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "de": 0.25, "zh": 0.1},
+        default_fraction=0.05,
+    ).select("doc_id", "lang", "source")
 
 
 @query(

@@ -587,12 +587,21 @@ def test_arrow_scorers_match_catalyst(spark):
     """The Arrow bucket scorers must produce the same pairs and ranks as
     the Catalyst fold (scores may differ by final-ulp rounding only) for
     both the SRP and IVF paths."""
-    from bigdatapipelne_spark.operators.similarity import ivf_topk, srp_bucket_ann
+    from bigdatapipelne_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        srp_bucket_ann,
+    )
 
     emb = load_table(spark, SF_SMALL, "embeddings")
+
+    def bf(df, id_col, vec_col, scorer, **kw):
+        return brute_force_topk(df, df, id_col, vec_col, scorer=scorer, **kw)
+
     for fn, kw in (
         (srp_bucket_ann, dict(dim=64, k=5, n_tables=4)),
         (ivf_topk, dict(k=5, n_centroids=16, iters=1)),
+        (bf, dict(k=5)),
     ):
         cat = {(r.query_id, r.neighbor_id): (r.rank, r.score)
                for r in fn(emb, "vec_id", "embedding", scorer="catalyst", **kw).collect()}

@@ -1,0 +1,89 @@
+"""Unit tests for operators/selection.py: the distributed-prefix-sum
+token-budget selector and the deterministic stratified sampler."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatapipelne_spark.operators.selection import (
+    budget_select,
+    sample_fraction_per_group,
+    uniform_hash,
+)
+
+
+def test_budget_select_prefix_semantics(spark):
+    # quality order: d3 (0.9, 40) -> d1 (0.8, 50) -> d4 (0.8, 30) ->
+    # d2 (0.1, 100); budget 100 keeps d3+d1 (90), drops d4 (would hit 120)
+    # and everything after — strict prefix, no back-filling.
+    df = spark.createDataFrame(
+        [(1, 50, 0.8), (2, 100, 0.1), (3, 40, 0.9), (4, 30, 0.8)],
+        "doc_id long, n long, q double",
+    )
+    out = {r.doc_id: r for r in budget_select(df, "doc_id", "n", "q", budget=100).collect()}
+    assert len(out) == 4  # one row per input doc, selected or not
+    assert [out[i].selected for i in (3, 1, 4, 2)] == [True, True, False, False]
+    assert [out[i].cum_tokens for i in (3, 1, 4, 2)] == [40, 90, 120, 220]
+
+
+def test_budget_select_matches_single_window(spark):
+    """The two-pass distributed prefix sum must equal the single global
+    window cumsum exactly, at several partition counts."""
+    rows = [(i, (i * 7) % 50 + 1, float((i * 13) % 97) / 97.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n long, q double")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("q"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = {
+        r.doc_id: r.cum
+        for r in df.withColumn("cum", F.sum("n").over(w)).collect()
+    }
+    for parts in (1, 5, 32):
+        got = {
+            r.doc_id: r.cum_tokens
+            for r in budget_select(
+                df, "doc_id", "n", "q", budget=10_000, num_partitions=parts
+            ).collect()
+        }
+        assert got == expect, parts
+
+
+def test_budget_select_empty_and_zero_budget(spark):
+    df = spark.createDataFrame([], "doc_id long, n long, q double")
+    assert budget_select(df, "doc_id", "n", "q", budget=10).count() == 0
+    df2 = spark.createDataFrame([(1, 5, 0.5)], "doc_id long, n long, q double")
+    row = budget_select(df2, "doc_id", "n", "q", budget=0).collect()[0]
+    assert row.selected is False and row.cum_tokens == 5
+
+
+def test_sample_fraction_deterministic_and_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    kept = sample_fraction_per_group(
+        df, "doc_id", "lang", {"en": 0.5, "de": 0.1}
+    )
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # Bernoulli at n=1000 per stratum: generous 5-sigma-ish bands
+    assert 400 <= counts["en"] <= 600
+    assert 50 <= counts["de"] <= 160
+    # deterministic: identical membership on rerun and after repartition
+    again = sample_fraction_per_group(
+        df.repartition(13), "doc_id", "lang", {"en": 0.5, "de": 0.1}
+    )
+    assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in again.collect()}
+    # default fraction 0 drops unlisted strata entirely
+    extra = spark.createDataFrame([(99999, "fr")], "doc_id long, lang string")
+    assert sample_fraction_per_group(extra, "doc_id", "lang", {"en": 1.0}).count() == 0
+
+
+def test_uniform_hash_range(spark):
+    df = spark.range(0, 5000).select(uniform_hash("id").alias("u"))
+    row = df.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("mu")
+    ).collect()[0]
+    assert 0.0 <= row.lo and row.hi < 1.0
+    assert 0.45 < row.mu < 0.55  # uniform-ish

@@ -124,6 +124,53 @@ def uniform_hash(col: Column | str) -> Column:
     ) / F.lit(4294967296.0)
 
 
+def mixture_fractions(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+) -> DataFrame:
+    """Per-group keep fractions that rebalance a corpus to a target
+    mixture WITHOUT upsampling: the output corpus is the largest one
+    achievable at the target shares given what each group actually has.
+
+    With ``n(g)`` rows in group g and target share ``s(g)``, the reachable
+    corpus size is ``C = min over g of n(g)/s(g)`` (the binding group is
+    the one the corpus is shortest on), and ``keep_fraction(g) =
+    least(1, s(g) * C / n(g))`` — the binding group keeps everything,
+    over-represented groups downsample. One grouped count plus arithmetic
+    on a groups-sized frame (KB at any scale); pair with
+    ``sample_fraction_per_group``'s deterministic coin to materialize the
+    sample. Groups absent from ``target_shares`` get share 0 (dropped).
+
+    Emits ``group_col, n_rows, keep_fraction`` (full-precision double —
+    round only at presentation boundaries).
+    """
+    share = F.lit(0.0)
+    for g, s in sorted(target_shares.items()):
+        share = F.when(F.col(group_col) == g, F.lit(float(s))).otherwise(share)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows")).withColumn(
+        "_share", share
+    )
+    reachable = counts.filter(F.col("_share") > 0).agg(
+        F.min(F.col("n_rows") / F.col("_share")).alias("_c")
+    )
+    return (
+        counts.crossJoin(F.broadcast(reachable))
+        .select(
+            group_col,
+            "n_rows",
+            F.when(
+                F.col("_share") > 0,
+                F.least(
+                    F.lit(1.0), F.col("_share") * F.col("_c") / F.col("n_rows")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("keep_fraction"),
+        )
+    )
+
+
 def sample_fraction_per_group(
     df: DataFrame,
     id_col: str,

@@ -646,6 +646,12 @@ _GATE_PRIORITY = [
     "deduped_best_quality",
     "corpus_budget_select",
     "docs_sample_fraction",
+    # ...plus domain-mixture rebalancing and the char-entropy quality
+    # signal (slots from lineitem_profile/price_histogram, r03 rows
+    # standing; the profiling family stays gated via value_percentiles,
+    # value_anomalies and cube_order_stats).
+    "mixture_rebalanced",
+    "doc_char_entropy",
     # top_customers, distinct_parts_per_brand, user_running_total and
     # user_sessions rotate out (round-2 green rows stand, code unchanged)
     # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,
@@ -662,8 +668,6 @@ _GATE_PRIORITY = [
     "purchase_only_days",
     "salted_skew_join",
     "customer_order_gaps",
-    "lineitem_profile",
-    "price_histogram",
     "value_percentiles_approx",
     # LLM-pipeline + multimodal entries needing fresh driver evidence
     # (near_dup_clusters rotates out; its round-2 row stands and the

@@ -1067,6 +1067,124 @@ def docs_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+# Target mixture for the gated rebalance query: two overweighted sources,
+# sixteen at a uniform remainder, two dropped (share 0) — exercises the
+# binding-group, downsample, keep-all and drop paths at once.
+_MIX_SHARES = {"src0": 0.30, "src1": 0.15}
+_MIX_SHARES.update({f"src{i}": 0.55 / 16 for i in range(2, 18)})
+
+_MIX_CASE_SQL = "CASE source " + " ".join(
+    f"WHEN '{g}' THEN CAST({s!r} AS DOUBLE)" for g, s in sorted(_MIX_SHARES.items())
+) + " ELSE CAST(0.0 AS DOUBLE) END"
+
+
+@query(
+    "mixture_rebalanced",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n, {_MIX_CASE_SQL} AS s
+      FROM documents GROUP BY source
+    ),
+    reach AS (SELECT MIN(n / s) AS c FROM counts WHERE s > 0),
+    fr AS (
+      SELECT source, n,
+             CASE WHEN s > 0
+                  THEN LEAST(CAST(1.0 AS DOUBLE), s * reach.c / n)
+                  ELSE CAST(0.0 AS DOUBLE) END AS kf
+      FROM counts, reach
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN fr ON d.source = fr.source
+      WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967296.0 < fr.kf
+      GROUP BY d.source
+    )
+    SELECT fr.source, CAST(fr.n AS BIGINT) AS n_docs,
+           COALESCE(CAST(kept.n_kept AS BIGINT), 0) AS n_kept,
+           round(fr.kf, 6) AS keep_fraction
+    FROM fr LEFT JOIN kept ON fr.source = kept.source
+    """,
+)
+def mixture_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (operators/selection.py:
+    mixture_fractions + the deterministic md5 coin): compute the largest
+    corpus reachable at a target per-source mixture without upsampling
+    (C = min n(g)/share(g)), downsample over-represented sources to it,
+    drop unlisted ones. Selection stays full-precision; keep_fraction is
+    rounded only for emission (ln/round discipline as bm25_search).
+    Summary row per source: n_docs, n_kept, keep_fraction."""
+    from bigdatapipelne_spark.operators.selection import (
+        mixture_fractions,
+        uniform_hash,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    fr = mixture_fractions(docs, "source", _MIX_SHARES)
+    kept = (
+        docs.join(F.broadcast(fr.select("source", "keep_fraction")), "source")
+        .filter(uniform_hash("doc_id") < F.col("keep_fraction"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        fr.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_rows").alias("n_docs"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.round("keep_fraction", 6).alias("keep_fraction"),
+        )
+    )
+
+
+@query(
+    "doc_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(text)),
+                                   i -> substring(text, i, 1))) AS ch
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM freq GROUP BY doc_id)
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           round(-SUM((c / n) * log2(c / n)), 6) AS entropy
+    FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic cheap
+    gibberish/repetition signal (low entropy = repeated runs, high =
+    random noise; natural language sits in a band). One narrow shuffle of
+    (doc_id, char) rows with map-side partial aggregation collapsing each
+    partition's counts pre-shuffle. log2-derived doubles are rounded to
+    6 dp for emission (JVM-vs-libm ln differs by 1 ulp on ~4% of inputs);
+    nothing ranks on the rounded value."""
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = freq.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+        )
+    )
+
+
 @query(
     "dataset_splits",
     oracle="""

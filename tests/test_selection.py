@@ -80,6 +80,34 @@ def test_sample_fraction_deterministic_and_stratified(spark):
     assert sample_fraction_per_group(extra, "doc_id", "lang", {"en": 1.0}).count() == 0
 
 
+def test_mixture_fractions(spark):
+    from bigdatapipelne_spark.operators.selection import mixture_fractions
+
+    # a: 100 rows, b: 300, c: 50; target 50/25/25 -> binding group is a
+    # (100/0.5 = 200 < 300/0.25 = 1200, 50/0.25 = 200 ties): C = 200.
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(1000 + i, "b") for i in range(300)]
+        + [(5000 + i, "c") for i in range(50)]
+        + [(9000, "dropme")]
+    )
+    df = spark.createDataFrame(rows, "id long, g string")
+    fr = {
+        r.g: r
+        for r in mixture_fractions(
+            df, "g", {"a": 0.5, "b": 0.25, "c": 0.25}
+        ).collect()
+    }
+    assert fr["a"].keep_fraction == 1.0  # binding group keeps everything
+    assert abs(fr["b"].keep_fraction - 200 * 0.25 / 300) < 1e-12
+    assert fr["c"].keep_fraction == 1.0  # ties the binding ratio exactly
+    assert fr["dropme"].keep_fraction == 0.0  # unlisted -> dropped
+    assert fr["b"].n_rows == 300
+    # resulting expected mixture hits the target: 100 : 50 : 50
+    expected = {g: fr[g].n_rows * fr[g].keep_fraction for g in ("a", "b", "c")}
+    assert expected == {"a": 100.0, "b": 50.0, "c": 50.0}
+
+
 def test_uniform_hash_range(spark):
     df = spark.range(0, 5000).select(uniform_hash("id").alias("u"))
     row = df.agg(

@@ -129,6 +129,55 @@ def test_salted_join_matches_plain_join(spark):
     assert len(salted) == 1000
 
 
+def test_runtime_bloom_filter_injected_and_preserves_semantics(spark, tmp_path):
+    """The third runtime-optimization pillar certified (after AQE
+    coalesce/skew): InjectRuntimeFilter plants a bloom filter from the
+    SELECTIVE side of a shuffle join onto the big side's scan — at 100 TB
+    this prunes the fact scan before the shuffle, the difference between
+    reading a partition and reading a table. Thresholds are lowered so the
+    rule fires at test scale (defaults need a >=10 GB application-side
+    scan); result equality with the rule off proves it is pure pruning."""
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).write.parquet(fact_p)
+    spark.range(0, 50_000).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("name")
+    ).write.parquet(dim_p)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("k") % 1000 == 0)
+        joined = fact.join(dim, "k")
+        got = {(r.k, r.v, r.name) for r in joined.collect()}
+        assert len(got) == 50
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), "runtime bloom filter was not injected"
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        fact2 = spark.read.parquet(fact_p)
+        dim2 = spark.read.parquet(dim_p).filter(F.col("k") % 1000 == 0)
+        unfiltered = fact2.join(dim2, "k")
+        assert {(r.k, r.v, r.name) for r in unfiltered.collect()} == got
+        assert "bloom" not in (
+            unfiltered._jdf.queryExecution().optimizedPlan().toString().lower()
+        )
+    finally:
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_aqe_skew_join_splits_and_preserves_semantics(spark):
     """The engine's stance on skew at scale, certified end-to-end: AQE's
     OptimizeSkewedJoin splits the hot partition of a bare sort-merge join

@@ -168,6 +168,25 @@ def chunk_tokens(tok_col: Column | str, chunk_size: int = 50, overlap: int = 10)
     )
 
 
+def collapse_repeat_tokens(tok_col: Column | str) -> Column:
+    """Collapse immediate token repetitions ("batch batch batch" ->
+    "batch") — the de-repetition cleanup for stutter/boilerplate runs in
+    scraped or generated text. Keeps a token when it differs from its
+    predecessor; pure codegen via the indexed filter lambda.
+
+    Index handling: Spark's lambda index is 0-based and ``F.get`` is
+    0-based null-on-miss, so the first element's predecessor lookup
+    yields NULL and ``true OR null`` keeps it — no ANSI out-of-bounds
+    error. The DuckDB mirror is the same shape with 1-based indexing:
+    ``list_filter(w, (x, i) -> i = 1 OR x <> w[i-1])``.
+
+    Pass a MATERIALIZED token column (see shingles_from_tokens on the
+    lambda-boundary CSE hazard).
+    """
+    w = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    return F.filter(w, lambda x, i: (i == F.lit(0)) | (x != F.get(w, i - 1)))
+
+
 # PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB)
 # accept identically: no backreferences, no lookaround.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -596,3 +596,93 @@ def decontaminate(
         .filter(F.col("containment") >= threshold)
         .select("corpus_id", "bench_id", "containment")
     )
+
+
+def chunk_duplicate_stats(
+    df: DataFrame, id_col: str, text_col: str, chunk_size: int = 8
+) -> DataFrame:
+    """Span-level cross-document dedup signal (the paragraph-dedup of
+    CCNet/RefinedWeb, expressed over token windows since this corpus is
+    single-line): split each document into NON-overlapping ``chunk_size``-
+    token windows, hash each window, and score every document by the
+    fraction of its windows that also occur in at least one OTHER document.
+    Callers drop or trim documents above a threshold.
+
+    Emits ``id_col, n_chunks, n_dup_chunks, dup_fraction`` (fraction
+    rounded to 6 dp at the presentation boundary).
+
+    Scale shape: the text reduces to (id, window-md5) rows before any
+    exchange — three narrow shuffles (distinct-doc count per hash, the
+    hash->doc join back, the per-doc rollup), each on fixed-width rows.
+    A window repeated WITHIN one document only does not count as a
+    cross-document duplicate (the distinct-doc count sees one document).
+    """
+    tok = _widen_narrow_input(df.select(id_col, tokens(text_col).alias("__w")))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("__w"), F.lit(1)), F.lit(chunk_size)
+    )
+    chunks = tok.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda st: F.md5(F.concat_ws(" ", F.slice(F.col("__w"), st, chunk_size))),
+            )
+        ).alias("__h"),
+    )
+    doc_freq = chunks.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    return (
+        chunks.join(doc_freq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("__nd") >= 2).cast("bigint")).alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+        )
+    )
+
+
+def incremental_exact_duplicates(
+    delta: DataFrame, corpus: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact dedup of an arriving batch against a standing corpus — the
+    steady-state form of dedup in a continuously-crawled pipeline (the
+    full-corpus re-dedup is the bootstrap; this is every day after).
+
+    Classifies every delta document as:
+
+    - ``dup_in_corpus``: its fingerprint already exists in the corpus;
+    - ``dup_in_delta``: new to the corpus, but an earlier delta document
+      (smaller id) has the same fingerprint — the batch deduplicates
+      against itself and keeps the smallest id as canonical;
+    - ``new``: first sight of the fingerprint anywhere.
+
+    Emits ``id_col, status``. Scale shape: the corpus side reduces to its
+    DISTINCT fingerprints (one 32-char column — at rest this is the dedup
+    index a real pipeline keeps bucketed by fingerprint, so the equi-join
+    below is shuffle-free against it); delta text never moves either, only
+    (id, fingerprint). Both joins are plain equi-joins on the hash.
+    """
+    dk = delta.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+    first_ids = dk.groupBy("__fp").agg(F.min(id_col).alias("__first_id"))
+    corpus_fp = (
+        corpus.select(fingerprint(text_col).alias("__fp"))
+        .distinct()
+        .withColumn("__in_corpus", F.lit(True))
+    )
+    return (
+        dk.join(first_ids, "__fp")
+        .join(corpus_fp, "__fp", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__in_corpus"), F.lit("dup_in_corpus"))
+            .when(F.col(id_col) != F.col("__first_id"), F.lit("dup_in_delta"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

@@ -1,0 +1,167 @@
+"""Distributed frequency analysis over token streams: provably-exact heavy
+hitters (Misra-Gries candidates + exact recount) and top-V vocabulary
+coverage.
+
+Reference scope: the reference pipeline has no frequency surface; this is
+north-star training-data tooling (vocabulary construction, boilerplate /
+stop-token discovery) in the same extension family as dedup/selection.
+
+Why not just ``explode -> groupBy(token)``? At 100 TB the token column's
+cardinality is corpus-sized (URLs, typos, code identifiers), so the full
+groupBy shuffles one row per *distinct token per partition* — fine for the
+31-word test corpus, a multi-TB exchange on a web crawl. The heavy-hitter
+path instead:
+
+1. runs a Misra-Gries summary (capacity ``m``) inside each partition — an
+   Arrow-batched ``mapInPandas`` with O(m) state, no shuffle;
+2. unions the per-partition survivor sets into a candidate list of at most
+   ``m × P`` tokens (KB-sized — it ships as a broadcast);
+3. exact-recounts ONLY candidate tokens (the explode is filtered by the
+   broadcast before any exchange) and keeps ``count * m > total``.
+
+The summed-summary guarantee makes step 3 exact, not approximate: any token
+with global count > n/m must end a partition pass with a positive MG
+counter somewhere (decrements across all partitions destroy at most
+n/(m+1) < n/m of its occurrences in total), so the candidate union is a
+superset of every token the threshold can admit, and the recount prunes the
+false positives with exact counts. Output is therefore identical to the
+full groupBy — a pure function of the data, independent of partitioning —
+which is what lets the DuckDB oracle hash-match it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _misra_gries_update(counters: dict[str, int], item: str, capacity: int) -> None:
+    """One MG step: count if tracked or roomy, else decrement-all.
+
+    The decrement-all sweep costs O(capacity) but fires at most once per
+    capacity+1 arrivals (each sweep retires capacity+1 units of count), so
+    a partition of n tokens does O(n) total work.
+    """
+    if item in counters:
+        counters[item] += 1
+    elif len(counters) < capacity:
+        counters[item] = 1
+    else:
+        dead = []
+        for k in counters:
+            counters[k] -= 1
+            if counters[k] == 0:
+                dead.append(k)
+        for k in dead:
+            del counters[k]
+
+
+def misra_gries_candidates(
+    tokens_df: DataFrame, tokens_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries survivor tokens (distinct across the frame).
+
+    ``tokens_df`` carries an ``array<string>`` column; each partition folds
+    its arrays through one MG summary of at most ``capacity`` counters and
+    emits just the surviving token strings — at most ``capacity`` rows per
+    partition, whatever the partition's size.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def summarize(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for arr in pdf[tokens_col]:
+                for item in arr:
+                    _misra_gries_update(counters, item, capacity)
+        yield pd.DataFrame({"token": list(counters)})
+
+    return (
+        tokens_df.select(F.col(tokens_col).alias(tokens_col))
+        .mapInPandas(summarize, "token string")
+        .distinct()
+    )
+
+
+def frequent_items(
+    df: DataFrame, text_tokens: F.Column, capacity: int
+) -> DataFrame:
+    """Tokens with global count strictly above ``total_tokens / capacity``,
+    with their EXACT counts — computed without ever shuffling the full
+    token distribution (module docstring has the proof sketch).
+
+    The threshold compares in integer arithmetic (``cnt * capacity >
+    total``), so Spark and the SQL oracle agree bit-for-bit — no float
+    division on the decision boundary. Emits ``token, cnt``.
+    """
+    tok = df.select(text_tokens.alias("w"))
+    candidates = misra_gries_candidates(tok, "w", capacity)
+
+    exploded = tok.select(F.explode("w").alias("token"))
+    total = exploded.agg(F.count(F.lit(1)).alias("total"))
+    counted = (
+        exploded.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(capacity) > F.col("total"))
+        .select("token", "cnt")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_tokens: F.Column,
+    vocab_sizes: Sequence[int],
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Corpus coverage of the top-V vocabulary for each requested V — the
+    tokenizer-design question "how much of the corpus do V types cover?".
+
+    One grouped count builds the token frequency table (map-side combine;
+    rows = vocabulary size, not corpus size), ``limit(max(V))`` takes the
+    head via TakeOrdered (no global sort materializes), and only that
+    max(V)-row frame funnels through the single-partition ranking window —
+    bounded by the caller's largest V, never by the corpus. Ties on count
+    break by token text so the ranking is total and engine-independent.
+
+    Emits one row per V: ``vocab_size, covered_tokens, coverage`` (coverage
+    rounded to 6 dp at the presentation boundary).
+    """
+    spark = spark or df.sparkSession
+    top_v = max(vocab_sizes)
+    freq = (
+        df.select(text_tokens.alias("w"))
+        .select(F.explode("w").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = freq.agg(F.sum("cnt").alias("total"))
+    head = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(top_v)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = head.select(
+        F.row_number().over(w).alias("rank"), F.sum("cnt").over(w).alias("cum")
+    )
+    sizes = spark.createDataFrame([(int(v),) for v in vocab_sizes], "vocab_size int")
+    return (
+        ranked.join(F.broadcast(sizes), F.col("rank") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(
+            F.max("rank").cast("bigint").alias("covered_types"),
+            F.max("cum").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "covered_types",
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("total"), 6).alias("coverage"),
+        )
+    )

@@ -652,6 +652,18 @@ _GATE_PRIORITY = [
     # value_anomalies and cube_order_stats).
     "mixture_rebalanced",
     "doc_char_entropy",
+    # Round-4 wave 2: span-level cross-doc dedup, consecutive-repeat
+    # collapse, exact MG heavy hitters, vocabulary coverage, and
+    # delta-vs-corpus incremental dedup. Their slots come from
+    # events_time_rollup / value_anomalies / purchase_funnel /
+    # golden_events / customer_merge rotating out with standing r03 rows
+    # (code unchanged; the MERGE/funnel families keep local parity
+    # coverage and customer_merge's oracle still runs in the sweep).
+    "chunk_dup_docs",
+    "doc_collapse_repeats",
+    "frequent_tokens",
+    "vocab_coverage",
+    "incremental_dedup",
     # top_customers, distinct_parts_per_brand, user_running_total and
     # user_sessions rotate out (round-2 green rows stand, code unchanged)
     # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,
@@ -696,16 +708,11 @@ _GATE_PRIORITY = [
     "embedding_quantized",
     "docs_sample_per_group",
     "bm25_search",
-    "customer_merge",
     # Newest round-3 operators: funnel attribution, golden-record entity
     # resolution, multi-grain time rollup, sequence packing, robust
     # anomaly detection, mergeable-HLL rollup, and the end-to-end corpus
     # pipeline — the slots freed above.
-    "purchase_funnel",
-    "golden_events",
-    "events_time_rollup",
     "packed_sequences",
-    "value_anomalies",
     "hll_users_rollup",
     "corpus_pipeline",
 ]

@@ -1823,3 +1823,198 @@ def doc_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return feature_hash_counts(docs, "doc_id", "text", dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: span-level cross-doc dedup, consecutive-repeat
+# collapse, exact distributed heavy hitters, vocabulary coverage, and
+# incremental (delta-vs-corpus) dedup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chunk_dup_docs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w), 1), 8),
+               st -> md5(array_to_string(list_slice(w, st, st + 7), ' ')))) AS h
+      FROM tok
+    ),
+    freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY h)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           round(CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_fraction
+    FROM chunks c JOIN freq f USING (h)
+    GROUP BY c.doc_id
+    """,
+)
+def chunk_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level cross-document dedup signal (operators/dedup.py
+    chunk_duplicate_stats): each document scored by the fraction of its
+    non-overlapping 8-token windows that also appear in another document
+    — the paragraph-dedup analog of CCNet/RefinedWeb for a single-line
+    corpus. Text reduces to (id, window-md5) before any exchange."""
+    from bigdatapipelne_spark.operators.dedup import chunk_duplicate_stats
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_duplicate_stats(docs, "doc_id", "text", chunk_size=8)
+
+
+@query(
+    "doc_collapse_repeats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    coll AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             list_filter(w, (x, i) -> i = 1 OR x <> w[i-1]) AS c
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(c) AS BIGINT) AS n_collapsed,
+           md5(array_to_string(c, ' ')) AS collapsed_fp
+    FROM coll
+    """,
+)
+def doc_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-repeat collapse (functions/text.py
+    collapse_repeat_tokens): "batch batch batch" -> "batch" — the
+    de-repetition cleanup for stutter runs in scraped/generated text.
+    Pure codegen (indexed filter lambda), zero shuffle; the md5 of the
+    collapsed sequence certifies exact order-preserving reconstruction
+    against the oracle's 1-based-index mirror."""
+    from bigdatapipelne_spark.functions.text import collapse_repeat_tokens
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("w")
+    )
+    return docs.withColumn("c", collapse_repeat_tokens("w")).select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size("c").cast("bigint").alias("n_collapsed"),
+        F.md5(F.concat_ws(" ", "c")).alias("collapsed_fp"),
+    )
+
+
+@query(
+    "frequent_tokens",
+    oracle=f"""
+    WITH tok AS (SELECT {_SQL_TOKS} AS w FROM documents),
+    ex AS (SELECT unnest(w) AS token FROM tok),
+    tot AS (SELECT COUNT(*) AS total FROM ex)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ex, tot GROUP BY token, total
+    HAVING COUNT(*) * 30 > total
+    """,
+)
+def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed heavy hitters (operators/frequency.py
+    frequent_items): tokens with count * 30 > corpus total, found via
+    per-partition Misra-Gries summaries whose union provably supersets
+    the answer, then exact-recounted — never shuffling the full token
+    distribution (the oracle is the naive full groupBy, so the hash
+    match certifies the MG path IS the exact answer). Capacity 30 sits
+    below this corpus's 31-token vocabulary, so the summaries genuinely
+    decrement and the integer threshold stays discriminative."""
+    from bigdatapipelne_spark.operators.frequency import frequent_items
+
+    docs = t(spark, sf_dir, "documents")
+    return frequent_items(docs, tokens("text"), capacity=30)
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT {_SQL_TOKS} AS w FROM documents),
+    ex AS (SELECT unnest(w) AS token FROM tok),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM ex GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total FROM freq),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM freq
+    )
+    SELECT v.vocab_size,
+           CAST(MAX(rank) AS BIGINT) AS covered_types,
+           CAST(MAX(cum) AS BIGINT) AS covered_tokens,
+           round(CAST(MAX(cum) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
+             AS coverage
+    FROM ranked JOIN (VALUES (5), (15), (50)) AS v(vocab_size)
+      ON rank <= v.vocab_size
+    CROSS JOIN tot
+    GROUP BY v.vocab_size
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V vocabulary coverage (operators/frequency.py vocab_coverage)
+    for V in (5, 15, 50) — the tokenizer-design curve "how much of the
+    corpus do V types cover?". V=50 exceeds this corpus's vocabulary, so
+    the clamp path (covered_types < V) is certified too. The only
+    single-partition window ranks a frame bounded by max(V) rows, never
+    by the corpus."""
+    from bigdatapipelne_spark.operators.frequency import vocab_coverage as vc
+
+    docs = t(spark, sf_dir, "documents")
+    return vc(docs, tokens("text"), [5, 15, 50], spark=spark)
+
+
+@query(
+    "incremental_dedup",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src3'),
+    delta AS (
+      SELECT doc_id, text FROM documents WHERE source = 'src3'
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text FROM corpus WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, text FROM documents
+      WHERE source = 'src3' AND doc_id % 13 = 0
+    ),
+    dk AS (SELECT doc_id, {_SQL_FINGERPRINT} AS fp FROM delta),
+    firsts AS (SELECT fp, MIN(doc_id) AS first_id FROM dk GROUP BY fp),
+    cfp AS (SELECT DISTINCT {_SQL_FINGERPRINT} AS fp FROM corpus)
+    SELECT d.doc_id,
+           CASE WHEN c.fp IS NOT NULL THEN 'dup_in_corpus'
+                WHEN d.doc_id <> f.first_id THEN 'dup_in_delta'
+                ELSE 'new' END AS status
+    FROM dk d
+    JOIN firsts f USING (fp)
+    LEFT JOIN cfp c USING (fp)
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus exact dedup (operators/dedup.py
+    incremental_exact_duplicates) — the steady-state dedup of a
+    continuously-crawled pipeline. The raw table has no exact duplicates
+    at small SF, so the delta is built deterministically: the src3 slice
+    plus re-keyed "re-crawl" copies of every 11th corpus document
+    (exercising dup_in_corpus) and every 13th src3 document (exercising
+    dup_in_delta); the oracle replays the identical construction. Only
+    fingerprints cross the wire on either side."""
+    from bigdatapipelne_spark.operators.dedup import incremental_exact_duplicates
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.filter(F.col("source") != "src3").select("doc_id", "text")
+    src3 = docs.filter(F.col("source") == "src3").select("doc_id", "text")
+    delta = (
+        src3
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 11 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(200000)
+            )
+        )
+        .unionByName(
+            src3.filter(F.col("doc_id") % 13 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(300000)
+            )
+        )
+    )
+    return incremental_exact_duplicates(delta, corpus, "doc_id", "text")

@@ -629,3 +629,179 @@ def test_arrow_scorers_match_catalyst(spark):
                 assert all(abs(s - score) < TOL for s in crossed), (
                     fn.__name__, q, n, cat_rank, arr_rank,
                 )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 2: frequency analysis, span dedup, repeat collapse,
+# incremental dedup.
+# ---------------------------------------------------------------------------
+
+
+def _zipfish_docs(spark, n_docs=60, vocab=20):
+    # Deterministic skewed corpus: token t appears with weight ~ 1/(t+1).
+    rows = []
+    for d in range(n_docs):
+        toks = ["tok0"] * 12 + ["tok1"] * 6 + ["tok2"] * 3  # ~40/20/10% mass
+        for t in range(3, vocab):
+            toks.extend([f"tok{t}"] * ((d + t) % 2))  # light tail
+        rows.append((d, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_frequent_items_exact_and_partition_invariant(spark):
+    from bigdatapipelne_spark.functions.text import tokens
+    from bigdatapipelne_spark.operators.frequency import frequent_items
+
+    docs = _zipfish_docs(spark)
+    capacity = 4  # far below the 20-token vocabulary: MG must decrement
+
+    exploded = docs.select(F.explode(tokens("text")).alias("token"))
+    total = exploded.count()
+    exact = {
+        (r["token"], r["cnt"])
+        for r in exploded.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * capacity > F.lit(total))
+        .collect()
+    }
+    assert exact, "crafted corpus must have heavy hitters"
+    # MG candidates + recount must equal the exact answer on EVERY layout —
+    # including the adversarial single-partition and many-tiny-partition
+    # extremes (the candidate set may differ per layout; the output can't).
+    for parts in (1, 7, 32):
+        got = {
+            (r["token"], r["cnt"])
+            for r in frequent_items(
+                docs.repartition(parts), tokens("text"), capacity
+            ).collect()
+        }
+        assert got == exact, parts
+
+
+def test_misra_gries_candidates_superset_of_heavy_hitters(spark):
+    from bigdatapipelne_spark.functions.text import tokens
+    from bigdatapipelne_spark.operators.frequency import misra_gries_candidates
+
+    docs = _zipfish_docs(spark)
+    capacity = 4
+    tok = docs.select(tokens("text").alias("w"))
+    exploded = tok.select(F.explode("w").alias("token"))
+    total = exploded.count()
+    heavy = {
+        r["token"]
+        for r in exploded.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * capacity > F.lit(total))
+        .collect()
+    }
+    cands = {
+        r["token"]
+        for r in misra_gries_candidates(tok.repartition(5), "w", capacity).collect()
+    }
+    assert heavy <= cands
+    # The whole point is a bounded candidate list: <= capacity per partition.
+    assert len(cands) <= capacity * 5
+
+
+def test_vocab_coverage_monotone_and_clamped(spark):
+    from bigdatapipelne_spark.functions.text import tokens
+    from bigdatapipelne_spark.operators.frequency import vocab_coverage
+
+    docs = _zipfish_docs(spark, vocab=8)
+    rows = {
+        r["vocab_size"]: r
+        for r in vocab_coverage(docs, tokens("text"), [2, 5, 100]).collect()
+    }
+    assert rows[2]["covered_types"] == 2
+    assert rows[5]["covered_types"] == 5
+    assert rows[100]["covered_types"] == 8  # clamped at the true vocabulary
+    assert rows[2]["coverage"] <= rows[5]["coverage"] <= rows[100]["coverage"]
+    assert rows[100]["coverage"] == 1.0
+
+
+def test_collapse_repeat_tokens_known_answer(spark):
+    from bigdatapipelne_spark.functions.text import collapse_repeat_tokens, tokens
+
+    df = spark.createDataFrame(
+        [
+            (0, "batch batch batch stream batch"),
+            (1, "a a a a"),
+            (2, "x"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", tokens("text").alias("w")
+        ).withColumn("c", collapse_repeat_tokens("w")).collect()
+    }
+    assert out[0] == ["batch", "stream", "batch"]  # non-adjacent repeat kept
+    assert out[1] == ["a"]
+    assert out[2] == ["x"]
+    assert out[3] == []
+
+
+def test_chunk_duplicate_stats_known_answer(spark):
+    from bigdatapipelne_spark.operators.dedup import chunk_duplicate_stats
+
+    shared = "one two three four"
+    df = spark.createDataFrame(
+        [
+            (0, shared + " alpha beta gamma delta"),   # chunk0 shared, chunk1 not
+            (1, shared + " epsilon zeta eta theta"),   # chunk0 shared, chunk1 not
+            (2, "nine ten eleven twelve lone words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_duplicate_stats(df, "doc_id", "text", chunk_size=4).collect()
+    }
+    assert out[0]["n_chunks"] == 2 and out[0]["n_dup_chunks"] == 1
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
+    assert out[2]["n_dup_chunks"] == 0
+    assert out[0]["dup_fraction"] == 0.5
+
+
+def test_chunk_duplicate_stats_within_doc_repeat_not_cross_doc(spark):
+    from bigdatapipelne_spark.operators.dedup import chunk_duplicate_stats
+
+    # The same window twice inside ONE doc is not a cross-document dup.
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "c d e f")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_duplicate_stats(df, "doc_id", "text", chunk_size=2).collect()
+    }
+    assert out[0]["n_chunks"] == 2 and out[0]["n_dup_chunks"] == 0
+
+
+def test_incremental_exact_duplicates_statuses(spark):
+    from bigdatapipelne_spark.operators.dedup import incremental_exact_duplicates
+
+    corpus = spark.createDataFrame(
+        [(0, "standing corpus doc"), (1, "another corpus doc")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "Standing  Corpus DOC"),  # normalizes to corpus doc 0
+            (11, "fresh document"),
+            (12, "fresh DOCUMENT"),        # dup of 11 within the delta
+            (13, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in incremental_exact_duplicates(delta, corpus, "doc_id", "text").collect()
+    }
+    assert out == {
+        10: "dup_in_corpus",
+        11: "new",
+        12: "dup_in_delta",
+        13: "new",
+    }

@@ -80,6 +80,9 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         "lineitem_quality",  # 1-row total-count broadcast per relational rule
         "hll_users_rollup",  # 1-row x 1-row merged-sketch vs exact-count join
         "mixture_rebalanced",  # 1-row reachable-corpus-size broadcast
+        "frequent_tokens",   # 1-row total-token-count broadcast
+        # max(V)-row rank<=V broadcast join + 1-row total broadcast
+        "vocab_coverage",
     }
     # Queries that RUN a stream when their DataFrame is constructed are
     # audited in their own tests. The exemption list is EXPLICIT (not a

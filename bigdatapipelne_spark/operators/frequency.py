@@ -165,3 +165,60 @@ def vocab_coverage(
             F.round(F.col("covered_tokens") / F.col("total"), 6).alias("coverage"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_tokens: F.Column
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram language model — the cheap perplexity-proxy quality filter
+    (the KenLM-scoring step of CCNet-style pipelines, reduced to the
+    model that needs no external artifact): documents whose tokens are
+    collectively improbable in the corpus score low (gibberish, wrong
+    language); repetitive high-frequency runs score high.
+
+    mean_logprob(d) = (1/n_d) * sum over tokens t of cnt_dt * ln(cnt_t/N)
+
+    Scale shape: the "model" is the token frequency table (vocabulary-
+    sized, built with one map-side-combined groupBy); documents reduce to
+    (doc, token, cnt_dt) rows — bounded by distinct-tokens-per-doc, not
+    document length — before the token-keyed join against it. The global
+    N rides as a 1-row broadcast.
+
+    ln sums are rounded to 6 dp at emission (the doc_char_entropy
+    precedent: JVM and libm ln differ by 1 ulp on ~4% of inputs, and
+    double addition order differs per engine — both effects are ~1e-15,
+    nine orders below the rounding grain). Emits ``id_col, n_tokens,
+    mean_logprob, ppl_proxy`` (ppl = exp(-mean), rounded from the
+    already-rounded mean so both engines exponentiate the same double).
+    """
+    tok = df.select(F.col(id_col), text_tokens.alias("w"))
+    per_doc_tok = (
+        tok.select(F.col(id_col), F.explode("w").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt_dt"))
+    )
+    freq = per_doc_tok.groupBy("token").agg(F.sum("cnt_dt").alias("cnt_t"))
+    total = freq.agg(F.sum("cnt_t").alias("total"))
+    model = freq.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.log(F.col("cnt_t").cast("double") / F.col("total").cast("double")).alias(
+            "__lp"
+        ),
+    )
+    scored = (
+        per_doc_tok.join(model, "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt_dt").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt_dt") * F.col("__lp")) / F.sum("cnt_dt"), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "mean_logprob",
+        F.round(F.exp(-F.col("mean_logprob")), 6).alias("ppl_proxy"),
+    )

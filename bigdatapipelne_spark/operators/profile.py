@@ -97,3 +97,103 @@ def mad_outliers(
         .withColumn("is_outlier", F.abs(F.round(z, 6)) >= threshold)
         .drop("_med", "_mad")
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    split_ts: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the value distributions before
+    and after ``split_ts``, per group — the standard drift monitor a
+    pipeline runs over every landing batch ("did this feed's value
+    distribution move?"). PSI < 0.1 is stable, 0.1-0.25 drifting, > 0.25
+    a shifted population.
+
+    Values bin into ``bins`` equal-width buckets over the GLOBAL
+    [min, max] (one 1-row stats broadcast; a shared grid — per-era grids
+    would hide shift by re-normalizing it away), the top edge clamped
+    into the last bin. Bin proportions are Laplace-smoothed,
+    ``p = (cnt + 1) / (n + bins)``, so empty bins contribute a finite
+    term instead of a log singularity — and therefore every (group, era,
+    bin) cell must exist: the bin domain is densified by cross-joining
+    the observed groups with ``sequence(0, bins-1)`` (groups x bins x 2
+    rows — KB at any scale) before the left join of observed counts.
+
+    PSI = sum over bins of (p_after - p_before) * ln(p_after / p_before),
+    rounded to 6 dp at emission (ln-sum precedent: doc_char_entropy).
+    Emits ``group_col, n_before, n_after, psi``.
+
+    Scale shape: one scan -> (group, era, bin) counted with map-side
+    combine (cells, not rows, cross the shuffle); everything after
+    operates on the cells frame. The fixed split keeps the operator a
+    pure function of the data; callers slide ``split_ts`` per run.
+    """
+    stats = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("__lo"),
+        F.max(F.col(value_col).cast("double")).alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    era = F.when(F.col(ts_col) < F.lit(split_ts).cast("timestamp"), "before").otherwise(
+        "after"
+    )
+    cells = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(group_col),
+            era.alias("__era"),
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col(value_col).cast("double") - F.col("__lo")) / width),
+            )
+            .cast("int")
+            .alias("__bin"),
+        )
+        .groupBy(group_col, "__era", "__bin")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    domain = (
+        cells.select(group_col)
+        .distinct()
+        .crossJoin(
+            cells.sparkSession.createDataFrame(
+                [("before",), ("after",)], "__era string"
+            )
+        )
+        .select(
+            group_col, "__era", F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("__bin")
+        )
+    )
+    dense = domain.join(cells, [group_col, "__era", "__bin"], "left").withColumn(
+        "__cnt", F.coalesce(F.col("__cnt"), F.lit(0))
+    )
+    totals = dense.groupBy(group_col, "__era").agg(F.sum("__cnt").alias("__n"))
+    smoothed = dense.join(totals, [group_col, "__era"]).withColumn(
+        "__p",
+        (F.col("__cnt") + F.lit(1)).cast("double")
+        / (F.col("__n") + F.lit(bins)).cast("double"),
+    )
+    before = smoothed.filter(F.col("__era") == "before").select(
+        group_col, "__bin", F.col("__p").alias("__pb"), F.col("__n").alias("__nb")
+    )
+    after = smoothed.filter(F.col("__era") == "after").select(
+        group_col, "__bin", F.col("__p").alias("__pa"), F.col("__n").alias("__na")
+    )
+    return (
+        before.join(after, [group_col, "__bin"])
+        .groupBy(group_col)
+        .agg(
+            F.max("__nb").alias("n_before"),
+            F.max("__na").alias("n_after"),
+            F.round(
+                F.sum(
+                    (F.col("__pa") - F.col("__pb"))
+                    * F.log(F.col("__pa") / F.col("__pb"))
+                ),
+                6,
+            ).alias("psi"),
+        )
+    )

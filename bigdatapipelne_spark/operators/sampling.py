@@ -59,3 +59,42 @@ def sample_k_per_group(
         .filter(F.col("sample_rank") <= k)
         .drop("_draw")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): every row draws the key ``u ** (1 / weight)`` with
+    ``u = uniform_hash(id)`` and the k largest keys win — each row's
+    inclusion probability is proportional to its weight, with no RNG
+    state to coordinate across executors (the draw is a pure function of
+    the row id, so re-runs, retries, other engines, and any partitioning
+    reproduce the identical sample).
+
+    The top-k runs as TakeOrdered (per-partition heap of k, then one
+    k-row merge) — never a global sort. Rows with weight <= 0 or NULL
+    are excluded (they can never win under A-ES semantics).
+
+    Emits ``id_col, weight, sample_key`` with the key rounded to 6 dp at
+    the presentation boundary (pow is within 1 ulp across engines; the
+    ranking itself stays full-precision — a boundary flip would need two
+    keys within ~1e-16, far below any real corpus's key spacing).
+    """
+    from bigdatapipelne_spark.operators.selection import uniform_hash
+
+    w = F.col(weight_col).cast("double")
+    key = F.pow(uniform_hash(id_col), F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            key.alias("__key"),
+        )
+        .orderBy(F.desc("__key"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col, "weight", F.round(F.col("__key"), 6).alias("sample_key")
+        )
+    )

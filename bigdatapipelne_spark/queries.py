@@ -664,6 +664,15 @@ _GATE_PRIORITY = [
     "frequent_tokens",
     "vocab_coverage",
     "incremental_dedup",
+    # Round-4 wave 3: A-ES weighted sampling, unigram-LM perplexity-proxy
+    # scoring, PSI drift monitoring. Slots from user_type_pivot /
+    # purchase_only_days / customer_order_gaps (standing r03 rows, code
+    # unchanged; pivot/rollup stays gated via priority_rollup and
+    # cube_order_stats, set-ops via engaged_days, windows via user_scd2
+    # and value_percentiles).
+    "weighted_docs_sample",
+    "doc_unigram_logprob",
+    "value_drift_psi",
     # top_customers, distinct_parts_per_brand, user_running_total and
     # user_sessions rotate out (round-2 green rows stand, code unchanged)
     # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,
@@ -671,15 +680,12 @@ _GATE_PRIORITY = [
     "priority_rollup",
     "session_stream_drain",
     "approx_users_per_type",
-    "user_type_pivot",
     # cube_order_stats, engaged_days and value_percentiles rotate to the
     # local sweep: the grouping-sets / set-op families stay gated via
     # priority_rollup, user_type_pivot and purchase_only_days, and exact
     # percentile() is still driver-exercised inside
     # value_percentiles_approx's rank brackets.
-    "purchase_only_days",
     "salted_skew_join",
-    "customer_order_gaps",
     "value_percentiles_approx",
     # LLM-pipeline + multimodal entries needing fresh driver evidence
     # (near_dup_clusters rotates out; its round-2 row stands and the

@@ -1339,3 +1339,63 @@ def hll_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("within_tol"),
     )
+
+
+@query(
+    "value_drift_psi",
+    oracle="""
+    WITH stats AS (
+      SELECT MIN(CAST(value AS DOUBLE)) AS lo, MAX(CAST(value AS DOUBLE)) AS hi
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 'before' ELSE 'after' END AS era,
+             LEAST(9, CAST(FLOOR((CAST(value AS DOUBLE) - lo)
+                                 / ((hi - lo) / 10.0)) AS INTEGER)) AS bin,
+             COUNT(*) AS cnt
+      FROM events, stats GROUP BY 1, 2, 3
+    ),
+    domain AS (
+      SELECT event_type, era, bin
+      FROM (SELECT DISTINCT event_type FROM events),
+           (VALUES ('before'), ('after')) AS e(era),
+           unnest(generate_series(0, 9)) AS b(bin)
+    ),
+    dense AS (
+      SELECT d.event_type, d.era, d.bin, COALESCE(c.cnt, 0) AS cnt
+      FROM domain d LEFT JOIN cells c
+        ON d.event_type = c.event_type AND d.era = c.era AND d.bin = c.bin
+    ),
+    tot AS (SELECT event_type, era, SUM(cnt) AS n FROM dense GROUP BY 1, 2),
+    sm AS (
+      SELECT d.event_type, d.era, d.bin,
+             CAST(cnt + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE) AS p, n
+      FROM dense d JOIN tot USING (event_type, era)
+    ),
+    bef AS (SELECT event_type, bin, p AS pb, n AS nb FROM sm WHERE era = 'before'),
+    aft AS (SELECT event_type, bin, p AS pa, n AS na FROM sm WHERE era = 'after')
+    SELECT bef.event_type,
+           CAST(MAX(nb) AS BIGINT) AS n_before,
+           CAST(MAX(na) AS BIGINT) AS n_after,
+           round(SUM((pa - pb) * ln(pa / pb)), 6) AS psi
+    FROM bef JOIN aft USING (event_type, bin)
+    GROUP BY bef.event_type
+    """,
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the first and
+    second half of the month (operators/profile.py psi_drift) — the
+    standard landing-batch drift monitor. Equal-width bins over the
+    global value range (1-row stats broadcast), Laplace-smoothed over a
+    densified (group, era, bin) domain so empty bins contribute finite
+    terms; one map-side-combined cell count is the only corpus-sized
+    shuffle. The oracle replays grid, smoothing, and the ln-sum (rounded
+    6 dp, doc_char_entropy precedent) exactly."""
+    from bigdatapipelne_spark.operators.profile import psi_drift
+
+    ev = t(spark, sf_dir, "events")
+    return psi_drift(
+        ev, "event_type", "value", "ts", "2024-01-16 00:00:00", bins=10
+    )

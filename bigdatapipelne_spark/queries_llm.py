@@ -2018,3 +2018,84 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental_exact_duplicates(delta, corpus, "doc_id", "text")
+
+
+@query(
+    "weighted_docs_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> list_contains({_SQL_STOPWORD_LIST}, x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END AS sr,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) END AS pr
+      FROM base
+    ),
+    wt AS (SELECT doc_id, sr * 0.5 + (1.0 - pr) * 0.5 AS weight FROM sig),
+    keyed AS (
+      SELECT doc_id, weight,
+             pow(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) / 4294967296.0,
+                 1.0 / weight) AS k
+      FROM wt WHERE weight > 0
+    )
+    SELECT doc_id, weight, round(k, 6) AS sample_key
+    FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 50
+    """,
+)
+def weighted_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted sampling without replacement
+    (operators/sampling.py weighted_sample_topk, Efraimidis-Spirakis
+    A-ES): 50 documents drawn with probability proportional to their
+    quality score, as a pure function of doc_id — no RNG state, same
+    sample on any cluster size or engine. Top-k via TakeOrdered, never a
+    global sort; the oracle replays weight, draw key, and ranking."""
+    from bigdatapipelne_spark.operators.sampling import weighted_sample_topk
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("q")
+    )
+    return weighted_sample_topk(docs, "doc_id", "q", k=50)
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    pdt AS (SELECT doc_id, unnest(w) AS token FROM tok),
+    cnts AS (
+      SELECT doc_id, token, COUNT(*) AS cnt_dt FROM pdt GROUP BY doc_id, token
+    ),
+    freq AS (SELECT token, SUM(cnt_dt) AS cnt_t FROM cnts GROUP BY token),
+    tot AS (SELECT SUM(cnt_t) AS total FROM freq),
+    model AS (
+      SELECT token, ln(CAST(cnt_t AS DOUBLE) / CAST(total AS DOUBLE)) AS lp
+      FROM freq, tot
+    ),
+    sc AS (
+      SELECT c.doc_id, SUM(cnt_dt) AS n_tokens,
+             round(SUM(cnt_dt * lp) / SUM(cnt_dt), 6) AS mean_logprob
+      FROM cnts c JOIN model USING (token) GROUP BY c.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, mean_logprob,
+           round(exp(-mean_logprob), 6) AS ppl_proxy
+    FROM sc
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (operators/frequency.py
+    unigram_logprob): each document's mean token log-probability under
+    the corpus's own unigram LM — the no-external-artifact form of
+    CCNet's KenLM filter. The model is the vocabulary-sized frequency
+    table; documents reduce to (doc, token, count) cells before the
+    token join. ln sums round to 6 dp (doc_char_entropy precedent);
+    ppl exponentiates the already-rounded mean."""
+    from bigdatapipelne_spark.operators.frequency import unigram_logprob
+
+    docs = t(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", tokens("text"))

@@ -805,3 +805,72 @@ def test_incremental_exact_duplicates_statuses(spark):
         12: "dup_in_delta",
         13: "new",
     }
+
+
+def test_weighted_sample_topk_partition_invariant_and_weight_biased(spark):
+    from bigdatapipelne_spark.operators.sampling import weighted_sample_topk
+
+    # 200 rows: ids 0..99 weight 10.0, ids 100..199 weight 0.1; plus rows
+    # that can never win (zero / null weight).
+    rows = [(i, 10.0) for i in range(100)] + [(i, 0.1) for i in range(100, 200)]
+    rows += [(200, 0.0), (201, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    base = {r["id"] for r in weighted_sample_topk(df, "id", "w", 30).collect()}
+    assert len(base) == 30
+    assert 200 not in base and 201 not in base
+    # Weight 100x larger -> the heavy stratum should dominate the sample.
+    heavy = sum(1 for i in base if i < 100)
+    assert heavy >= 25
+    # Pure function of the data: any partitioning draws the same sample.
+    for parts in (1, 13):
+        got = {
+            r["id"]
+            for r in weighted_sample_topk(df.repartition(parts), "id", "w", 30).collect()
+        }
+        assert got == base
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    from bigdatapipelne_spark.functions.text import tokens
+    from bigdatapipelne_spark.operators.frequency import unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (0, "common common common common"),
+            (1, "common common rare common"),
+            (2, "rare unique common singleton"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", tokens("text")).collect()}
+    assert out[0]["n_tokens"] == 4
+    # All-common doc scores highest; the rare-token doc lowest.
+    assert out[0]["mean_logprob"] > out[1]["mean_logprob"] > out[2]["mean_logprob"]
+    # ppl is the monotone inverse.
+    assert out[0]["ppl_proxy"] < out[1]["ppl_proxy"] < out[2]["ppl_proxy"]
+    import math
+    # Hand check doc 0: 'common' occurs 8 times in the 12-token corpus,
+    # so every one of its tokens scores ln(8/12).
+    assert abs(out[0]["mean_logprob"] - round(math.log(8 / 12), 6)) < 1e-9
+
+
+def test_psi_drift_detects_shift_and_stability(spark):
+    from bigdatapipelne_spark.operators.profile import psi_drift
+
+    # 'stable': identical uniform values both eras -> psi ~ 0.
+    # 'shifted': values move from [0,10) to [90,100) -> psi large.
+    rows = []
+    for i in range(200):
+        ts = "2024-01-10 00:00:00" if i % 2 == 0 else "2024-01-20 00:00:00"
+        rows.append(("stable", float(i % 100), ts))
+        rows.append(("shifted", float(i % 10) if i % 2 == 0 else 90.0 + i % 10, ts))
+    df = spark.createDataFrame(rows, "g string, value double, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        r["g"]: r
+        for r in psi_drift(df, "g", "value", "ts", "2024-01-16 00:00:00", bins=10).collect()
+    }
+    assert out["stable"]["n_before"] == 100 and out["stable"]["n_after"] == 100
+    assert out["stable"]["psi"] < 0.05
+    assert out["shifted"]["psi"] > 1.0

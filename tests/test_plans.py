@@ -83,6 +83,8 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         "frequent_tokens",   # 1-row total-token-count broadcast
         # max(V)-row rank<=V broadcast join + 1-row total broadcast
         "vocab_coverage",
+        "doc_unigram_logprob",  # 1-row corpus-token-total broadcast
+        "value_drift_psi",   # 1-row global min/max stats broadcast
     }
     # Queries that RUN a stream when their DataFrame is constructed are
     # audited in their own tests. The exemption list is EXPLICIT (not a

@@ -671,6 +671,10 @@ _GATE_PRIORITY = [
     # cube_order_stats, set-ops via engaged_days, windows via user_scd2
     # and value_percentiles).
     "weighted_docs_sample",
+    # store_time_travel certifies VERSION-AS-OF snapshot isolation on the
+    # versioned store; its slot comes from approx_users_per_type (standing
+    # r03 row; the HLL family stays gated via hll_users_rollup).
+    "store_time_travel",
     "doc_unigram_logprob",
     "value_drift_psi",
     # top_customers, distinct_parts_per_brand, user_running_total and
@@ -679,7 +683,6 @@ _GATE_PRIORITY = [
     # set ops, skew handling, profiling)
     "priority_rollup",
     "session_stream_drain",
-    "approx_users_per_type",
     # cube_order_stats, engaged_days and value_percentiles rotate to the
     # local sweep: the grouping-sets / set-op families stay gated via
     # priority_rollup, user_type_pivot and purchase_only_days, and exact

@@ -546,3 +546,47 @@ def enriched_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
     run_available_now(enriched, out, cp)
     return spark.read.parquet(out)
+
+
+@query(
+    "store_time_travel",
+    oracle="""
+    SELECT 'v_00000001' AS version, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents WHERE lang = 'en'
+    UNION ALL
+    SELECT 'v_00000002' AS version, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    """,
+)
+def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on the versioned parquet store
+    (sources/store.py): commit the English slice as v1, the full corpus
+    as v2, then read v1 PINNED BY VERSION *after* v2 has replaced it as
+    current, alongside the manifest-resolved current read. The oracle
+    recomputes both snapshots from the source table, so a v2 write that
+    leaked into v1's directory (or a manifest that failed to flip) would
+    hash-mismatch. This is the engine's `VERSION AS OF`; the single-
+    writer contract and GC retention discipline are documented in the
+    store module."""
+    import os
+
+    from bigdatapipelne_spark.sources import store
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    root = os.path.join(tempfile.mkdtemp(prefix="ttravel_"), "docs_store")
+    store.commit_version(docs.filter(F.col("lang") == "en"), root)
+    store.commit_version(docs, root)
+    assert store.current_version(root) == "v_00000002"
+    v1 = store.read_version(spark, root, "v_00000001")
+    v2 = store.read_current(spark, root)
+
+    def summarize(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy().agg(
+            F.lit(tag).alias("version"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        ).select("version", "n_docs", "n_sources")
+
+    return summarize(v1, "v_00000001").unionByName(summarize(v2, "v_00000002"))

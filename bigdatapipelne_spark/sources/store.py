@@ -77,6 +77,19 @@ def read_current(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, cur))
 
 
+def read_version(spark: SparkSession, root: str, version: str) -> DataFrame:
+    """Time travel: read a SPECIFIC committed version, bypassing the
+    manifest — the ``VERSION AS OF`` of this store. Valid until
+    ``gc_versions`` reclaims the directory; a GC'd or never-committed
+    version fails fast with the available versions listed."""
+    vdir = os.path.join(root, version)
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {version!r} not in store {root} (have: {_versions(root)})"
+        )
+    return spark.read.parquet(vdir)
+
+
 def gc_versions(root: str, keep: int = 2) -> list[str]:
     """Delete all version dirs except the newest ``keep`` (the current
     version is always within the newest ``keep``; unreferenced

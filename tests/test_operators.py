@@ -547,6 +547,25 @@ def test_versioned_store_snapshot_isolation(spark, tmp_path):
     assert store.read_current(spark, root).count() == 1
 
 
+def test_versioned_store_read_version_time_travel(spark, tmp_path):
+    import pytest
+    from bigdatapipelne_spark.sources import store
+
+    root = str(tmp_path / "vstore")
+    store.commit_version(spark.createDataFrame([(1,)], "id int"), root)
+    store.commit_version(spark.createDataFrame([(2,)], "id int"), root)
+    # pinned-version read bypasses the manifest
+    assert [tuple(r) for r in
+            store.read_version(spark, root, "v_00000001").collect()] == [(1,)]
+    assert store.read_current(spark, root).collect()[0][0] == 2
+    with pytest.raises(FileNotFoundError, match="v_00000009"):
+        store.read_version(spark, root, "v_00000009")
+    # GC reclaims the old version; the pinned read then fails fast
+    store.gc_versions(root, keep=1)
+    with pytest.raises(FileNotFoundError):
+        store.read_version(spark, root, "v_00000001")
+
+
 def test_versioned_store_crash_orphan_invisible_and_gcd(spark, tmp_path):
     import os
     from bigdatapipelne_spark.sources import store

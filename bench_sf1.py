@@ -40,6 +40,15 @@ SCALE_QUERIES = [
     "session_stream_drain",
     "stream_dedup_drain",
     "purchase_view_outer_drain",
+    # round-4 wave-2/3 operators, all scale-path (no caps): span dedup,
+    # MG heavy hitters, unigram LM scoring, repeat collapse, PSI drift,
+    # delta-vs-corpus dedup.
+    "chunk_dup_docs",
+    "frequent_tokens",
+    "doc_unigram_logprob",
+    "doc_collapse_repeats",
+    "value_drift_psi",
+    "incremental_dedup",
 ]
 
 SF01 = "/root/testdata/sf0.1"

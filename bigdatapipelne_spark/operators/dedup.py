@@ -686,3 +686,73 @@ def incremental_exact_duplicates(
             .alias("status"),
         )
     )
+
+
+def incremental_near_duplicates(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup detection of an arriving batch against a standing corpus —
+    the steady-state MinHash form (``incremental_exact_duplicates`` is the
+    exact twin): candidates come from the DELTA's bands equi-joined against
+    the CORPUS's band index, never from a corpus self-join, so per-batch
+    cost scales with |delta| x bucket-occupancy, not |corpus|^2. At scale
+    the corpus side of this join is the persisted (id, band, band_key)
+    index a real pipeline maintains (bucketed on (band, band_key), making
+    the probe shuffle-free); it is recomputed here because the sandbox
+    keeps no standing index.
+
+    Exact-Jaccard verification mirrors ``minhash_near_duplicates``
+    cross-frame: both sides explode once to (id, shingle-md5) rows, the
+    intersection is a join-aggregate over fixed-width hash rows bounded by
+    candidate pairs, and the division is int/int (engine-exact).
+
+    Emits ``delta_id, corpus_id, jaccard`` (>= threshold).
+    """
+    delta = _widen_narrow_input(delta)
+    corpus = _widen_narrow_input(corpus)
+    bd = lsh_bands(minhash_signatures(delta, id_col, text_col, n), id_col).select(
+        F.col(id_col).alias("delta_id"), "band", "band_key"
+    )
+    bc = lsh_bands(minhash_signatures(corpus, id_col, text_col, n), id_col).select(
+        F.col(id_col).alias("corpus_id"), "band", "band_key"
+    )
+    cands = (
+        bd.join(bc, ["band", "band_key"]).select("delta_id", "corpus_id").distinct()
+    )
+
+    def sh_rows(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), tokens(text_col).alias("__toks"))
+            .select(
+                out_id,
+                F.explode(
+                    F.array_distinct(shingles_from_tokens("__toks", n))
+                ).alias("s"),
+            )
+            .select(out_id, F.md5("s").alias("sh"))
+        )
+
+    shd, shc = sh_rows(delta, "delta_id"), sh_rows(corpus, "corpus_id")
+    inter = (
+        cands.join(shd, "delta_id")
+        .join(shc, ["corpus_id", "sh"])
+        .groupBy("delta_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    size_d = shd.groupBy("delta_id").agg(F.count(F.lit(1)).alias("sz_d"))
+    size_c = shc.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sz_c"))
+    jac = F.col("inter").cast("double") / (
+        (F.col("sz_d") + F.col("sz_c") - F.col("inter")).cast("double")
+    )
+    return (
+        inter.join(size_d, "delta_id")
+        .join(size_c, "corpus_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("delta_id", "corpus_id", "jaccard")
+    )

@@ -675,6 +675,10 @@ _GATE_PRIORITY = [
     # versioned store; its slot comes from approx_users_per_type (standing
     # r03 row; the HLL family stays gated via hll_users_rollup).
     "store_time_travel",
+    # incremental_near_dup: the steady-state MinHash probe of a standing
+    # corpus band index; slot from value_percentiles_approx (standing r03
+    # row; percentile family stays gated via value_percentiles).
+    "incremental_near_dup",
     "doc_unigram_logprob",
     "value_drift_psi",
     # top_customers, distinct_parts_per_brand, user_running_total and
@@ -689,7 +693,6 @@ _GATE_PRIORITY = [
     # percentile() is still driver-exercised inside
     # value_percentiles_approx's rank brackets.
     "salted_skew_join",
-    "value_percentiles_approx",
     # LLM-pipeline + multimodal entries needing fresh driver evidence
     # (near_dup_clusters rotates out; its round-2 row stands and the
     # pointer-doubling twin shares its oracle in the local sweep)

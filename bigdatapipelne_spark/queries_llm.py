@@ -2099,3 +2099,85 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return unigram_logprob(docs, "doc_id", tokens("text"))
+
+
+def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
+    mins = ",\n             ".join(
+        f"min(md5('{seed}:' || s)) AS mh{seed}" for seed in range(NUM_PERM)
+    )
+
+    def band_rows(src: str, idc: str) -> str:
+        return "\n        UNION ALL\n        ".join(
+            f"SELECT {idc}, {b} AS band, "
+            f"md5(mh{b * ROWS_PER_BAND} || '|' || mh{b * ROWS_PER_BAND + 1}) AS band_key "
+            f"FROM {src}"
+            for b in range(BANDS)
+        )
+
+    def side(tag: str, idc: str) -> str:
+        return f"""
+    {tag}_tok AS (SELECT doc_id AS {idc}, {_SQL_TOKS} AS w FROM {tag}0),
+    {tag}_sh AS (SELECT {idc}, {_SQL_SHINGLES} AS shingles FROM {tag}_tok),
+    {tag}_ex AS (SELECT {idc}, unnest(shingles) AS s FROM {tag}_sh),
+    {tag}_sigs AS (
+      SELECT {idc},
+             {mins}
+      FROM {tag}_ex GROUP BY {idc}
+    ),
+    {tag}_bands AS (
+        {band_rows(f"{tag}_sigs", idc)}
+    ),
+    {tag}_sets AS (SELECT {idc}, list_distinct(shingles) AS ss FROM {tag}_sh)"""
+
+    return f"""
+    WITH corpus0 AS (SELECT doc_id, text FROM documents WHERE source <> 'src3'),
+    delta0 AS (
+      SELECT doc_id, text FROM documents WHERE source = 'src3'
+      UNION ALL
+      SELECT doc_id + 400000 AS doc_id, text || ' drift' AS text
+      FROM corpus0 WHERE doc_id % 17 = 0
+    ),{side("delta", "delta_id")},{side("corpus", "corpus_id")},
+    cands AS (
+      SELECT DISTINCT d.delta_id, c.corpus_id
+      FROM delta_bands d JOIN corpus_bands c
+        ON d.band = c.band AND d.band_key = c.band_key
+    ),
+    scored AS (
+      SELECT delta_id, corpus_id,
+             CAST(len(list_intersect(sd.ss, sc.ss)) AS DOUBLE) /
+             CAST(len(sd.ss) + len(sc.ss) - len(list_intersect(sd.ss, sc.ss))
+                  AS DOUBLE) AS jaccard
+      FROM cands
+      JOIN delta_sets sd USING (delta_id)
+      JOIN corpus_sets sc USING (corpus_id)
+    )
+    SELECT delta_id, corpus_id, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+@query("incremental_near_dup", oracle=_incremental_minhash_oracle())
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state near-dup detection (operators/dedup.py
+    incremental_near_duplicates): the arriving batch's MinHash bands
+    probe the standing corpus's band index — candidates scale with
+    |delta| x bucket occupancy, never |corpus|^2 — then exact trigram
+    Jaccard verifies cross-frame over fixed-width hash rows. The delta is
+    the src3 slice plus near-copies of every 17th corpus document (text
+    plus one appended token, so each re-crawl lands at jaccard ~ 0.95,
+    not 1.0); the oracle replays construction, banding, and verification
+    exactly."""
+    from bigdatapipelne_spark.operators.dedup import incremental_near_duplicates
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.filter(F.col("source") != "src3").select("doc_id", "text")
+    delta = (
+        docs.filter(F.col("source") == "src3")
+        .select("doc_id", "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" drift")).alias("text"),
+            )
+        )
+    )
+    return incremental_near_duplicates(delta, corpus, "doc_id", "text")

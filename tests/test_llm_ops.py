@@ -874,3 +874,28 @@ def test_psi_drift_detects_shift_and_stability(spark):
     assert out["stable"]["n_before"] == 100 and out["stable"]["n_after"] == 100
     assert out["stable"]["psi"] < 0.05
     assert out["shifted"]["psi"] > 1.0
+
+
+def test_incremental_near_duplicates_cross_frame_only(spark):
+    from bigdatapipelne_spark.operators.dedup import incremental_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = _docs(spark, [(1, base), (2, "totally different corpus content here")])
+    delta = _docs(
+        spark,
+        [
+            (10, base.replace("today", "tomorrow")),  # near-dup of corpus 1
+            (11, base.replace("today", "tonight")),   # ALSO near 10 (delta-internal)
+            (12, "unrelated new arrival about parquet row groups"),
+        ],
+    )
+    pairs = {
+        (r["delta_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental_near_duplicates(delta, corpus, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert (10, 1) in pairs and (11, 1) in pairs
+    # only delta x corpus pairs — delta-internal (10,11) and corpus ids as
+    # delta ids never appear
+    assert all(d >= 10 and c < 10 for d, c in pairs)
+    assert (12, 1) not in pairs and (12, 2) not in pairs
+    assert pairs[(10, 1)] == pytest.approx(10 / 12)

@@ -679,13 +679,16 @@ _GATE_PRIORITY = [
     # corpus band index; slot from value_percentiles_approx (standing r03
     # row; percentile family stays gated via value_percentiles).
     "incremental_near_dup",
+    # bucketed_join_disk: zero-shuffle co-located fact-fact join from disk,
+    # plan-asserted inside the query; slot from priority_rollup (standing
+    # r03 row; grouping-sets family stays gated via cube_order_stats).
+    "bucketed_join_disk",
     "doc_unigram_logprob",
     "value_drift_psi",
     # top_customers, distinct_parts_per_brand, user_running_total and
     # user_sessions rotate out (round-2 green rows stand, code unchanged)
     # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,
     # set ops, skew handling, profiling)
-    "priority_rollup",
     "session_stream_drain",
     # cube_order_stats, engaged_days and value_percentiles rotate to the
     # local sweep: the grouping-sets / set-op families stay gated via

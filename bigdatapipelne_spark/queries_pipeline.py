@@ -590,3 +590,66 @@ def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_docs", "n_sources")
 
     return summarize(v1, "v_00000001").unionByName(summarize(v2, "v_00000002"))
+
+
+@query(
+    "bucketed_join_disk",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {OSUM('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle co-located fact-fact join FROM DISK, under the hash
+    gate: orders and lineitem are written as bucketed tables (8 buckets
+    on the order key, sources/io.py write_bucketed_table), re-read
+    through the catalog, and joined — the query FAILS LOUDLY if the
+    executed join plan contains any Exchange, so a regression in the
+    bucket layout (not just in the values) breaks the driver row. This
+    is the storage-layout lever for repeated 100 TB fact-fact joins; the
+    only exchange in the whole query is the group-by after the join.
+    Values must equal a plain join+aggregate oracle (DECIMAL-exact
+    revenue)."""
+    import os
+
+    from bigdatapipelne_spark.sources.io import write_bucketed_table
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    tmp = tempfile.mkdtemp(prefix="bucketed_join_")
+    write_bucketed_table(
+        spark, orders, "bq_orders_b", ["o_orderkey"], 8,
+        os.path.join(tmp, "orders"),
+    )
+    write_bucketed_table(
+        spark, lineitem, "bq_lineitem_b", ["l_orderkey"], 8,
+        os.path.join(tmp, "lineitem"),
+    )
+    # The MERGE hint pins SortMergeJoin in THIS returned plan (no session
+    # conf mutation to leak into the driver's other queries); with both
+    # sides bucketed on the key, EnsureRequirements then needs no Exchange.
+    o = spark.table("bq_orders_b").hint("merge")
+    li = spark.table("bq_lineitem_b")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan or "SortMergeJoin" not in plan:
+        raise AssertionError(
+            "bucketed join must be a shuffle-free SortMergeJoin; got:\n" + plan
+        )
+    from bigdatapipelne_spark.operators.aggregate import exact_sum
+
+    return joined.groupBy("o_orderpriority").agg(
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "revenue",
+            scale=4,
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

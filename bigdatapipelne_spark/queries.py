@@ -683,6 +683,15 @@ _GATE_PRIORITY = [
     # plan-asserted inside the query; slot from priority_rollup (standing
     # r03 row; grouping-sets family stays gated via cube_order_stats).
     "bucketed_join_disk",
+    # Storage certifications: schema evolution under mergeSchema,
+    # small-file compaction, and the stream->versioned-store sink (each
+    # fails loudly in-query on a layout/visibility regression). Slots from
+    # embedding_quantized / bm25_search / docs_sample_per_group (standing
+    # r03 rows; sampling stays gated via docs_sample_fraction and
+    # weighted_docs_sample, vectors via doc_feature_hash).
+    "schema_evolution_disk",
+    "compaction_disk",
+    "stream_versioned_sink_drain",
     "doc_unigram_logprob",
     "value_drift_psi",
     # top_customers, distinct_parts_per_brand, user_running_total and
@@ -720,9 +729,6 @@ _GATE_PRIORITY = [
     "user_scd2_incremental",
     "user_scd2_stream_drain",
     "lineitem_quality",
-    "embedding_quantized",
-    "docs_sample_per_group",
-    "bm25_search",
     # Newest round-3 operators: funnel attribution, golden-record entity
     # resolution, multi-grain time rollup, sequence packing, robust
     # anomaly detection, mergeable-HLL rollup, and the end-to-end corpus

@@ -653,3 +653,151 @@ def bucketed_join_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "schema_evolution_disk",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           COUNT(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+             AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def schema_evolution_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under the hash gate: an old batch written WITHOUT
+    the n_chars column and a new batch WITH it are read back together
+    under mergeSchema — the crawler-era scenario where a feed adds a
+    field mid-stream. Old rows must surface NULL for the added column
+    (COUNT/SUM skip them) and no row may be dropped or duplicated; the
+    oracle recomputes both facts from the source table. Exercises the
+    same parquet footer-merge path a 100 TB lake hits when partitions
+    disagree on schema."""
+    import os
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    d_old, d_new = os.path.join(tmp, "b1"), os.path.join(tmp, "b2")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(d_old)
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(d_new)
+    merged = spark.read.option("mergeSchema", "true").parquet(d_old, d_new)
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+@query(
+    "compaction_disk",
+    oracle=f"""
+    SELECT COUNT(*) AS n_events,
+           {OSUM('value')} AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def compaction_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the hash gate: the events table is
+    scattered into 16 micro-batch-sized files (the accretion pattern of
+    any streaming sink), compacted by sources/io.py compact_parquet, and
+    re-read — the query raises if the directory still holds more than
+    the computed file budget, and the DECIMAL-exact aggregate certifies
+    the rewrite lost/duplicated nothing. At 100 TB this is the
+    maintenance job that keeps per-file open/footer overhead from
+    dominating scans."""
+    import glob as _glob
+    import os
+
+    from bigdatapipelne_spark.operators.aggregate import exact_sum
+    from bigdatapipelne_spark.sources.io import compact_parquet
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="compaction_")
+    path = os.path.join(tmp, "events_small")
+    ev.repartition(16).write.parquet(path)
+    n_before = len(_glob.glob(os.path.join(path, "part-*.parquet")))
+    budget = compact_parquet(spark, path, target_file_bytes=512 * 1024 * 1024)
+    n_after = len(_glob.glob(os.path.join(path, "part-*.parquet")))
+    if not (n_after <= budget < n_before):
+        raise AssertionError(
+            f"compaction must shrink {n_before} files within budget {budget}; "
+            f"directory has {n_after}"
+        )
+    return spark.read.parquet(path).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", "sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "stream_versioned_sink_drain",
+    oracle=f"""
+    SELECT COUNT(*) AS n_events,
+           {OSUM('value')} AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def stream_versioned_sink_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sink with reader-atomic snapshot visibility: three
+    ordered micro-batches (staged files, maxFilesPerTrigger=1) each
+    commit a NEW store version holding previous-snapshot UNION batch via
+    foreachBatch — readers resolving the manifest between batches see a
+    complete prefix of the stream, never a half-written directory (the
+    exactly-once-VISIBLE discipline; the store module documents the
+    single-writer contract). The query raises unless exactly three
+    versions exist with strictly growing row counts; the final snapshot
+    must hash-equal the whole table."""
+    import os
+
+    from bigdatapipelne_spark.operators.aggregate import exact_sum
+    from bigdatapipelne_spark.sources import store
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    # The store sink needs no event time, so only the fact columns are
+    # staged (sidestepping the INT96-vs-int64 timestamp re-encoding a
+    # Spark rewrite of the ts column would introduce for the sniffer).
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="vstream_")
+    staging = os.path.join(tmp, "staging")
+    stage_ordered_files(
+        [ev.filter(F.col("event_id") % 3 == r) for r in range(3)], staging
+    )
+    root = os.path.join(tmp, "store")
+
+    def commit_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if store.current_version(root) is None:
+            snap = batch_df
+        else:
+            snap = store.read_current(spark, root).unionByName(batch_df)
+        store.commit_version(snap, root)
+
+    src = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    (
+        src.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", os.path.join(tmp, "cp"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    versions = sorted(
+        d for d in os.listdir(root) if d.startswith("v_") and
+        os.path.isdir(os.path.join(root, d))
+    )
+    if len(versions) != 3:
+        raise AssertionError(f"expected 3 committed versions, got {versions}")
+    counts = [store.read_version(spark, root, v).count() for v in versions]
+    if not (0 < counts[0] < counts[1] < counts[2]):
+        raise AssertionError(f"version row counts must grow strictly: {counts}")
+    return store.read_current(spark, root).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", "sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -692,6 +692,9 @@ _GATE_PRIORITY = [
     "schema_evolution_disk",
     "compaction_disk",
     "stream_versioned_sink_drain",
+    # medallion_audit: per-batch row reconciliation across raw->stage->spec;
+    # slot from multimodal_features (standing r03 row, code unchanged).
+    "medallion_audit",
     "doc_unigram_logprob",
     "value_drift_psi",
     # top_customers, distinct_parts_per_brand, user_running_total and
@@ -711,7 +714,6 @@ _GATE_PRIORITY = [
     # embedding_near_dup rotates out (round-2 green row; the sf0.01 gate
     # can't exercise this round's >100k-row auto-routing anyway — local
     # parity covers it)
-    "multimodal_features",
     "embedding_ann_recall",
     # Streaming / pipeline anchors + round-3 additions. card_medallion_disk
     # supersedes card_spec_mart in-gate (same oracle, adds the disk

@@ -801,3 +801,52 @@ def stream_versioned_sink_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum("value", "sum_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "medallion_audit",
+    oracle=f"""
+    WITH stage AS ({_CARD_STAGE_SQL}),
+    spec AS (
+      SELECT DISTINCT bandeira, numero_cartao, exp, tipo_cartao, cor_cartao,
+             tipo_transacao, cidade, latitude, longitude, estado
+      FROM stage
+    )
+    SELECT CAST((SELECT COUNT(*) FROM events) + 1 AS BIGINT) AS raw_lines,
+           CAST((SELECT COUNT(*) FROM stage) AS BIGINT) AS stage_rows,
+           CAST((SELECT COUNT(*) FROM spec) AS BIGINT) AS spec_rows,
+           CAST(1 AS BIGINT) AS dropped_bad_records
+    """,
+)
+def medallion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch reconciliation audit across the medallion chain — the
+    row-accounting a production pipeline alarms on (the reference's Glue
+    job metrics, made explicit): raw landed lines (including the
+    injected corrupt one), stage rows after the DROPMALFORMED scan, spec
+    mart rows, and dropped = raw - stage COMPUTED from the real counts,
+    not assumed. The oracle derives every figure independently from the
+    source table (corrupt line -> exactly one drop; stage must equal the
+    event count; spec must equal the distinct dimension-group count), so
+    a scan that silently ate a good record, double-landed a file, or
+    collapsed groups wrong fails the hash."""
+    import os
+
+    from bigdatapipelne_spark.plans.medallion import run_medallion
+    from bigdatapipelne_spark.sources.io import write_json_partitioned
+
+    raw = card_raw_from_events(t(spark, sf_dir, "events"))
+    tmp = tempfile.mkdtemp(prefix="medallion_audit_")
+    raw_path = os.path.join(tmp, "raw")
+    write_json_partitioned(raw, raw_path, ["estado"])
+    with open(os.path.join(raw_path, "estado=SP", "corrupt.json"), "w") as f:
+        f.write('{"valor": "not parseable as the schema says"\n')
+    stage_path, spec_path = os.path.join(tmp, "stage"), os.path.join(tmp, "spec")
+    run_medallion(spark, raw_path, stage_path, spec_path)
+
+    raw_lines = spark.read.text(raw_path).count()
+    stage_rows = spark.read.parquet(stage_path).count()
+    spec_rows = spark.read.parquet(spec_path).count()
+    return spark.createDataFrame(
+        [(raw_lines, stage_rows, spec_rows, raw_lines - stage_rows)],
+        "raw_lines long, stage_rows long, spec_rows long, dropped_bad_records long",
+    )

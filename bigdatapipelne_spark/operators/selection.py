@@ -191,3 +191,47 @@ def sample_fraction_per_group(
     for g, f in sorted(fractions.items()):
         frac = F.when(F.col(group_col) == g, F.lit(float(f))).otherwise(frac)
     return df.filter(uniform_hash(id_col) < frac)
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based rank over a total order WITHOUT the
+    single-task window funnel — the same two-pass distributed prefix
+    pattern as ``budget_select``, counting rows instead of tokens:
+    range-repartition on the order, collect one row-count per partition
+    (P numbers), cumulate on the driver, and add each partition's
+    broadcast offset to its parallel in-partition row_number.
+
+    ``order_by`` must be a TOTAL order (include a unique tiebreaker) or
+    ranks are nondeterministic. Emits the input columns plus ``rank``.
+    """
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = df.repartitionByRange(int(parts), *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        ranged.join(F.broadcast(offsets_df), "_pid", "left")
+        .withColumn(
+            "rank",
+            F.row_number().over(w) + F.coalesce(F.col("_offset"), F.lit(0)),
+        )
+        .drop("_pid", "_offset")
+    )

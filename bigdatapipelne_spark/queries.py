@@ -695,6 +695,12 @@ _GATE_PRIORITY = [
     # medallion_audit: per-batch row reconciliation across raw->stage->spec;
     # slot from multimodal_features (standing r03 row, code unchanged).
     "medallion_audit",
+    # quality_deciles (exact global rank via the distributed two-pass
+    # prefix pattern, integer-arithmetic decile) and user_type_unpivot
+    # (pivot -> melt round-trip). Slots from lineitem_quality and
+    # packed_sequences (standing r03 rows, code unchanged).
+    "quality_deciles",
+    "user_type_unpivot",
     "doc_unigram_logprob",
     "value_drift_psi",
     # top_customers, distinct_parts_per_brand, user_running_total and
@@ -730,12 +736,10 @@ _GATE_PRIORITY = [
     # certified through it (plus the local parity sweep).
     "user_scd2_incremental",
     "user_scd2_stream_drain",
-    "lineitem_quality",
     # Newest round-3 operators: funnel attribution, golden-record entity
     # resolution, multi-grain time rollup, sequence packing, robust
     # anomaly detection, mergeable-HLL rollup, and the end-to-end corpus
     # pipeline — the slots freed above.
-    "packed_sequences",
     "hll_users_rollup",
     "corpus_pipeline",
 ]

@@ -1399,3 +1399,30 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(
         ev, "event_type", "value", "ts", "2024-01-16 00:00:00", bins=10
     )
+
+
+@query(
+    "user_type_unpivot",
+    oracle=f"""
+    SELECT user_id, event_type, {OSUM('value')} AS sum_value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def user_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, the melt operator): the user_type_pivot
+    wide frame melted back to (user_id, event_type, sum_value) rows via
+    DataFrame.unpivot, absent combinations (pivot NULLs) dropped. The
+    oracle is the plain long-form grouped sum, so the hash certifies the
+    pivot -> unpivot round trip is lossless — names, values, and row set.
+    Unpivot is a zero-shuffle projection (each wide row expands to its
+    value columns in place)."""
+    ev = t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+    )
+    return (
+        wide.unpivot("user_id", _EVENT_TYPES, "event_type", "sum_value")
+        .filter(F.col("sum_value").isNotNull())
+    )

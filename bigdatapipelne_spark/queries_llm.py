@@ -2181,3 +2181,69 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental_near_duplicates(delta, corpus, "doc_id", "text")
+
+
+@query(
+    "quality_deciles",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> list_contains({_SQL_STOPWORD_LIST}, x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END AS sr,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) END AS pr
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens, sr * 0.5 + (1.0 - pr) * 0.5 AS quality FROM sig
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, quality,
+             row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rank,
+             COUNT(*) OVER () AS n
+      FROM scored
+    )
+    SELECT CAST(((rank - 1) * 10) // n AS INTEGER) AS decile,
+           COUNT(*) AS n_docs,
+           round(MIN(quality), 6) AS min_quality,
+           round(MAX(quality), 6) AS max_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM ranked GROUP BY 1
+    """,
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: every document assigned to a quality decile by
+    its EXACT global rank — computed with operators/selection.py
+    global_rank (range partition -> per-partition counts -> broadcast
+    offsets -> parallel in-partition row_number), never a single-task
+    global window. The decile is integer arithmetic on (rank, N)
+    (((rank-1)*10) div N), so both engines bin identically with no float
+    boundary; this is the "sort the corpus by quality, train easy->hard"
+    stage of a curriculum pipeline. Per-decile stats round at the
+    presentation boundary only."""
+    from bigdatapipelne_spark.operators.selection import global_rank
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    n = docs.count()
+    ranked = global_rank(docs, [F.desc("quality"), F.asc("doc_id")])
+    return (
+        ranked.withColumn(
+            "decile", (((F.col("rank") - 1) * 10) / F.lit(n)).cast("int")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )

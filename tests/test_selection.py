@@ -115,3 +115,27 @@ def test_uniform_hash_range(spark):
     ).collect()[0]
     assert 0.0 <= row.lo and row.hi < 1.0
     assert 0.45 < row.mu < 0.55  # uniform-ish
+
+
+def test_global_rank_exact_and_partition_invariant(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdatapipelne_spark.operators.selection import global_rank
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(500)], "id long, score double"
+    )
+    order = [F.desc("score"), F.asc("id")]
+    expected = {
+        (r["id"], r["rank"])
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    for parts in (1, 5, 32):
+        got = {
+            (r["id"], r["rank"])
+            for r in global_rank(df.repartition(parts), order).collect()
+        }
+        assert got == expected, parts

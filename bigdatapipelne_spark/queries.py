@@ -707,7 +707,11 @@ _GATE_PRIORITY = [
     # user_sessions rotate out (round-2 green rows stand, code unchanged)
     # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,
     # set ops, skew handling, profiling)
-    "session_stream_drain",
+    # session_window_stream_drain: the BUILT-IN streaming session operator
+    # with its own (watermark-only) emission rule; slot from the custom
+    # session_stream_drain (standing r03 row, code unchanged — the two
+    # drains share one session construction, different emission oracles).
+    "session_window_stream_drain",
     # cube_order_stats, engaged_days and value_percentiles rotate to the
     # local sweep: the grouping-sets / set-op families stay gated via
     # priority_rollup, user_type_pivot and purchase_only_days, and exact

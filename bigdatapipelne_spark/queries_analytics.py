@@ -1426,3 +1426,53 @@ def user_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot("user_id", _EVENT_TYPES, "event_type", "sum_value")
         .filter(F.col("sum_value").isNotNull())
     )
+
+
+@query(
+    "session_window_stream_drain",
+    oracle=f"""
+    WITH {_SESSIONS_CTE},
+    wm AS (SELECT epoch_ms(MAX(ts)) - 10000 AS wm_ms FROM events)
+    SELECT user_id, session_start, session_end, sum_value, n_events
+    FROM sessions, wm
+    WHERE epoch_ms(session_end) <= wm_ms
+    """,
+)
+def session_window_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN streaming session operator (F.session_window +
+    watermark, JVM state store) drained over the same events — the
+    scale-preferred twin of the custom applyInPandasWithState
+    sessionizer (session_stream_drain). Same gaps-and-islands session
+    set, but the native append-mode emission rule differs from the
+    custom operator's: ONLY watermark passage emits (session_end <=
+    final watermark); a session closed by a later in-batch event stays
+    in state until the watermark clears it. The oracle reproduces
+    exactly that rule, so the two drains certify both emission
+    disciplines against one session construction."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.streaming.fraud import (
+        read_events_parquet_stream,
+        run_available_now,
+    )
+
+    src = read_events_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        src.withWatermark("ts", "10 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(dsum("value", "sum_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "sum_value",
+            "n_events",
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="native_session_stream_")
+    out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
+    run_available_now(agg, out, cp)
+    return spark.read.parquet(out).select(
+        "user_id", "session_start", "session_end", "sum_value", "n_events"
+    )

@@ -730,7 +730,9 @@ _GATE_PRIORITY = [
     # round-trip); card_spec_mart, serving_upsert and fraud_stream_drain
     # rotate out with their round-2 green rows standing (code unchanged).
     "purchase_view_outer_drain",
-    "purchase_view_interval_join",
+    # full-outer completes the hash-checked stream-stream join matrix; slot
+    # from purchase_view_interval_join (standing r03 row, code unchanged).
+    "purchase_view_full_outer_drain",
     "stream_dedup_drain",
     "card_medallion_disk",
     # Late round-3 operators (SCD2 family, quality contract, quantization,

@@ -850,3 +850,85 @@ def medallion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(raw_lines, stage_rows, spec_rows, raw_lines - stage_rows)],
         "raw_lines long, stage_rows long, spec_rows long, dropped_bad_records long",
     )
+
+
+@query(
+    "purchase_view_full_outer_drain",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id AS view_id, ts AS vts
+          FROM events WHERE event_type = 'view'),
+    wm AS (SELECT least(
+             (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase'),
+             (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'view')
+           ) - 10000 AS wm_ms)
+    SELECT user_id,
+           COALESCE(purchase_id, -1) AS purchase_id,
+           COALESCE(pts, TIMESTAMP '1900-01-01') AS pts,
+           COALESCE(view_id, -1) AS view_id,
+           COALESCE(vts, TIMESTAMP '1900-01-01') AS vts
+    FROM (
+      SELECT p.user_id, p.purchase_id, p.pts, v.view_id, v.vts
+      FROM p JOIN v ON p.user_id = v.user_id
+         AND v.vts <= p.pts AND v.vts >= p.pts - INTERVAL '6 hours'
+      UNION ALL
+      SELECT p.user_id, p.purchase_id, p.pts, NULL, NULL
+      FROM p, wm
+      WHERE epoch_ms(p.pts) < wm_ms
+        AND NOT EXISTS (SELECT 1 FROM v
+                        WHERE v.user_id = p.user_id
+                          AND v.vts <= p.pts AND v.vts >= p.pts - INTERVAL '6 hours')
+      UNION ALL
+      SELECT v.user_id, NULL, NULL, v.view_id, v.vts
+      FROM v, wm
+      WHERE epoch_ms(v.vts + INTERVAL '6 hours') < wm_ms
+        AND NOT EXISTS (SELECT 1 FROM p
+                        WHERE p.user_id = v.user_id
+                          AND v.vts <= p.pts AND v.vts >= p.pts - INTERVAL '6 hours')
+    )
+    """,
+)
+def purchase_view_full_outer_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream join, drained: the left-outer drain's
+    emission rules plus the symmetric right-side rule — an unmatched
+    view emits null-extended only when the global watermark strictly
+    passes the LAST purchase time that could still match it
+    (vts + lookback, since matches need pts <= vts + 6h and arriving
+    purchases have pts >= watermark). The oracle reproduces the inner
+    part and BOTH eviction rules, completing the hash-checked
+    stream-stream join matrix (inner / left-outer / full-outer)."""
+    import os
+
+    from bigdatapipelne_spark.streaming.fraud import (
+        read_events_parquet_stream,
+        run_available_now,
+    )
+    from bigdatapipelne_spark.streaming.joins import correlate_streams
+
+    def side(event_type: str, cols: dict[str, str]) -> DataFrame:
+        s = read_events_parquet_stream(spark, f"{sf_dir}/events.parquet")
+        s = s.filter(F.col("event_type") == event_type)
+        return s.select("user_id", *[F.col(c).alias(a) for c, a in cols.items()])
+
+    purchases = side("purchase", {"event_id": "purchase_id", "ts": "pts"})
+    views = side("view", {"event_id": "view_id", "ts": "vts"})
+    joined = correlate_streams(
+        purchases, views, key="user_id", left_time="pts", right_time="vts",
+        lookback="6 hours", how="full_outer",
+    )
+    tmp = tempfile.mkdtemp(prefix="ss_full_outer_")
+    out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
+    run_available_now(joined, out, cp)
+    # Null-extended sides are COALESCEd to sentinels (-1 / 1900-01-01) on
+    # BOTH engines: the hash compare sorts rows by every column, and a
+    # nullable timestamp in the first-sorting column breaks that sort (the
+    # verify-recipe gotcha); sentinels cannot collide with real data.
+    sentinel_ts = F.lit("1900-01-01 00:00:00").cast("timestamp")
+    return spark.read.parquet(out).select(
+        "user_id",
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce(F.col("pts"), sentinel_ts).alias("pts"),
+        F.coalesce("view_id", F.lit(-1)).alias("view_id"),
+        F.coalesce(F.col("vts"), sentinel_ts).alias("vts"),
+    )

@@ -47,12 +47,18 @@ def correlate_streams(
     ``left_time``): left rows still inside the watermark at drain end stay
     unemitted, exactly like append-mode aggregation tails
     (tests/test_streaming pins this emission semantics).
+    ``how='full_outer'`` adds the symmetric right-side rule: an unmatched
+    right row closes when the watermark passes the last left_time that
+    could still match it (``right_time + lookback``) — both eviction
+    rules are reproduced in the gated drain's oracle.
 
     Column names must be disjoint apart from ``key`` (rename before
     calling). Works identically on batch frames (withWatermark is a no-op)
     — the lambda-parity story again."""
-    if how not in ("inner", "left_outer"):
-        raise ValueError("correlate_streams supports how='inner' or 'left_outer'")
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError(
+            "correlate_streams supports how='inner', 'left_outer' or 'full_outer'"
+        )
     lw = left.withWatermark(left_time, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_time, watermark) if right.isStreaming else right
     cond = (
@@ -60,7 +66,14 @@ def correlate_streams(
         & (rw[right_time] <= lw[left_time])
         & (rw[right_time] >= lw[left_time] - F.expr(f"INTERVAL {lookback}"))
     )
-    return lw.join(rw, cond, how).drop(rw[key])
+    joined = lw.join(rw, cond, how)
+    if how == "full_outer":
+        # Right-only rows have a NULL left key: surface the key as the
+        # coalesce of both sides, then drop the originals.
+        return joined.withColumn(
+            f"__{key}", F.coalesce(lw[key], rw[key])
+        ).drop(lw[key]).drop(rw[key]).withColumnRenamed(f"__{key}", key)
+    return joined.drop(rw[key])
 
 
 def enrich_stream(

@@ -97,6 +97,7 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         "stream_dedup_drain",
         "enriched_stream_drain",
         "purchase_view_outer_drain",
+        "purchase_view_full_outer_drain",
         "user_scd2_stream_drain",
         "stream_versioned_sink_drain",
         "session_window_stream_drain",

@@ -712,3 +712,187 @@ def _score_buckets_pairs_arrow(
         ).groupBy("bucket_r"))
         .applyInPandas(score, "id_a long, id_b long, cosine double")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ADC scoring inside the probed IVF cells.
+# ---------------------------------------------------------------------------
+
+
+def _pq_codes_udf(codebooks: list[list[list[float]]]):
+    """pandas_udf: normalized vector -> array<int> of per-subspace codes
+    (argmin L2 to the subspace codebook, computed as argmax of
+    ``s.c - ||c||^2/2``). One numpy matmul per subspace per Arrow batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    half_norms = [0.5 * (cb * cb).sum(axis=1) for cb in cbs]
+    d_sub = cbs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def codes(vn: pd.Series) -> pd.Series:
+        X = np.array(vn.tolist(), dtype=np.float64)
+        out = np.empty((X.shape[0], len(cbs)), dtype=np.int32)
+        for j, cb in enumerate(cbs):
+            sub = X[:, j * d_sub : (j + 1) * d_sub]
+            out[:, j] = np.argmax(sub @ cb.T - half_norms[j], axis=1)
+        return pd.Series(list(out))
+
+    return codes
+
+
+def _pq_lut_udf(codebooks: list[list[list[float]]]):
+    """pandas_udf: normalized QUERY vector -> flat array<double> lookup
+    table, ``lut[j*k_cb + c] = dot(q_sub_j, codebook[j][c])`` — the ADC
+    table; scoring a candidate is then m lookups + adds, not a dim-wide
+    dot."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    d_sub = cbs[0].shape[1]
+
+    @pandas_udf("array<double>")
+    def lut(vn: pd.Series) -> pd.Series:
+        X = np.array(vn.tolist(), dtype=np.float64)
+        parts = [X[:, j * d_sub : (j + 1) * d_sub] @ cb.T for j, cb in enumerate(cbs)]
+        flat = np.concatenate(parts, axis=1)
+        return pd.Series(list(flat))
+
+    return lut
+
+
+def pq_codebooks(
+    normed: DataFrame,
+    id_col: str,
+    m: int = 8,
+    k_cb: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace k-means codebooks over the ``vn``
+    column: the vector splits into ``m`` contiguous subspaces; each gets
+    ``k_cb`` centroids trained by Lloyd iterations whose assignment step
+    is the Arrow codes UDF and whose update step is ONE distributed
+    (sub, code, pos) mean pass — only the m*k_cb*d_sub codebook (KBs)
+    ever reaches the driver. Init = subvectors of the k_cb rows with the
+    smallest md5(id), the same RNG-free seeding as ivf_assignments."""
+    first = normed.select("vn").first()
+    dim = len(first["vn"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    seeds = (
+        normed.select(F.md5(F.col(id_col).cast("string")).alias("h"), "vn")
+        .orderBy("h")
+        .limit(k_cb)
+        .collect()
+    )
+    codebooks = [
+        [list(r["vn"][j * d_sub : (j + 1) * d_sub]) for r in seeds] for j in range(m)
+    ]
+    for _ in range(iters):
+        with_codes = normed.withColumn("__codes", _pq_codes_udf(codebooks)(F.col("vn")))
+        sub_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("sub"),
+                    F.element_at("__codes", j + 1).alias("code"),
+                    F.slice("vn", j * d_sub + 1, d_sub).alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+        means = (
+            with_codes.select(F.explode(sub_structs).alias("s"))
+            .select("s.sub", "s.code", F.posexplode("s.sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            acc.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["mu"]
+        for (j, c), by_pos in acc.items():
+            codebooks[j][c] = [by_pos[p] for p in range(d_sub)]
+        # codes with no members keep their previous centroid
+    return codebooks
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_centroids: int | None = None,
+    n_probe: int = 2,
+    m: int = 8,
+    k_cb: int = 16,
+    iters: int = 1,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ approximate all-pairs top-k: coarse IVF cells bound the
+    candidate set (equi-join on cluster, like ivf_topk), but candidates
+    are scored by ASYMMETRIC DISTANCE COMPUTATION — m table lookups per
+    pair against the query's precomputed LUT instead of a dim-wide dot —
+    then only the top ``rerank_factor * k`` ADC survivors per query are
+    re-ranked with the exact cosine. Emitted scores are therefore EXACT
+    for every returned pair, while the per-pair scan cost drops from
+    ``dim`` multiplies to ``m`` lookups.
+
+    At 100 TB the corpus side of the candidate join carries (id, cluster,
+    m int8-sized codes) — the 4x-quantized-again form of the int8 path in
+    functions/vectors.py — and the original vectors are only fetched for
+    the tiny re-rank set; here both live in one frame for simplicity.
+    Deterministic end to end: RNG-free seeding, numpy argmax ties break
+    low-index, ranks tie-break on neighbor_id.
+    """
+    if n_centroids is None:
+        n_centroids = max(4, int(math.sqrt(df.count())))
+    assigned, centroids = ivf_assignments(df, id_col, vec_col, n_centroids, iters)
+    codebooks = pq_codebooks(assigned, id_col, m=m, k_cb=k_cb, iters=iters)
+
+    corpus = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vn").alias("cv"),
+        "cluster",
+        _pq_codes_udf(codebooks)(F.col("vn")).alias("codes"),
+    )
+    probes = _cell_scores_udf(centroids, n_probe)(F.col("vn"))
+    q = assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col("vn").alias("qv"),
+        _pq_lut_udf(codebooks)(F.col("vn")).alias("lut"),
+        F.explode(probes).alias("cluster"),
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"),
+            (j * F.lit(k_cb) + F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    cand = (
+        q.join(corpus, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc)
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    shortlist = cand.withColumn("arank", F.row_number().over(w_adc)).filter(
+        F.col("arank") <= rerank_factor * k
+    )
+    exact = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        shortlist.withColumn("score", exact)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

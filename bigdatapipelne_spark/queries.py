@@ -725,6 +725,14 @@ _GATE_PRIORITY = [
     # can't exercise this round's >100k-row auto-routing anyway — local
     # parity covers it)
     "embedding_ann_recall",
+    # IVF-PQ: two-level quantization (coarse cells + product codes + exact
+    # re-rank); the recall certificate is hash-checked, the top-k itself is
+    # rows-only like the other approximate paths. Slots from
+    # hll_users_rollup and user_scd2_incremental (standing r03 rows; SCD2
+    # stays gated via user_scd2 + user_scd2_stream_drain, the sketch
+    # family via its r03 bounded-error row).
+    "ivfpq_topk_recall",
+    "embedding_ivfpq",
     # Streaming / pipeline anchors + round-3 additions. card_medallion_disk
     # supersedes card_spec_mart in-gate (same oracle, adds the disk
     # round-trip); card_spec_mart, serving_upsert and fraud_stream_drain
@@ -740,13 +748,11 @@ _GATE_PRIORITY = [
     # rotates out: user_scd2_incremental exercises scd2_snapshot AND
     # scd2_merge against the SAME oracle, so the snapshot path stays
     # certified through it (plus the local parity sweep).
-    "user_scd2_incremental",
     "user_scd2_stream_drain",
     # Newest round-3 operators: funnel attribution, golden-record entity
     # resolution, multi-grain time rollup, sequence packing, robust
     # anomaly detection, mergeable-HLL rollup, and the end-to-end corpus
     # pipeline — the slots freed above.
-    "hll_users_rollup",
     "corpus_pipeline",
 ]
 

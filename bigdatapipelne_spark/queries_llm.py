@@ -2247,3 +2247,37 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         )
     )
+
+
+IVFPQ_TOPK_RECALL_FLOOR = 0.4  # measured 0.50 both SFs; 0.25 = random scan
+
+
+@query("embedding_ivfpq")
+def embedding_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (operators/similarity.py ivfpq_topk): coarse IVF
+    cells bound candidates, product-quantized ADC (m=8 subspaces x 16
+    codes, per-pair cost = 8 table lookups) shortlists them, and only
+    the shortlist is re-ranked with exact cosine — the memory/scan
+    geometry of a billion-vector index (codes are m bytes per vector at
+    rest). Rows-only by design (approximate path); the recall floor is
+    hash-certified by ivfpq_topk_recall."""
+    from bigdatapipelne_spark.operators.similarity import ivfpq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, "vec_id", "embedding", k=3, n_probe=2, iters=1)
+
+
+@query("ivfpq_topk_recall", oracle=_TOPK_EXACT_COUNT_SQL)
+def ivfpq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked recall bound for the IVF-PQ path (16 cells / 4
+    probes / 8x-k ADC shortlist): the certificate that the two-level
+    quantization (coarse cells + product codes) still beats its 25%
+    scan fraction decisively after exact re-ranking."""
+    from bigdatapipelne_spark.operators.similarity import ivfpq_topk
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < TOPK_RECALL_CAP)
+    ann = ivfpq_topk(
+        emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4, iters=1,
+        rerank_factor=8,
+    )
+    return _topk_recall_certificate(emb, ann, IVFPQ_TOPK_RECALL_FLOOR)

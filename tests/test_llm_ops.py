@@ -899,3 +899,43 @@ def test_incremental_near_duplicates_cross_frame_only(spark):
     assert all(d >= 10 and c < 10 for d, c in pairs)
     assert (12, 1) not in pairs and (12, 2) not in pairs
     assert pairs[(10, 1)] == pytest.approx(10 / 12)
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    from bigdatapipelne_spark.operators.similarity import brute_force_topk, ivfpq_topk
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    truth = {(r.query_id, r.neighbor_id) for r in
+             brute_force_topk(emb, emb, "vec_id", "embedding", k=5).collect()}
+    pq = ivfpq_topk(emb, "vec_id", "embedding", k=5, n_centroids=16,
+                    n_probe=4, iters=1, rerank_factor=8)
+    got = {(r.query_id, r.neighbor_id) for r in pq.collect()}
+    # 4/16 probes scan 25%; the ADC shortlist + exact re-rank must beat
+    # that baseline decisively (measured ~0.50 on this corpus).
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.35, f"IVF-PQ recall too low: {recall:.3f}"
+    got2 = {(r.query_id, r.neighbor_id) for r in
+            ivfpq_topk(emb, "vec_id", "embedding", k=5, n_centroids=16,
+                       n_probe=4, iters=1, rerank_factor=8).collect()}
+    assert got == got2
+    # Emitted scores are exact cosines of the normalized vectors; brute
+    # force folds dot-then-divide, so the two agree to the final ulp but
+    # not bit-for-bit — compare with an ulp-scale tolerance.
+    bf_scores = {(r.query_id, r.neighbor_id): r.score for r in
+                 brute_force_topk(emb, emb, "vec_id", "embedding", k=5).collect()}
+    for r in pq.collect():
+        if (r.query_id, r.neighbor_id) in bf_scores:
+            assert abs(r.score - bf_scores[(r.query_id, r.neighbor_id)]) < 1e-12
+
+
+def test_pq_codebooks_shape_and_dim_guard(spark):
+    import pytest
+    from bigdatapipelne_spark.operators.similarity import _normalized, pq_codebooks
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    normed = emb.select("vec_id", _normalized("embedding").alias("vn"))
+    cbs = pq_codebooks(normed, "vec_id", m=8, k_cb=16, iters=1)
+    assert len(cbs) == 8 and all(len(cb) == 16 for cb in cbs)
+    assert all(len(c) == 8 for cb in cbs for c in cb)  # 64 / 8 subspaces
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(normed, "vec_id", m=7)

@@ -852,46 +852,62 @@ def ivfpq_topk(
     assigned, centroids = ivf_assignments(df, id_col, vec_col, n_centroids, iters)
     codebooks = pq_codebooks(assigned, id_col, m=m, k_cb=k_cb, iters=iters)
 
+    import numpy as np
+
+    # Corpus side of the candidate join carries ONLY (id, cluster, codes):
+    # the heavy arrays (vn, the 128-double query LUT) never multiply per
+    # candidate pair — ADC scores are computed per CELL as one numpy
+    # gather-sum over the cogrouped (queries x members) block, emitting
+    # narrow (query_id, neighbor_id, adc) rows.
     corpus = assigned.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col("vn").alias("cv"),
         "cluster",
         _pq_codes_udf(codebooks)(F.col("vn")).alias("codes"),
     )
     probes = _cell_scores_udf(centroids, n_probe)(F.col("vn"))
     q = assigned.select(
         F.col(id_col).alias("query_id"),
-        F.col("vn").alias("qv"),
         _pq_lut_udf(codebooks)(F.col("vn")).alias("lut"),
         F.explode(probes).alias("cluster"),
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.col("lut"),
-            (j * F.lit(k_cb) + F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast(
-                "int"
-            ),
-        ),
-    )
+
+    flat_offset = (np.arange(m) * k_cb).astype(np.int64)
+
+    def adc_cell(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "adc": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "adc": "float64"})
+        L = np.array(left["lut"].tolist(), dtype=np.float64)          # (nq, m*k_cb)
+        C = np.array(right["codes"].tolist(), dtype=np.int64) + flat_offset  # (nc, m)
+        S = L[:, C].sum(axis=2)                                       # (nq, nc)
+        qid = np.repeat(left["query_id"].to_numpy(), len(right))
+        nid = np.tile(right["neighbor_id"].to_numpy(), len(left))
+        return pd.DataFrame({"query_id": qid, "neighbor_id": nid, "adc": S.ravel()})
+
     cand = (
-        q.join(corpus, "cluster")
+        q.groupBy("cluster")
+        .cogroup(corpus.groupBy("cluster"))
+        .applyInPandas(adc_cell, "query_id long, neighbor_id long, adc double")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adc", adc)
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     shortlist = cand.withColumn("arank", F.row_number().over(w_adc)).filter(
         F.col("arank") <= rerank_factor * k
     )
+    # Exact re-rank: the original (normalized) vectors join back onto the
+    # tiny shortlist only — rerank_factor*k rows per query.
+    qvecs = assigned.select(F.col(id_col).alias("query_id"), F.col("vn").alias("qv"))
+    cvecs = assigned.select(F.col(id_col).alias("neighbor_id"), F.col("vn").alias("cv"))
     exact = F.aggregate(
         F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        shortlist.withColumn("score", exact)
+        shortlist.join(qvecs, "query_id")
+        .join(cvecs, "neighbor_id")
+        .withColumn("score", exact)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")

@@ -646,6 +646,11 @@ _GATE_PRIORITY = [
     "deduped_best_quality",
     "corpus_budget_select",
     "docs_sample_fraction",
+    # exact_stratified_split: exact-count per-stratum 80/10/10 at integer
+    # rank boundaries (Bernoulli hash splits drift binomially on small
+    # strata); slot from user_scd2_stream_drain (standing r03 row; SCD2
+    # stays gated via user_scd2).
+    "exact_stratified_split",
     # ...plus domain-mixture rebalancing and the char-entropy quality
     # signal (slots from lineitem_profile/price_histogram, r03 rows
     # standing; the profiling family stays gated via value_percentiles,
@@ -748,7 +753,6 @@ _GATE_PRIORITY = [
     # rotates out: user_scd2_incremental exercises scd2_snapshot AND
     # scd2_merge against the SAME oracle, so the snapshot path stays
     # certified through it (plus the local parity sweep).
-    "user_scd2_stream_drain",
     # Newest round-3 operators: funnel attribution, golden-record entity
     # resolution, multi-grain time rollup, sequence packing, robust
     # anomaly detection, mergeable-HLL rollup, and the end-to-end corpus

@@ -2281,3 +2281,61 @@ def ivfpq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank_factor=8,
     )
     return _topk_recall_certificate(emb, ann, IVFPQ_TOPK_RECALL_FLOOR)
+
+
+@query(
+    "exact_stratified_split",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    assigned AS (
+      SELECT lang,
+             CASE WHEN rnk * 10 <= n * 8 THEN 'train'
+                  WHEN rnk * 10 <= n * 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ranked
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified train/val/test split: within each stratum
+    documents are ranked by a seeded md5 draw (a deterministic uniform
+    permutation) and the 80/10/10 boundaries cut at EXACT integer ranks
+    (rnk*10 <= n*8 — integer arithmetic, no float boundary), so every
+    stratum lands within one document of its target proportion — unlike
+    the hash-bucket Bernoulli split (dataset_splits), whose small
+    strata drift binomially. The per-stratum window parallelizes across
+    strata; a pathologically hot stratum would route through
+    operators/selection.py global_rank instead. Emits per (split, lang)
+    counts."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
+    )
+    ranked = docs.select(
+        "lang",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    split = (
+        F.when(F.col("rnk") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rnk") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+    )
+    return (
+        ranked.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

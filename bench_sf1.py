@@ -44,6 +44,9 @@ SCALE_QUERIES = [
     # MG heavy hitters, unigram LM scoring, repeat collapse, PSI drift,
     # delta-vs-corpus dedup.
     "chunk_dup_docs",
+    "embedding_ivfpq",
+    "quality_deciles",
+    "exact_stratified_split",
     "frequent_tokens",
     "doc_unigram_logprob",
     "doc_collapse_repeats",

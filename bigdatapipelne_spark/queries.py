@@ -697,6 +697,10 @@ _GATE_PRIORITY = [
     "schema_evolution_disk",
     "compaction_disk",
     "stream_versioned_sink_drain",
+    # stream_restart_resume_drain: exactly-once across a checkpoint-resumed
+    # restart (W5/W6 promoted to driver-gated evidence); slot from
+    # stream_dedup_drain (standing r03 row, code unchanged).
+    "stream_restart_resume_drain",
     # medallion_audit: per-batch row reconciliation across raw->stage->spec;
     # slot from multimodal_features (standing r03 row, code unchanged).
     "medallion_audit",
@@ -746,7 +750,6 @@ _GATE_PRIORITY = [
     # full-outer completes the hash-checked stream-stream join matrix; slot
     # from purchase_view_interval_join (standing r03 row, code unchanged).
     "purchase_view_full_outer_drain",
-    "stream_dedup_drain",
     "card_medallion_disk",
     # Late round-3 operators (SCD2 family, quality contract, quantization,
     # exact-count sampling, BM25) — the slots freed above. Plain user_scd2

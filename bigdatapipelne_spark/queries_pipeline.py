@@ -932,3 +932,70 @@ def purchase_view_full_outer_drain(spark: SparkSession, sf_dir: str) -> DataFram
         F.coalesce("view_id", F.lit(-1)).alias("view_id"),
         F.coalesce(F.col("vts"), sentinel_ts).alias("vts"),
     )
+
+
+@query(
+    "stream_restart_resume_drain",
+    oracle="""
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+    FROM events
+    """,
+)
+def stream_restart_resume_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a stream RESTART, under the hash gate: the
+    first drain sees only two of three staged files and stops; the third
+    file lands; a SECOND drain starts from the SAME checkpoint and must
+    process only the new file. The final sink must equal the whole table
+    exactly — a re-processed file would duplicate rows and flip the
+    hash, a lost offset would drop them. This is the W5/W6 checkpoint
+    bookmark (tests/test_streaming.py pins it locally) promoted to
+    driver-gated evidence."""
+    import os
+
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    parts = [ev.filter(F.col("event_id") % 3 == r) for r in range(3)]
+    tmp = tempfile.mkdtemp(prefix="restart_")
+    staging = os.path.join(tmp, "staging")
+    out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
+
+    def drain() -> None:
+        (
+            spark.readStream.schema("event_id long, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    stage_ordered_files(parts[:2], staging)
+    drain()
+    n_first = spark.read.parquet(out).count()
+    # The third file lands with a LATER mtime (stage_ordered_files indexes
+    # continue); the resumed drain must pick up exactly this one.
+    from bigdatapipelne_spark.streaming import scd as _scd
+    import glob as _glob
+    import shutil as _shutil
+
+    tmpd = os.path.join(staging, "_tmp2")
+    parts[2].coalesce(1).write.mode("overwrite").parquet(tmpd)
+    (part,) = _glob.glob(os.path.join(tmpd, "part-*.parquet"))
+    dest = os.path.join(staging, "002.parquet")
+    _shutil.move(part, dest)
+    _shutil.rmtree(tmpd)
+    os.utime(dest, (1_600_000_002, 1_600_000_002))
+    drain()
+    final = spark.read.parquet(out)
+    n_final = final.count()
+    if not (0 < n_first < n_final):
+        raise AssertionError(
+            f"restart must only append the new file: first={n_first}, final={n_final}"
+        )
+    return final.select("event_id", "user_id", "value")

@@ -101,6 +101,7 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         "purchase_view_full_outer_drain",
         "user_scd2_stream_drain",
         "stream_versioned_sink_drain",
+        "stream_restart_resume_drain",
         "session_window_stream_drain",
         "purchase_view_stream_join",
     }

@@ -98,3 +98,32 @@ def weighted_sample_topk(
             id_col, "weight", F.round(F.col("__key"), 6).alias("sample_key")
         )
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame, id_col: str, group_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Per-group A-ES weighted sampling without replacement: the
+    ``weighted_sample_topk`` draw key ranked WITHIN each group — "the k
+    quality-weighted picks per language". Same determinism story (pure
+    function of the row id); the per-group window parallelizes across
+    groups, and a pathologically hot group takes the salted two-stage
+    route of ``sample_k_per_group``. Emits ``group_col, id_col, weight,
+    sample_key, rk``.
+    """
+    from bigdatapipelne_spark.operators.selection import uniform_hash
+
+    w = F.col(weight_col).cast("double")
+    key = F.pow(uniform_hash(id_col), F.lit(1.0) / w)
+    win = Window.partitionBy(group_col).orderBy(F.desc("__key"), F.asc(id_col))
+    return (
+        df.filter(w > 0)
+        .select(F.col(group_col), F.col(id_col), w.alias("weight"), key.alias("__key"))
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .select(
+            group_col, id_col, "weight",
+            F.round(F.col("__key"), 6).alias("sample_key"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

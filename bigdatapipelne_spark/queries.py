@@ -676,6 +676,10 @@ _GATE_PRIORITY = [
     # cube_order_stats, set-ops via engaged_days, windows via user_scd2
     # and value_percentiles).
     "weighted_docs_sample",
+    # weighted_sample_per_lang: the per-stratum A-ES form; slot from
+    # purchase_view_outer_drain, whose left-eviction oracle is literally a
+    # subset of the in-gate full-outer drain (standing r03 row).
+    "weighted_sample_per_lang",
     # store_time_travel certifies VERSION-AS-OF snapshot isolation on the
     # versioned store; its slot comes from approx_users_per_type (standing
     # r03 row; the HLL family stays gated via hll_users_rollup).
@@ -746,7 +750,6 @@ _GATE_PRIORITY = [
     # supersedes card_spec_mart in-gate (same oracle, adds the disk
     # round-trip); card_spec_mart, serving_upsert and fraud_stream_drain
     # rotate out with their round-2 green rows standing (code unchanged).
-    "purchase_view_outer_drain",
     # full-outer completes the hash-checked stream-stream join matrix; slot
     # from purchase_view_interval_join (standing r03 row, code unchanged).
     "purchase_view_full_outer_drain",

@@ -2339,3 +2339,82 @@ def exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "weighted_sample_per_lang",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> list_contains({_SQL_STOPWORD_LIST}, x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END AS sr,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) END AS pr
+      FROM base
+    ),
+    wt AS (SELECT doc_id, lang, sr * 0.5 + (1.0 - pr) * 0.5 AS weight FROM sig),
+    keyed AS (
+      SELECT doc_id, lang, weight,
+             pow(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) / 4294967296.0,
+                 1.0 / weight) AS key
+      FROM wt WHERE weight > 0
+    ),
+    ranked AS (
+      SELECT lang, doc_id, weight, key,
+             row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC)
+               AS rk
+      FROM keyed
+    )
+    SELECT lang, doc_id, weight, round(key, 6) AS sample_key,
+           CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quality-weighted sampling (operators/sampling.py
+    weighted_sample_per_group): the 10 A-ES picks per language,
+    deterministic on any layout; the oracle replays weight, draw key,
+    and per-group ranking exactly."""
+    from bigdatapipelne_spark.operators.sampling import weighted_sample_per_group
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score("text").alias("q")
+    )
+    return weighted_sample_per_group(docs, "doc_id", "lang", "q", k=10)
+
+
+@query(
+    "lang_confusion",
+    oracle=f"""
+    WITH base AS (SELECT lang, {_SQL_TOKS} AS toks FROM documents),
+    pred AS (
+      SELECT lang,
+             CASE WHEN len(toks) > 0 AND
+               CAST(len(list_filter(toks, x -> list_contains({_SQL_STOPWORD_LIST}, x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) >= 0.05
+             THEN 'en' ELSE 'other' END AS lang_pred
+      FROM base
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted label (the stopword-ratio
+    heuristic, functions/text.py lang_id_en) against the ground-truth
+    lang column — the evaluation rollup a pipeline publishes to decide
+    whether the classifier's precision supports language-filtered
+    corpus cuts. One grouped count; labels computed in the scan
+    projection."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_en("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

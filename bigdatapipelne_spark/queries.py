@@ -740,12 +740,18 @@ _GATE_PRIORITY = [
     "embedding_ann_recall",
     # IVF-PQ: two-level quantization (coarse cells + product codes + exact
     # re-rank); the recall certificate is hash-checked, the top-k itself is
-    # rows-only like the other approximate paths. Slots from
-    # hll_users_rollup and user_scd2_incremental (standing r03 rows; SCD2
-    # stays gated via user_scd2 + user_scd2_stream_drain, the sketch
-    # family via its r03 bounded-error row).
+    # rows-only like the other approximate paths. Slot from
+    # hll_users_rollup (standing r03 row; the sketch family keeps its r03
+    # bounded-error row). embedding_ivfpq itself rotates OUT this round:
+    # it is no-oracle-by-design (approximate top-k), its driver evidence
+    # is the hash-checked ivfpq_topk_recall twin below, and its r04 row
+    # stands. Its slot goes to lang_confusion — the one registered query
+    # that had never been inside a gate window.
     "ivfpq_topk_recall",
-    "embedding_ivfpq",
+    # lang_confusion: language-ID confusion matrix over the labeled
+    # documents corpus — the final registered query without a lifetime
+    # driver row (added after the r04 window filled).
+    "lang_confusion",
     # Streaming / pipeline anchors + round-3 additions. card_medallion_disk
     # supersedes card_spec_mart in-gate (same oracle, adds the disk
     # round-trip); card_spec_mart, serving_upsert and fraud_stream_drain

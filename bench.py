@@ -75,6 +75,7 @@ def main() -> None:
     RERUN_CAP_S = 30.0
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    cap_hits: list[str] = []
     total = 0.0
     first = {name: run_once(name) for name in sorted(QUERIES)}
     for name, dt1 in first.items():
@@ -85,11 +86,24 @@ def main() -> None:
             if dt2 == dt2:
                 dt = min(dt1, dt2)
                 samples[name].append(round(dt2, 3))
+        elif dt1 == dt1:
+            # A sample at/over the cap means the min-of-two methodology
+            # silently degraded to single-pass for this query — record it
+            # loudly so a regression can't hide behind the cap.
+            cap_hits.append(name)
         timings[name] = round(dt, 3)
         if dt == dt:  # not NaN
             total += dt
 
+    if cap_hits:
+        print(
+            f"# BENCH CAP HIT ({len(cap_hits)}): {', '.join(sorted(cap_hits))} "
+            f"— single-sample timings; investigate before trusting the total",
+            file=sys.stderr,
+        )
+
     full = {
+        "cap_hits": sorted(cap_hits),
         "metric": "query_sweep_total",
         "value": round(total, 3),
         "unit": "sec",
@@ -119,6 +133,7 @@ def main() -> None:
                 "methodology": "best_of_two_min_capped_30s",
                 "queries": slowest,
                 "n_queries": len(timings),
+                "cap_hits": len(cap_hits),
                 "sf": sf,
             }
         )

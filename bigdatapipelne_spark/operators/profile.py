@@ -140,17 +140,26 @@ def psi_drift(
     era = F.when(F.col(ts_col) < F.lit(split_ts).cast("timestamp"), "before").otherwise(
         "after"
     )
+    # Degenerate distribution guard: a constant column makes hi == lo, so
+    # width is 0 and (v - lo) / width would be 0.0/0.0 = NaN — the result
+    # would then hinge on each engine's NaN ordering in least/floor rather
+    # than defined behavior. Every value IS the single observed point, so
+    # force bin 0 explicitly (PSI degenerates to ~0, correctly: no drift
+    # is observable in a one-point distribution).
+    raw_bin = F.when(
+        F.col("__hi") == F.col("__lo"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((F.col(value_col).cast("double") - F.col("__lo")) / width),
+        )
+    )
     cells = (
         df.crossJoin(F.broadcast(stats))
         .select(
             F.col(group_col),
             era.alias("__era"),
-            F.least(
-                F.lit(bins - 1),
-                F.floor((F.col(value_col).cast("double") - F.col("__lo")) / width),
-            )
-            .cast("int")
-            .alias("__bin"),
+            raw_bin.cast("int").alias("__bin"),
         )
         .groupBy(group_col, "__era", "__bin")
         .agg(F.count(F.lit(1)).alias("__cnt"))

@@ -68,9 +68,18 @@ def budget_select(
     parts = num_partitions or narrow.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    ranged = narrow.repartitionByRange(
-        int(parts), F.desc("score"), F.asc(id_col)
-    ).withColumn("_pid", F.spark_partition_id())
+    # Materialized ONCE (localCheckpoint) before pass 1 collects subtotals:
+    # row->partition assignment is not guaranteed stable across jobs (range
+    # boundaries come from sampling; AQE or a nondeterministic upstream can
+    # reshape the input), and pairing pass-1 offsets with a re-evaluated
+    # assignment would silently double-count or skip tokens. Freezing _pid
+    # as data costs one narrow (id, tokens, score) pass of storage — the
+    # same pass the at-scale caller would persist anyway.
+    ranged = (
+        narrow.repartitionByRange(int(parts), F.desc("score"), F.asc(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
 
     # Pass 1: per-partition subtotals -> driver-side running offsets.
     # RangePartitioner keys partition p strictly before p+1 in the sort
@@ -91,11 +100,8 @@ def budget_select(
     )
 
     # Pass 2: in-partition running sum (window partitioned by _pid — every
-    # partition cumulates in parallel) + the broadcast per-partition offset.
-    # (The range shuffle re-executes for this second job; RangePartitioner
-    # boundary sampling is seeded deterministically, so both jobs see the
-    # identical row->partition assignment. Callers at scale can persist the
-    # ranged frame to pay the narrow shuffle once.)
+    # partition cumulates in parallel) + the broadcast per-partition offset,
+    # both reading the checkpointed blocks from pass 1.
     w = (
         Window.partitionBy("_pid")
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -208,12 +214,26 @@ def global_rank(
 
     ``order_by`` must be a TOTAL order (include a unique tiebreaker) or
     ranks are nondeterministic. Emits the input columns plus ``rank``.
+
+    The ranged frame is materialized ONCE (``localCheckpoint``) before the
+    per-partition counts are collected: range boundaries come from a
+    sample and row→partition assignment is not stable across jobs (AQE
+    re-plans, nondeterministic upstreams, unioned file order), so
+    evaluating the frame twice — once for counts, once in the returned
+    plan — could silently pair offsets with a DIFFERENT assignment,
+    yielding duplicate or skipped ranks. Checkpointing freezes ``_pid``
+    as data; both reads see the same rows in the same partitions. The
+    storage cost is one pass of the input (memory-and-disk, released when
+    the frame is GC'd) — the price of exactness, same as ``persist()``
+    in the classic two-pass prefix-sum pattern.
     """
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    ranged = df.repartitionByRange(int(parts), *order_by).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(int(parts), *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["_pid"]: r["c"]

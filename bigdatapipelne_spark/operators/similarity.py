@@ -114,6 +114,13 @@ def brute_force_topk(
 # comparisons stop being a "baseline" and start being an outage.
 NEAR_DUP_MAX_ROWS = 100_000
 
+# Ceiling on the IVF coarse-quantizer centroid table: it lives on the
+# driver and ships to every task in the scorer closure, so it must stay
+# broadcast-sized (64-dim float64 at the cap ~ 34 MB). sqrt(N) defaults
+# stay under this past 10^9 vectors; a corpus wanting more cells should
+# shard and run one quantizer per shard.
+MAX_CENTROIDS = 65_536
+
 
 def near_duplicate_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
@@ -215,8 +222,23 @@ def ivf_assignments(
     dim) mean) with only the C x dim centroid table moving through the
     driver — at 10^9 vectors that is still a few KB.
 
+    ``n_centroids`` is capped at ``MAX_CENTROIDS``: the centroid table is
+    driver-resident and ships to every task inside the scorer closure, so
+    it must stay broadcast-sized by construction (at the cap, 64-dim
+    float64 centroids are ~34 MB; the sqrt(N) default stays under it past
+    10^9 vectors). The seed select is asserted to compile to
+    TakeOrdered(AndProject) — a limit pushed into a per-partition top-C
+    plus a C-row driver merge — never a global sort of the corpus.
+
     Returns (assignments DataFrame [id, vn, cluster], centroids).
     """
+    if n_centroids > MAX_CENTROIDS:
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds MAX_CENTROIDS="
+            f"{MAX_CENTROIDS}: the centroid table is driver-resident and "
+            "closure-shipped; partition the corpus (e.g. by shard) and run "
+            "one quantizer per shard instead"
+        )
     # Repartition first: a single-file corpus arrives as one partition, and
     # everything downstream of the scan here is narrow (normalize + C dots
     # per row) — without the spread it runs on one core.
@@ -230,13 +252,19 @@ def ivf_assignments(
         .select(F.col(id_col), _normalized(vec_col).alias("vn"))
         .cache()
     )
-    seed_rows = (
+    seed_select = (
         normed.select(F.md5(F.col(id_col).cast("string")).alias("h"), "vn")
         .orderBy("h")
         .limit(n_centroids)
-        .collect()
     )
-    centroids = [list(r.vn) for r in seed_rows]
+    seed_plan = seed_select._jdf.queryExecution().executedPlan().toString()
+    if "TakeOrdered" not in seed_plan:
+        raise AssertionError(
+            "centroid seeding must compile to TakeOrdered(AndProject) — a "
+            "global Sort of the corpus for C seeds is a scale bug:\n"
+            + seed_plan
+        )
+    centroids = [list(r.vn) for r in seed_select.collect()]
 
     for _ in range(iters):
         assigned = normed.withColumn(

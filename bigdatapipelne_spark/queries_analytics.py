@@ -1352,8 +1352,10 @@ def hll_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
                   THEN 'before' ELSE 'after' END AS era,
-             LEAST(9, CAST(FLOOR((CAST(value AS DOUBLE) - lo)
-                                 / ((hi - lo) / 10.0)) AS INTEGER)) AS bin,
+             CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(9, CAST(FLOOR((CAST(value AS DOUBLE) - lo)
+                                     / ((hi - lo) / 10.0)) AS INTEGER))
+             END AS bin,
              COUNT(*) AS cnt
       FROM events, stats GROUP BY 1, 2, 3
     ),

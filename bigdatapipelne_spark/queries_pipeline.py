@@ -578,7 +578,12 @@ def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.mkdtemp(prefix="ttravel_"), "docs_store")
     store.commit_version(docs.filter(F.col("lang") == "en"), root)
     store.commit_version(docs, root)
-    assert store.current_version(root) == "v_00000002"
+    # Fail loudly even under python -O (a bare assert would be stripped).
+    if store.current_version(root) != "v_00000002":
+        raise AssertionError(
+            f"manifest flip failed: current={store.current_version(root)!r}, "
+            "expected v_00000002"
+        )
     v1 = store.read_version(spark, root, "v_00000001")
     v2 = store.read_current(spark, root)
 
@@ -624,21 +629,38 @@ def bucketed_join_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     tmp = tempfile.mkdtemp(prefix="bucketed_join_")
+    # Table names carry the run-unique mkdtemp suffix: the session catalog
+    # (and its warehouse) is shared, so fixed names would collide across
+    # concurrent benches or a driver re-entry on one warehouse.
+    run_id = os.path.basename(tmp).removeprefix("bucketed_join_")
+    t_orders, t_lineitem = f"bq_orders_b_{run_id}", f"bq_lineitem_b_{run_id}"
     write_bucketed_table(
-        spark, orders, "bq_orders_b", ["o_orderkey"], 8,
+        spark, orders, t_orders, ["o_orderkey"], 8,
         os.path.join(tmp, "orders"),
     )
     write_bucketed_table(
-        spark, lineitem, "bq_lineitem_b", ["l_orderkey"], 8,
+        spark, lineitem, t_lineitem, ["l_orderkey"], 8,
         os.path.join(tmp, "lineitem"),
     )
-    # The MERGE hint pins SortMergeJoin in THIS returned plan (no session
-    # conf mutation to leak into the driver's other queries); with both
+    # The MERGE hint pins SortMergeJoin in THIS returned plan; with both
     # sides bucketed on the key, EnsureRequirements then needs no Exchange.
-    o = spark.table("bq_orders_b").hint("merge")
-    li = spark.table("bq_lineitem_b")
+    o = spark.table(t_orders).hint("merge")
+    li = spark.table(t_lineitem)
     joined = li.join(o, li.l_orderkey == o.o_orderkey)
-    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # Certify zero-shuffle on a FULLY-DETERMINED plan: under AQE the
+    # pre-action executedPlan string is the initial AdaptiveSparkPlan and
+    # the finally-executed plan may differ, so compile the assertion plan
+    # with AQE off (restored immediately — the returned DataFrame is
+    # re-planned at action time with the session's own confs; AQE only
+    # re-optimizes at exchange boundaries, so a plan with no Exchange
+    # cannot grow one).
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = li.join(o, li.l_orderkey == o.o_orderkey)._jdf.queryExecution(
+        ).executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
     if "Exchange" in plan or "SortMergeJoin" not in plan:
         raise AssertionError(
             "bucketed join must be a shuffle-free SortMergeJoin; got:\n" + plan
@@ -978,19 +1000,12 @@ def stream_restart_resume_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_ordered_files(parts[:2], staging)
     drain()
     n_first = spark.read.parquet(out).count()
-    # The third file lands with a LATER mtime (stage_ordered_files indexes
-    # continue); the resumed drain must pick up exactly this one.
-    from bigdatapipelne_spark.streaming import scd as _scd
-    import glob as _glob
-    import shutil as _shutil
+    # The third file lands with the NEXT mtime off the same staged base
+    # epoch (stage_one_more_file); the resumed drain must pick up exactly
+    # this one.
+    from bigdatapipelne_spark.streaming.scd import stage_one_more_file
 
-    tmpd = os.path.join(staging, "_tmp2")
-    parts[2].coalesce(1).write.mode("overwrite").parquet(tmpd)
-    (part,) = _glob.glob(os.path.join(tmpd, "part-*.parquet"))
-    dest = os.path.join(staging, "002.parquet")
-    _shutil.move(part, dest)
-    _shutil.rmtree(tmpd)
-    os.utime(dest, (1_600_000_002, 1_600_000_002))
+    stage_one_more_file(parts[2], staging)
     drain()
     final = spark.read.parquet(out)
     n_final = final.count()

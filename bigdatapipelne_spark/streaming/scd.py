@@ -36,15 +36,38 @@ def stage_ordered_files(frames: list[DataFrame], staging_dir: str) -> None:
     replays them as ordered micro-batches (the file source batches oldest
     mtime first; explicit utimes remove the filesystem-resolution race)."""
     os.makedirs(staging_dir, exist_ok=True)
-    base = 1_600_000_000  # any fixed epoch; only the ordering matters
     for i, df in enumerate(frames):
-        tmp = os.path.join(staging_dir, f"_tmp{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
-        dest = os.path.join(staging_dir, f"{i:03d}.parquet")
-        shutil.move(part, dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (base + i, base + i))
+        _stage_indexed_file(df, staging_dir, i)
+
+
+# Fixed epoch for staged-file mtimes; only the ordering matters, but it
+# must stay well within the FileStreamSource maxFileAge window (7 days by
+# default) RELATIVE TO every other staged file — late additions go through
+# stage_one_more_file so they share this base rather than wall-clock time.
+_STAGE_BASE_EPOCH = 1_600_000_000
+
+
+def _stage_indexed_file(df: DataFrame, staging_dir: str, index: int) -> None:
+    tmp = os.path.join(staging_dir, f"_tmp{index}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    dest = os.path.join(staging_dir, f"{index:03d}.parquet")
+    shutil.move(part, dest)
+    shutil.rmtree(tmp)
+    ts = _STAGE_BASE_EPOCH + index
+    os.utime(dest, (ts, ts))
+
+
+def stage_one_more_file(df: DataFrame, staging_dir: str) -> str:
+    """Append one more ordered file to a directory previously populated by
+    ``stage_ordered_files`` — next index, next mtime off the SAME base
+    epoch. Restart tests use this to land a late file the resumed stream
+    must pick up; deriving the mtime here (not at the call site) keeps it
+    inside the source's maxFileAge window by construction."""
+    existing = glob.glob(os.path.join(staging_dir, "[0-9][0-9][0-9].parquet"))
+    index = len(existing)
+    _stage_indexed_file(df, staging_dir, index)
+    return os.path.join(staging_dir, f"{index:03d}.parquet")
 
 
 def scd2_stream_to_dim(

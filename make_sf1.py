@@ -16,6 +16,15 @@ ratios measure the engine, not a blown-up result set:
   seeded normal fitted to the originals' per-component moments — random
   pairs stay below the 0.42 near-dup threshold, so ANN candidate/output
   sizes scale ~linearly.
+- TPC-H tables (customer/supplier/part/orders/lineitem): 10 replicas
+  with EVERY key offset consistently (custkey on customer AND orders,
+  orderkey on orders AND lineitem, part/supp keys on part/supplier AND
+  lineitem) — each replica is an independent copy of the world, so every
+  join resolves within its replica and join/aggregate outputs scale
+  exactly 10x (or keep constant rows with 10x counts for
+  nation/date-keyed groupings). nation/region are dimension constants
+  and are copied verbatim — replicating them would break name-filter
+  semantics (q5/q7) rather than scale them.
 """
 
 from __future__ import annotations
@@ -97,8 +106,50 @@ def scale_embeddings() -> None:
     print("embeddings:", n, "->", out.num_rows)
 
 
+def _offset_columns(t: pa.Table, offsets: dict[str, int], i: int) -> pa.Table:
+    for col, off in offsets.items():
+        idx = t.schema.get_field_index(col)
+        vals = t.column(col).to_numpy()
+        t = t.set_column(idx, col, pa.array(vals + i * off, t.schema.field(col).type))
+    return t
+
+
+def scale_tpch() -> None:
+    tables = {
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    }
+    # One offset per KEY FAMILY (custkey, orderkey, ...), shared by every
+    # table referencing it, so foreign keys stay consistent per replica.
+    fam_max: dict[str, int] = {}
+    loaded = {}
+    for name, keys in tables.items():
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        loaded[name] = t
+        for k in keys:
+            fam = k.split("_", 1)[1]  # c_custkey / o_custkey -> custkey
+            fam_max[fam] = max(
+                fam_max.get(fam, 0), int(t.column(k).to_numpy().max())
+            )
+    fam_off = {f: m + 1 for f, m in fam_max.items()}
+    for name, keys in tables.items():
+        t = loaded[name]
+        offsets = {k: fam_off[k.split("_", 1)[1]] for k in keys}
+        parts = [_offset_columns(t, offsets, i) for i in range(REPLICAS)]
+        out = pa.concat_tables(parts)
+        pq.write_table(out, f"{DST}/{name}.parquet")
+        print(f"{name}:", t.num_rows, "->", out.num_rows)
+    for name in ("nation", "region"):
+        pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"), f"{DST}/{name}.parquet")
+        print(f"{name}: copied verbatim (dimension constants)")
+
+
 if __name__ == "__main__":
     os.makedirs(DST, exist_ok=True)
     scale_events()
     scale_documents()
     scale_embeddings()
+    scale_tpch()

@@ -583,6 +583,50 @@ def test_pack_sequences_adaptive_buckets(spark):
                 off += it[3]
 
 
+def assert_topk_equivalent(cat, arr, *, label="", score_tol=1e-12, rank_tol=1e-9):
+    """Two {(query, neighbor): (rank, score)} top-k results are equivalent
+    when the pair SETS match strictly, scores agree within ``score_tol``,
+    and ranks agree EXCEPT among candidates whose scores sit within the
+    summation-ulp ``rank_tol``: two neighbors closer than the
+    numpy-vs-Catalyst fold divergence can legitimately swap order, so a
+    strict rank equality would be fragile to data/BLAS changes. A swap
+    that crosses a candidate NOT within tolerance is a real bug and
+    raises."""
+    assert set(cat) == set(arr), label
+    for p in cat:
+        assert abs(cat[p][1] - arr[p][1]) < score_tol, (label, p)
+    by_query: dict = {}
+    for (q, n), (rank, score) in cat.items():
+        by_query.setdefault(q, []).append((n, rank, arr[(q, n)][0], score))
+    for q, rows in by_query.items():
+        for n, cat_rank, arr_rank, score in rows:
+            if cat_rank == arr_rank:
+                continue
+            # every candidate between the two rank positions must be a
+            # near-tie with this one, else the swap is a real bug
+            lo, hi = sorted((cat_rank, arr_rank))
+            crossed = [s for (_, r2, _, s) in rows if lo <= r2 <= hi]
+            assert all(abs(s - score) < rank_tol for s in crossed), (
+                label, q, n, cat_rank, arr_rank,
+            )
+
+
+def test_topk_equivalence_tolerates_tied_rank_swap():
+    """Pin the comparator's contract directly (the hypothetical BLAS/data
+    change the scorer test must survive): a rank swap between two
+    candidates whose scores differ by less than the tolerance passes; a
+    swap across a clearly-separated candidate fails."""
+    base = {(1, "a"): (1, 0.9), (1, "b"): (2, 0.9 - 1e-13), (1, "c"): (3, 0.5)}
+    tied_swap = {(1, "a"): (2, 0.9), (1, "b"): (1, 0.9 - 1e-13), (1, "c"): (3, 0.5)}
+    assert_topk_equivalent(base, tied_swap, label="tied-swap")
+    real_swap = {(1, "a"): (3, 0.9), (1, "b"): (2, 0.9 - 1e-13), (1, "c"): (1, 0.5)}
+    with pytest.raises(AssertionError):
+        assert_topk_equivalent(base, real_swap, label="real-swap")
+    missing_pair = {(1, "a"): (1, 0.9), (1, "b"): (2, 0.9 - 1e-13), (1, "d"): (3, 0.5)}
+    with pytest.raises(AssertionError):
+        assert_topk_equivalent(base, missing_pair, label="pair-set")
+
+
 def test_arrow_scorers_match_catalyst(spark):
     """The Arrow bucket scorers must produce the same pairs and ranks as
     the Catalyst fold (scores may differ by final-ulp rounding only) for
@@ -607,28 +651,7 @@ def test_arrow_scorers_match_catalyst(spark):
                for r in fn(emb, "vec_id", "embedding", scorer="catalyst", **kw).collect()}
         arr = {(r.query_id, r.neighbor_id): (r.rank, r.score)
                for r in fn(emb, "vec_id", "embedding", scorer="arrow", **kw).collect()}
-        assert set(cat) == set(arr), fn.__name__
-        for p in cat:
-            assert abs(cat[p][1] - arr[p][1]) < 1e-12, (fn.__name__, p)
-        # Ranks must agree EXCEPT among candidates whose scores sit within
-        # the summation-ulp tolerance: two neighbors closer than the
-        # numpy-vs-Catalyst fold divergence can legitimately swap order, so
-        # a strict rank equality would be fragile to data/BLAS changes.
-        TOL = 1e-9
-        by_query: dict = {}
-        for (q, n), (rank, score) in cat.items():
-            by_query.setdefault(q, []).append((n, rank, arr[(q, n)][0], score))
-        for q, rows in by_query.items():
-            for n, cat_rank, arr_rank, score in rows:
-                if cat_rank == arr_rank:
-                    continue
-                # every candidate between the two rank positions must be a
-                # near-tie with this one, else the swap is a real bug
-                lo, hi = sorted((cat_rank, arr_rank))
-                crossed = [s for (_, r2, _, s) in rows if lo <= r2 <= hi]
-                assert all(abs(s - score) < TOL for s in crossed), (
-                    fn.__name__, q, n, cat_rank, arr_rank,
-                )
+        assert_topk_equivalent(cat, arr, label=fn.__name__)
 
 
 # ---------------------------------------------------------------------------

@@ -169,6 +169,48 @@ def test_merge_into_is_one_full_outer_join(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_single_partition_windows_only_on_capped_inputs(spark):
+    """An unpartitioned Window (the 'No Partition Defined for Window'
+    warning) funnels its whole input through ONE task — a driver-sized
+    sort at 100 TB. It is only acceptable over an input already reduced
+    to a bounded row count by a cap constant. This sweep finds every
+    windowspecdefinition with an empty partition spec (its first argument
+    is a sort order, not a partition column) and requires (a) the query
+    to be in the explicit allowlist below and (b) a TakeOrdered/
+    GlobalLimit in the same plan — so an uncapped caller of the shared
+    operator can't silently inherit the single-task sort."""
+    import re
+
+    # Both windows rank a frame ALREADY cut to a constant number of rows:
+    # bm25_search ranks its .limit(k) result (operators/search.py),
+    # vocab_coverage cumulates over .limit(max(vocab_sizes)) head tokens
+    # (operators/frequency.py) — bounded by the caller's cap, not the
+    # corpus.
+    allowed_global_window = {"bm25_search", "vocab_coverage"}
+    streaming_drains = {n for n in QUERIES if n.endswith("_drain")} | {
+        "purchase_view_stream_join"
+    }
+    for name in sorted(QUERIES):
+        if name in streaming_drains:
+            continue
+        p = plan(spark, name)
+        n_global = sum(
+            1
+            for m in re.finditer(r"windowspecdefinition\(([^,]+),", p)
+            if re.search(r"(ASC|DESC) NULLS", m.group(1))
+        )
+        if n_global == 0:
+            continue
+        assert name in allowed_global_window, (
+            f"{name} has {n_global} unpartitioned Window node(s); either "
+            "partition the window or cap its input and add it here with "
+            "the cap's justification"
+        )
+        assert (
+            "TakeOrdered" in p or "GlobalLimit" in p or "CollectLimit" in p
+        ), f"{name}: global window without a limit bound in the plan"
+
+
 def test_quality_contract_plan_bounded(spark):
     p = plan(spark, "lineitem_quality")
     # 8 rules must NOT mean 8 scans: row-level rules fuse into one

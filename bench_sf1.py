@@ -1,18 +1,37 @@
-"""Scale spot-check: the slowest SCALE-PATH queries at sf0.1 vs a
-synthetic sf1 (10x data; see make_sf1.py), verifying the near-linear
-claims for the dedup/ANN/CC/streaming paths.
+"""Scale check: the FULL query registry at sf0.1 vs a synthetic sf1
+(10x data; see make_sf1.py), verifying the near-linear claims for every
+registered operator — not just a hand-picked subset.
 
-Included queries are the ones whose cost is designed to scale with the
-data (bucketed candidates, fixed-width state, mergeable sketches). The
-by-design-quadratic certification queries (embedding_ann_recall,
-embedding_near_dup, *_topk_recall) are EXCLUDED: their exact twins are
-deterministically capped, so at 10x data they measure the cap, not the
-engine.
+Excluded (SKIPPED, listed in the record): the deterministically-capped
+exact certification queries — at 10x data they measure their cap
+constant, or an O(N^2) exact baseline, not the engine:
 
-Writes BENCH_sf1.json: per-query seconds at both SFs and the ratio.
-Single warm pass per (query, sf) after a JVM/Arrow warm-up — coarse by
-the box's noise standards (see BENCH_local.json methodology note), but
-the claim being checked is coarse too (ratio ~<= 12 at 10x data).
+- ann_topk_recall / ivf_topk_recall / ivfpq_topk_recall: exact top-k twin
+  capped at TOPK_RECALL_CAP=2048 vectors (sf1 has 20k).
+- embedding_near_dup / embedding_ann_recall: exact all-pairs cosine —
+  quadratic by design (400M pairs at sf1); the scale path
+  (embedding_near_dup_ann / embedding_ann) IS swept.
+
+Writes BENCH_sf1.json: per-query seconds at both SFs, the ratio, and an
+explanatory note for every query whose ratio exceeds 10x. Single warm
+pass per (query, sf) — coarse by the box's noise standards (see
+BENCH_local.json methodology note), but the claim being checked is
+coarse too (ratio ~<= 12 at 10x data for linear paths).
+
+Known super-linear candidate growth and why it is bounded, not runaway:
+
+- minhash_near_dups (measured 14.4x in the round-4 23-query record,
+  4.6x in the round-5 full sweep — the box's 2-10x noise band straddles
+  both): candidate pairs grow with the number of colliding
+  (band, signature) groups; the synthetic corpus's shuffled replicas
+  add ~10x docs but collisions within a band bucket grow as
+  C(bucket,2). The growth is BOUNDED by the banding parameters (b bands
+  of r rows cap the collision probability at s^r per band for Jaccard
+  s), not by corpus size: the pair count converges to ~(pairs with
+  s >= (1/b)^(1/r)) which scales with TRUE duplicate mass, linear in
+  corpus for fixed dup rate. A 10x corpus with the same dup rate does
+  ~10x-15x work; it cannot approach N^2 unless the corpus is one giant
+  near-dup class — which banding would surface, not hide.
 """
 
 from __future__ import annotations
@@ -25,34 +44,21 @@ import time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-SCALE_QUERIES = [
-    "exact_dedup",
-    "minhash_near_dups",
-    "simhash_near_dups",
-    "deduped_documents",
-    "near_dup_clusters",
-    "near_dup_clusters_pd",
-    "embedding_near_dup_ann",
-    "embedding_ann",
-    "embedding_ivf",
-    "corpus_pipeline",
-    "hll_users_rollup",
-    "session_stream_drain",
-    "stream_dedup_drain",
-    "purchase_view_outer_drain",
-    # round-4 wave-2/3 operators, all scale-path (no caps): span dedup,
-    # MG heavy hitters, unigram LM scoring, repeat collapse, PSI drift,
-    # delta-vs-corpus dedup.
-    "chunk_dup_docs",
-    "embedding_ivfpq",
-    "quality_deciles",
-    "exact_stratified_split",
-    "frequent_tokens",
-    "doc_unigram_logprob",
-    "doc_collapse_repeats",
-    "value_drift_psi",
-    "incremental_dedup",
-]
+SKIP = {
+    "ann_topk_recall": "exact twin capped at TOPK_RECALL_CAP; measures the cap",
+    "ivf_topk_recall": "exact twin capped at TOPK_RECALL_CAP; measures the cap",
+    "ivfpq_topk_recall": "exact twin capped at TOPK_RECALL_CAP; measures the cap",
+    "embedding_near_dup": "O(N^2) exact all-pairs baseline (400M pairs at sf1)",
+    "embedding_ann_recall": "embeds the O(N^2) exact pair set certificate",
+}
+
+RATIO_NOTES = {
+    "minhash_near_dups": (
+        "candidate pairs grow ~C(bucket,2) within colliding band buckets; "
+        "bounded by the banding parameters (s^r per band), linear in corpus "
+        "for a fixed dup rate — see module docstring"
+    ),
+}
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf1")
@@ -62,7 +68,11 @@ def main() -> None:
     from bigdatapipelne_spark.queries import QUERIES, finalize_registry
 
     finalize_registry()
-    only = sys.argv[1].split(",") if len(sys.argv) > 1 else SCALE_QUERIES
+    only = (
+        sys.argv[1].split(",")
+        if len(sys.argv) > 1
+        else [n for n in sorted(QUERIES) if n not in SKIP]
+    )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -85,18 +95,28 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     for name in only:
-        s01 = run(name, SF01)
-        s1 = run(name, SF1)
-        out[name] = {
+        try:
+            s01 = run(name, SF01)
+            s1 = run(name, SF1)
+        except Exception as e:  # record, keep sweeping
+            out[name] = {"error": str(e)[:300]}
+            print(json.dumps({name: out[name]}), flush=True)
+            continue
+        cell = {
             "sf0.1_sec": s01,
             "sf1_sec": s1,
             "ratio": round(s1 / s01, 2) if s01 > 0 else None,
         }
+        if cell["ratio"] is not None and cell["ratio"] > 10:
+            cell["note"] = RATIO_NOTES.get(
+                name, "over 10x at 10x data — investigate"
+            )
+        out[name] = cell
         print(json.dumps({name: out[name]}), flush=True)
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_sf1.json")
     existing = {}
-    if os.path.exists(path):
+    if os.path.exists(path) and len(sys.argv) > 1:  # partial rerun merges
         with open(path) as f:
             existing = json.load(f).get("queries", {})
     existing.update(out)
@@ -104,7 +124,9 @@ def main() -> None:
         "metric": "sf1_scale_check",
         "data_ratio": 10,
         "queries": existing,
-        "note": "synthetic sf1 from make_sf1.py; single warm pass per cell",
+        "skipped": SKIP,
+        "note": "synthetic sf1 from make_sf1.py (all 10 tables); single "
+        "warm pass per cell; full registry minus capped exact baselines",
     }
     with open(path, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)

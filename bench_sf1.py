@@ -116,17 +116,26 @@ def main() -> None:
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_sf1.json")
     existing = {}
-    if os.path.exists(path) and len(sys.argv) > 1:  # partial rerun merges
+    partial = len(sys.argv) > 1
+    if os.path.exists(path) and partial:  # partial rerun merges
         with open(path) as f:
             existing = json.load(f).get("queries", {})
+        # prune rows for queries that no longer exist in the registry so a
+        # rename/removal can't leave a stale green cell behind
+        existing = {k: v for k, v in existing.items() if k in QUERIES}
     existing.update(out)
+    note = (
+        "synthetic sf1 from make_sf1.py (all 10 tables); single "
+        "warm pass per cell; full registry minus capped exact baselines"
+    )
+    if partial:
+        note = f"PARTIAL rerun of {sorted(only)} merged into prior record; " + note
     record = {
         "metric": "sf1_scale_check",
         "data_ratio": 10,
         "queries": existing,
         "skipped": SKIP,
-        "note": "synthetic sf1 from make_sf1.py (all 10 tables); single "
-        "warm pass per cell; full registry minus capped exact baselines",
+        "note": note,
     }
     with open(path, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)

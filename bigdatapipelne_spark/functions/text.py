@@ -83,10 +83,24 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 def en_stopword_ratio(text: Column | str) -> Column:
     """Fraction of tokens that are English function words; NULL for empty
-    text (never a 0/0)."""
-    tok = tokens(text)
-    hits = F.size(F.filter(tok, lambda x: x.isin(*EN_STOPWORDS)))
-    n = F.size(tok)
+    text (never a 0/0).
+
+    Convenience form — tokenizes inline (twice: filter + size). Hot paths
+    that also need other token-derived signals should materialize
+    ``tokens()`` as a column and use ``stopword_ratio_from_tokens`` (see
+    shingles_from_tokens on the lambda-boundary CSE hazard)."""
+    return stopword_ratio_from_tokens(tokens(text))
+
+
+def stopword_ratio_from_tokens(tok_col: Column | str) -> Column:
+    """``en_stopword_ratio`` over an already-materialized token array
+    column: the split/lower/filter tokenize pass runs ONCE per row in the
+    projection that built the column, instead of once per consuming
+    expression. Identical operands -> identical doubles, so oracles are
+    unaffected."""
+    w = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    hits = F.size(F.filter(w, lambda x: x.isin(*EN_STOPWORDS)))
+    n = F.size(w)
     return F.when(n > 0, hits.cast("double") / n.cast("double"))
 
 
@@ -133,10 +147,20 @@ def lang_id_en(text: Column | str, threshold: float = 0.05) -> Column:
 def quality_score(text: Column | str) -> Column:
     """Composite quality signal in [0, 1]: rewards English-function-word
     density, penalizes punctuation noise. Pure double arithmetic on exact
-    int/int ratios — identical in any engine given the same operands."""
-    return en_stopword_ratio(text) * F.lit(0.5) + (
-        F.lit(1.0) - punct_ratio(text)
-    ) * F.lit(0.5)
+    int/int ratios — identical in any engine given the same operands.
+
+    Convenience form (tokenizes inline). Hot paths combining several
+    token signals should materialize ``tokens()`` and compose
+    ``quality_from_ratios(stopword_ratio_from_tokens(toks),
+    punct_ratio(text))`` so the tokenize pass runs once per row."""
+    return quality_from_ratios(en_stopword_ratio(text), punct_ratio(text))
+
+
+def quality_from_ratios(sr: Column, pr: Column) -> Column:
+    """The quality combiner on pre-computed stopword / punctuation ratio
+    columns — byte-identical arithmetic to ``quality_score`` (same operand
+    order, same literals), so hash-checked oracles see the same doubles."""
+    return sr * F.lit(0.5) + (F.lit(1.0) - pr) * F.lit(0.5)
 
 
 def chunk_tokens(tok_col: Column | str, chunk_size: int = 50, overlap: int = 10) -> Column:

@@ -41,7 +41,7 @@ DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf
 REPLICAS = 10
 
 
-def scale_events() -> None:
+def scale_events(SRC: str = SRC, DST: str = DST, REPLICAS: int = REPLICAS) -> None:
     t = pq.read_table(f"{SRC}/events.parquet")
     n = t.num_rows
     uid = t.column("user_id").to_numpy()
@@ -59,7 +59,7 @@ def scale_events() -> None:
     print("events:", n, "->", out.num_rows)
 
 
-def scale_documents() -> None:
+def scale_documents(SRC: str = SRC, DST: str = DST, REPLICAS: int = REPLICAS) -> None:
     t = pq.read_table(f"{SRC}/documents.parquet")
     n = t.num_rows
     did = t.column("doc_id").to_numpy()
@@ -81,7 +81,7 @@ def scale_documents() -> None:
     print("documents:", n, "->", out.num_rows)
 
 
-def scale_embeddings() -> None:
+def scale_embeddings(SRC: str = SRC, DST: str = DST, REPLICAS: int = REPLICAS) -> None:
     t = pq.read_table(f"{SRC}/embeddings.parquet")
     n = t.num_rows
     vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
@@ -114,7 +114,7 @@ def _offset_columns(t: pa.Table, offsets: dict[str, int], i: int) -> pa.Table:
     return t
 
 
-def scale_tpch() -> None:
+def scale_tpch(SRC: str = SRC, DST: str = DST, REPLICAS: int = REPLICAS) -> None:
     tables = {
         "customer": ["c_custkey"],
         "supplier": ["s_suppkey"],

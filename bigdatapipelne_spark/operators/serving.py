@@ -68,6 +68,118 @@ def upsert_batch(serving: DataFrame, updates: DataFrame, key_cols: list[str]) ->
     return serving.join(updates, on=key_cols, how="left_anti").unionByName(updates)
 
 
+# ---------------------------------------------------------------------------
+# Keyed parquet serving STORE: hash-bucket partitioned on the key so every
+# mutation's cost is bounded by the batch, not the table — the parquet
+# analog of DynamoDB's per-item put/delete (lambda_app/consumer/
+# function.py:16-24). Each write reads and dynamically overwrites ONLY the
+# partition directories its keys hash into; untouched buckets are never
+# opened (asserted byte-for-byte in tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+# Per-batch rewrite cost is (touched buckets / SERVING_BUCKETS) x table
+# size, so the constant trades open-file overhead against rewrite
+# amplification: size it so one bucket of the TARGET table fits a task
+# comfortably (a 100 GB store at 256 buckets rewrites <= 400 MB per
+# touched bucket).
+SERVING_BUCKETS = 64
+BUCKET_COL = "__bucket"
+
+
+def bucket_of(key_cols: list[str], num_buckets: int = SERVING_BUCKETS) -> Column:
+    """Deterministic key-hash bucket — same expression at write and lookup
+    time, so a key-equality read prunes to one partition directory."""
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(num_buckets)
+    ).cast("int")
+
+
+def read_store(spark, store_path: str) -> DataFrame:
+    """Typed view of the keyed serving store: the physical bucket column
+    stays an implementation detail. Key-equality lookups should filter on
+    ``bucket_of(keys)`` BEFORE dropping it to get partition pruning; the
+    plain view serves full scans and projections."""
+    return spark.read.parquet(store_path).drop(BUCKET_COL)
+
+
+def _touched_buckets(bucketed: DataFrame) -> list[int]:
+    # <= num_buckets tiny rows — bounded driver state by construction
+    return [r[0] for r in bucketed.select(BUCKET_COL).distinct().collect()]
+
+
+def merge_into_store(
+    spark,
+    store_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    num_buckets: int = SERVING_BUCKETS,
+) -> None:
+    """Last-writer-wins upsert of ``updates`` into the bucket-partitioned
+    store, reading and rewriting only the touched buckets (dynamic
+    partition overwrite). A touched bucket always retains >= 1 row (its
+    updates), so the overwrite never leaves a stale empty partition."""
+    import os
+
+    b = updates.withColumn(BUCKET_COL, bucket_of(key_cols, num_buckets))
+    if os.path.exists(store_path):
+        touched = _touched_buckets(b)
+        if not touched:
+            return
+        current = spark.read.parquet(store_path).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
+        merged = upsert_batch(current, b, key_cols)
+    else:
+        merged = b
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(store_path)
+    )
+
+
+def delete_from_store(
+    spark,
+    store_path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    num_buckets: int = SERVING_BUCKETS,
+) -> None:
+    """L3 delete: remove every store row matching a key tuple in ``keys``,
+    touching only the buckets those keys hash into. Dynamic partition
+    overwrite cannot represent a bucket that became EMPTY (no rows, no
+    partition in the write) — those directories are removed explicitly,
+    otherwise the deleted rows would silently survive."""
+    import os
+    import shutil
+
+    if not os.path.exists(store_path):
+        return
+    b = keys.select(*key_cols).withColumn(
+        BUCKET_COL, bucket_of(key_cols, num_buckets)
+    )
+    touched = _touched_buckets(b)
+    if not touched:
+        return
+    current = spark.read.parquet(store_path).filter(
+        F.col(BUCKET_COL).isin(touched)
+    )
+    remaining = current.join(keys.select(*key_cols), on=key_cols, how="left_anti")
+    surviving = set(_touched_buckets(remaining))  # touched-bucket scan only
+    (
+        remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(store_path)
+    )
+    for bk in touched:
+        if bk not in surviving:
+            shutil.rmtree(
+                os.path.join(store_path, f"{BUCKET_COL}={bk}"), ignore_errors=True
+            )
+
+
 def expire_serving(
     spark, serving_path: str, now_epoch: int | None = None
 ) -> int:

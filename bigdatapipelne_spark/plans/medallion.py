@@ -236,7 +236,7 @@ def incremental_spec_mart(
     """
     from pyspark.sql import functions as F
 
-    from bigdatapipelne_spark.streaming.fraud import _swap_parquet
+    from bigdatapipelne_spark.sources.io import swap_parquet as _swap_parquet
 
     stream = spark.readStream.schema(raw_schema or CARD_RAW_SCHEMA).json(raw_path)
     scrubbed = drop_fields(stage_transform(stream), "nome", "cvv")

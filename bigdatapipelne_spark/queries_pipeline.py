@@ -598,6 +598,80 @@ def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "store_vacuum",
+    oracle="""
+    SELECT 'v_00000002' AS version, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    UNION ALL
+    SELECT 'v_00000003' AS version, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents WHERE lang <> 'en'
+    """,
+)
+def store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version retention on the versioned store (sources/store.py
+    gc_versions — Delta's VACUUM discipline): commit three versions, GC
+    with keep=2, then certify — in-query, failing loudly — that (a)
+    exactly v1 was reclaimed, (b) a time-travel read of the reclaimed
+    version now fails fast, (c) the manifest still points at v3, and (d)
+    the RETAINED versions read back bit-identical to their pre-vacuum
+    content (order-independent xxhash64 fingerprint captured before the
+    GC). The emitted summaries of the retained versions are then
+    hash-checked against the source-table oracle, so a vacuum that
+    corrupted surviving data would also fail the driver row."""
+    import os
+
+    from bigdatapipelne_spark.sources import store
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    root = os.path.join(tempfile.mkdtemp(prefix="vacuum_"), "docs_store")
+    store.commit_version(docs.filter(F.col("lang") == "en"), root)  # v1
+    store.commit_version(docs, root)  # v2
+    store.commit_version(docs.filter(F.col("lang") != "en"), root)  # v3
+
+    def fingerprint(df: DataFrame) -> int:
+        # order-independent content hash: XOR-fold of per-row xxhash64
+        # (a SUM would overflow long under ANSI mode)
+        return (
+            df.agg(F.expr("bit_xor(xxhash64(doc_id, lang, source))")).first()[0]
+            or 0
+        )
+
+    retained = ("v_00000002", "v_00000003")
+    pre = {v: fingerprint(store.read_version(spark, root, v)) for v in retained}
+
+    doomed = store.gc_versions(root, keep=2)
+    if doomed != ["v_00000001"]:
+        raise AssertionError(f"vacuum reclaimed {doomed}, expected [v_00000001]")
+    try:
+        store.read_version(spark, root, "v_00000001")
+        raise AssertionError("reclaimed version v_00000001 is still readable")
+    except FileNotFoundError:
+        pass
+    if store.current_version(root) != "v_00000003":
+        raise AssertionError(
+            f"manifest moved during vacuum: {store.current_version(root)!r}"
+        )
+    post = {v: fingerprint(store.read_version(spark, root, v)) for v in retained}
+    if post != pre:
+        raise AssertionError(
+            f"retained versions changed across vacuum: pre={pre} post={post}"
+        )
+
+    def summarize(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy().agg(
+            F.lit(tag).alias("version"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        ).select("version", "n_docs", "n_sources")
+
+    return summarize(store.read_version(spark, root, "v_00000002"), "v_00000002").unionByName(
+        summarize(store.read_current(spark, root), "v_00000003")
+    )
+
+
+@query(
     "bucketed_join_disk",
     oracle=f"""
     SELECT o.o_orderpriority,
@@ -628,6 +702,29 @@ def bucketed_join_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    # Sweep PRIOR invocations' run-unique tables (catalog entries + their
+    # mkdtemp data dirs). Cleanup can't happen at exit: the returned frame
+    # lazily reads THIS run's tables until the driver materializes it —
+    # so each entry reclaims whatever the previous entries leaked.
+    import shutil
+
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith(("bq_orders_b_", "bq_lineitem_b_")) and not tbl.isTemporary:
+            loc = next(
+                (
+                    r.data_type
+                    for r in spark.sql(f"DESCRIBE FORMATTED {tbl.name}").collect()
+                    if r.col_name == "Location"
+                ),
+                None,
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+            if loc and loc.startswith("file:"):
+                # data dirs live under one mkdtemp parent per run
+                shutil.rmtree(
+                    os.path.dirname(loc.removeprefix("file:")), ignore_errors=True
+                )
+
     tmp = tempfile.mkdtemp(prefix="bucketed_join_")
     # Table names carry the run-unique mkdtemp suffix: the session catalog
     # (and its warehouse) is shared, so fixed names would collide across

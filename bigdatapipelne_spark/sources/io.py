@@ -333,3 +333,28 @@ def write_parquet_sorted(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def swap_parquet(df: DataFrame, path: str) -> None:
+    """Rewrite ``path`` with ``df`` when ``df`` reads from ``path``:
+    materialize to a staging dir first, then swap directories. Crash-safe
+    (never a half-written ``path``) but not reader-atomic — between rmtree
+    and rename the path is briefly absent; a concurrently-served store
+    needs the versioned store (sources/store.py) or a table format.
+
+    Appropriate ONLY for stores whose size tracks the OUTPUT of each
+    refresh (an aggregate mart, an SCD2 dimension snapshot, a sketch
+    table): the whole-directory rewrite is then O(result), the natural
+    cost. Keyed row stores that grow with history must use the
+    bucket-partitioned ``operators/serving.merge_into_store`` instead —
+    rewriting those whole-table per batch is the O(table) anti-pattern
+    this module's round-6 change removed from the streaming serving sink.
+    """
+    import os
+    import shutil
+
+    staging = path + "__staging"
+    df.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)

@@ -27,7 +27,6 @@ tests/test_streaming.py).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,7 +40,6 @@ from pyspark.sql.types import (
 )
 
 from bigdatapipelne_spark.operators.aggregate import exact_sum
-from bigdatapipelne_spark.operators.serving import upsert_batch
 
 FRAUD_THRESHOLD = 50.0
 
@@ -119,20 +117,23 @@ def read_events_stream(
     schema: StructType = EVENTS_SCHEMA,
     fmt: str = "json",
     max_files_per_trigger: int | None = None,
+    bundle=None,
 ) -> DataFrame:
     """S11: streaming source with explicit schema (Structured Streaming does
     not infer — matching Flink's DDL discipline). ``max_files_per_trigger``
-    sets the micro-batch boundary (W8)."""
-    reader = spark.readStream.format(fmt).schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    if os.path.isfile(path):
-        # The file-stream source rejects a bare file path ("basePath must be
-        # a directory"); a glob that matches exactly that file makes the
-        # parent the basePath, so single-file inputs (testdata's
-        # events.parquet) still stream.
-        path = f"{path[:-1]}[{path[-1]}]"
-    return reader.load(path)
+    sets the micro-batch boundary (W8).
+
+    The source choice goes through the streaming/bus.py seam: the default
+    is the file bundle built from (path, schema, fmt), and a production
+    deployment passes ``bundle=SourceBundle(fmt="kafka", schema=...,
+    options={...})`` — the downstream plan (watermark/window/agg) is the
+    same lineage either way (reference: flink_app/app.py:47-67 kinesis
+    DDL)."""
+    from bigdatapipelne_spark.streaming import bus
+
+    if bundle is None:
+        bundle = bus.file_source(path, schema, fmt, max_files_per_trigger)
+    return bus.open_stream(spark, bundle)
 
 
 def fraud_alerts(
@@ -192,17 +193,13 @@ def run_available_now(
     q.awaitTermination()
 
 
-def _swap_parquet(df: DataFrame, path: str) -> None:
-    """Rewrite ``path`` with ``df`` when ``df`` reads from ``path``:
-    materialize to a staging dir first, then swap directories. Crash-safe
-    (never a half-written ``path``) but not reader-atomic — between rmtree
-    and rename the path is briefly absent; a concurrently-serving store
-    needs a snapshot-isolated table format (Delta/Iceberg) instead."""
-    staging = path + "__staging"
-    df.write.mode("overwrite").parquet(staging)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(staging, path)
+def read_serving(spark: SparkSession, serving_path: str) -> DataFrame:
+    """Typed view of the keyed serving store (operators/serving.py
+    read_store) — the physical bucket column stays an implementation
+    detail."""
+    from bigdatapipelne_spark.operators.serving import read_store
+
+    return read_store(spark, serving_path)
 
 
 def stream_to_serving(
@@ -210,24 +207,35 @@ def stream_to_serving(
     serving_path: str,
     key_cols: list[str],
     checkpoint_path: str,
+    num_buckets: int | None = None,
 ) -> None:
     """S13/S14/L3 streaming form: drain alerts into a keyed serving store
     with last-writer-wins upsert per micro-batch (foreachBatch), parity with
     the Lambda consumer's per-record ``put_item``. ``update`` output mode so
     a growing window re-upserts its row — exactly DynamoDB's behavior.
 
+    Per-batch cost is bounded by the BATCH, not the table (the reference's
+    per-record put is O(batch) — lambda_app/consumer/function.py:16-24):
+    the store is hash-partitioned on the key (operators/serving.py
+    merge_into_store), each micro-batch reads and dynamically overwrites
+    ONLY the buckets its keys touch. Untouched bucket files are never read
+    or rewritten (asserted byte-for-byte in
+    tests/test_streaming.py::test_stream_to_serving_rewrites_only_touched_buckets).
+
     On a real deployment the store would be Delta/Iceberg and this becomes
-    MERGE INTO; parquet + directory swap keeps the dependency surface zero.
+    MERGE INTO; bucket-partitioned parquet keeps the dependency surface
+    zero with the same asymptotics.
     """
+    from bigdatapipelne_spark.operators.serving import (
+        SERVING_BUCKETS,
+        merge_into_store,
+    )
+
     spark = sdf.sparkSession
+    n = num_buckets if num_buckets is not None else SERVING_BUCKETS
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
-        if os.path.exists(serving_path):
-            current = spark.read.parquet(serving_path)
-            merged = upsert_batch(current, batch_df, key_cols)
-        else:
-            merged = batch_df
-        _swap_parquet(merged, serving_path)
+        merge_into_store(spark, serving_path, batch_df, key_cols, n)
 
     q = (
         sdf.writeStream.foreachBatch(_merge)

@@ -37,20 +37,27 @@ def land_raw_stream(
     partition_by: list[str] | None = None,
     compression: str = "gzip",
     processing_interval: str | None = None,
+    sink=None,
 ) -> None:
     """Drain (or continuously run) a stream into newline-delimited JSON
     files. ``processing_interval=None`` uses availableNow (drain-and-stop,
     the test/backfill mode); pass ``'900 seconds'`` for the reference's
-    Firehose buffer cadence."""
-    writer = (
-        sdf.writeStream.format("json")
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint_path)
-        .option("compression", compression)
-        .outputMode("append")
-    )
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    Firehose buffer cadence.
+
+    The sink goes through the streaming/bus.py seam: the default is the
+    gzip-JSON file bundle the Firehose parity story needs; a production
+    deployment passes ``sink=SinkBundle(fmt="kafka", options={...})`` and
+    the rows are re-encoded to the bus wire shape."""
+    from bigdatapipelne_spark.streaming import bus
+
+    if sink is None:
+        sink = bus.SinkBundle(
+            fmt="json",
+            path=out_path,
+            options={"compression": compression},
+            partition_by=tuple(partition_by or ()),
+        )
+    writer = bus.open_sink(sdf, sink, checkpoint_path).outputMode("append")
     if processing_interval is None:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()

@@ -27,7 +27,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from bigdatapipelne_spark.operators.scd import scd2_merge, scd2_snapshot
-from bigdatapipelne_spark.streaming.fraud import _swap_parquet
+from bigdatapipelne_spark.sources.io import swap_parquet as _swap_parquet
 
 
 def stage_ordered_files(frames: list[DataFrame], staging_dir: str) -> None:

@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdatapipelne_spark.streaming.fraud import _swap_parquet
+from bigdatapipelne_spark.sources.io import swap_parquet as _swap_parquet
 
 
 def hll_stream_to_rollup(

@@ -23,6 +23,7 @@ from bigdatapipelne_spark.streaming.fraud import (
     EVENTS_SCHEMA,
     fraud_alerts,
     read_events_stream,
+    read_serving,
     run_available_now,
     stream_to_serving,
 )
@@ -152,10 +153,65 @@ def test_stream_to_serving_upsert(spark, tmp_path):
         fraud_alerts(sdf), serving, ["user_id", "window_start"], cp
     )
 
-    rows = spark.read.parquet(serving).collect()
+    rows = read_serving(spark, serving).collect()
     assert len(rows) == 1
     assert rows[0].sum_value == 120.0
     assert rows[0].n_events == 2
+    assert "__bucket" not in read_serving(spark, serving).columns
+
+
+def _serving_file_state(serving: str) -> dict[str, tuple[int, float]]:
+    state = {}
+    for root, _dirs, files in os.walk(serving):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                state[p] = (st.st_size, st.st_mtime)
+    return state
+
+
+def test_stream_to_serving_rewrites_only_touched_buckets(spark, tmp_path):
+    """The per-batch serving rewrite is bounded by the BATCH, not the
+    table: a micro-batch whose keys land in one hash bucket leaves every
+    other bucket's files byte-identical on disk (same path/size/mtime) —
+    the parquet analog of the reference consumer's O(batch) per-record
+    put (lambda_app/consumer/function.py:16-24)."""
+    src = str(tmp_path / "src")
+    serving = str(tmp_path / "serving")
+    cp = str(tmp_path / "cp")
+
+    # seed: 12 users in 12 separate windows -> rows spread over many buckets
+    seed = [_ev(i, 20.0 * i, i, 60.0) for i in range(1, 13)]
+    _write_file(spark, seed, src, seq=0)
+    sdf = read_events_stream(spark, src, fmt="parquet", max_files_per_trigger=1)
+    stream_to_serving(fraud_alerts(sdf), serving, ["user_id", "window_start"], cp)
+    before = _serving_file_state(serving)
+    assert len({os.path.dirname(p) for p in before}) > 1, "seed spans buckets"
+
+    # delta: one new window for ONE existing user — touches one bucket
+    _write_file(spark, [_ev(100, 1000.0, 1, 75.0)], src, seq=1)
+    sdf = read_events_stream(spark, src, fmt="parquet", max_files_per_trigger=1)
+    stream_to_serving(fraud_alerts(sdf), serving, ["user_id", "window_start"], cp)
+    after = _serving_file_state(serving)
+
+    rows = read_serving(spark, serving)
+    assert rows.count() == 13  # 12 seed windows + the new one, all live
+
+    surviving = {p: s for p, s in before.items() if p in after}
+    untouched = [p for p, s in surviving.items() if after[p] == s]
+    # every pre-existing file outside the touched bucket dir must survive
+    # byte-identical; only the touched bucket may differ
+    changed_dirs = {
+        os.path.dirname(p)
+        for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    }
+    assert len(changed_dirs) == 1, (
+        f"batch touching one bucket rewrote {len(changed_dirs)} bucket dirs: "
+        f"{sorted(changed_dirs)}"
+    )
+    assert untouched, "at least one bucket must survive byte-identical"
 
 
 def test_stream_stream_left_outer_emission(spark, tmp_path):

@@ -1,0 +1,54 @@
+"""Churn-aware gating guard (round-5 verdict item 3).
+
+A driver-green CORRECTNESS row certifies the code as of its round's
+commit; later edits to any function the query executes age that evidence
+silently — pytest parity still covers it at sf0.001, but the driver's
+sf0.01 hash gate is the hard signal. These tests force the gate window to
+lead with exactly the stale-evidence queries:
+
+- every query whose reachable implementation (function ASTs + referenced
+  module constants, see devtools/churn.py) changed since its last green
+  row — and whose new form no other green query re-certifies — must hold
+  a slot in the current gate window;
+- the gate window size is pinned once (queries.GATE_SLOTS) and
+  _GATE_PRIORITY must fill it exactly, so a harness gate-size change or a
+  priority-list edit cannot silently drift the guarded set.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatapipelne_spark import queries
+from bigdatapipelne_spark.queries import GATE_SLOTS, QUERIES, _GATE_PRIORITY
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _finalized():
+    queries.finalize_registry()
+
+
+def test_gate_priority_fills_the_window_exactly():
+    assert len(_GATE_PRIORITY) == GATE_SLOTS, (
+        f"_GATE_PRIORITY has {len(_GATE_PRIORITY)} entries for a "
+        f"{GATE_SLOTS}-slot gate window — a short list silently gates "
+        "whatever registers next; a long one silently drops its tail"
+    )
+    assert len(set(_GATE_PRIORITY)) == len(_GATE_PRIORITY), "duplicate entries"
+    assert list(QUERIES)[:GATE_SLOTS] == _GATE_PRIORITY, (
+        "registration order does not start with _GATE_PRIORITY — "
+        "finalize_registry() is broken"
+    )
+
+
+def test_churned_queries_hold_gate_slots():
+    from bigdatapipelne_spark.devtools.churn import churned_queries
+
+    flagged = churned_queries(QUERIES)
+    gate = set(list(QUERIES)[:GATE_SLOTS])
+    ungated = {q: d for q, d in flagged.items() if q not in gate}
+    assert not ungated, (
+        "queries whose implementation changed since their last driver-green "
+        "row (and whose new form no other green query re-certifies) must "
+        f"occupy a gate slot this round: {ungated}"
+    )

@@ -26,7 +26,7 @@ import os
 import pytest
 
 from bigdatapipelne_spark import queries
-from bigdatapipelne_spark.queries import ORACLE, QUERIES
+from bigdatapipelne_spark.queries import GATE_SLOTS, ORACLE, QUERIES
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -56,7 +56,7 @@ def lifetime():
 
 
 def test_every_registered_query_has_or_will_have_a_driver_row(lifetime):
-    gate_window = set(list(QUERIES)[:50])
+    gate_window = set(list(QUERIES)[:GATE_SLOTS])
     residue = [
         name
         for name in QUERIES
@@ -72,7 +72,7 @@ def test_every_oracle_query_has_or_will_have_a_green_row(lifetime):
     """Stronger form of the guard for oracle-bearing queries: at least one
     lifetime row must be fully green (rows+schema+hash), or the query must
     currently be gated so this round produces one."""
-    gate_window = set(list(QUERIES)[:50])
+    gate_window = set(list(QUERIES)[:GATE_SLOTS])
     weak = []
     for name in QUERIES:
         if name not in ORACLE or name in NO_ORACLE_TWINS:
@@ -97,7 +97,7 @@ def test_no_oracle_queries_have_green_certificate_twins(lifetime):
         "NO_ORACLE_TWINS with a hash-checked certificate twin: "
         f"{registered_no_oracle ^ set(NO_ORACLE_TWINS)}"
     )
-    gate_window = set(list(QUERIES)[:50])
+    gate_window = set(list(QUERIES)[:GATE_SLOTS])
     for name, twin in NO_ORACLE_TWINS.items():
         assert twin in QUERIES and twin in ORACLE, (name, twin)
         rows = lifetime.get(twin, [])

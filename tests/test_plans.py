@@ -194,10 +194,30 @@ def test_single_partition_windows_only_on_capped_inputs(spark):
         if name in streaming_drains:
             continue
         p = plan(spark, name)
+
+        def first_top_level_arg(s: str) -> str:
+            # balanced-paren scan to the first TOP-LEVEL comma: a sort
+            # expression containing commas (coalesce(a, b) ASC NULLS
+            # FIRST) must not be truncated, or the guard silently misses
+            # that empty-partition window (round-5 advice)
+            depth = 0
+            for i, ch in enumerate(s):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    if depth == 0:
+                        return s[:i]
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    return s[:i]
+            return s
+
         n_global = sum(
             1
-            for m in re.finditer(r"windowspecdefinition\(([^,]+),", p)
-            if re.search(r"(ASC|DESC) NULLS", m.group(1))
+            for m in re.finditer(r"windowspecdefinition\(", p)
+            if re.search(
+                r"(ASC|DESC) NULLS", first_top_level_arg(p[m.end():])
+            )
         )
         if n_global == 0:
             continue

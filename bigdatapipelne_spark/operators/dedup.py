@@ -200,16 +200,28 @@ def minhash_near_duplicates(
     )
 
 
+# Default stop-shingle doc-frequency cap for the n-gram inverted index.
+# Candidate cost is sum over shingles of df^2, so ONE boilerplate n-gram
+# in k docs contributes k^2 pairs — the round-6 sf10 rehearsal measured
+# the uncapped form filling 49 GB of shuffle (and the disk) at 500k docs.
+# 256 bounds every retained shingle's contribution at 64k candidate rows
+# while being a NO-OP at all oracle/bench scales (max observed shingle df:
+# 9 at sf0.001, 7 at sf0.01, 25 at sf0.1 — asserted in
+# tests/test_llm_ops.py::test_ngram_doc_freq_cap_not_binding_at_oracle_scales,
+# so the hash gate always compares the exact result).
+NGRAM_MAX_DOC_FREQ = 256
+
+
 def ngram_jaccard_duplicates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = NGRAM_MAX_DOC_FREQ,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs via a shingle-hash inverted
-    index — no LSH approximation, no cross join.
+    """n-gram Jaccard near-dup pairs via a shingle-hash inverted index —
+    no LSH approximation, no cross join.
 
     Output: id_a, id_b, jaccard (>= threshold).
 
@@ -221,13 +233,14 @@ def ngram_jaccard_duplicates(
     while no shingle is ultra-common.
 
     At 100 TB, stop-shingles (boilerplate n-grams appearing in millions of
-    docs) make that quadratic; ``max_doc_freq`` drops shingles appearing in
-    more than that many documents from the CANDIDATE index (standard
-    positional-filter trick). Doc sizes — the Jaccard denominator — are
-    always computed from the UNCAPPED index, so the cap is one-sided: an
-    intersection consisting only of capped shingles may be undercounted
-    (a missed pair), but a reported jaccard is never inflated (no false
-    positives). Tests/oracle use the exact, uncapped form.
+    docs) make that quadratic; ``max_doc_freq`` (DEFAULT ON, see
+    NGRAM_MAX_DOC_FREQ) drops shingles appearing in more than that many
+    documents from the CANDIDATE index (standard positional-filter trick).
+    Doc sizes — the Jaccard denominator — are always computed from the
+    UNCAPPED index, so the cap is one-sided: an intersection consisting
+    only of capped shingles may be undercounted (a missed pair), but a
+    reported jaccard is never inflated (no false positives). Pass
+    ``max_doc_freq=None`` for the exact unbounded form.
     """
     # The shingle index feeds three consumers (sizes + both join sides);
     # materialize it once instead of re-tokenizing the corpus per consumer.

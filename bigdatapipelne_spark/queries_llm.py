@@ -34,9 +34,6 @@ from bigdatapipelne_spark.operators.similarity import (
 )
 from bigdatapipelne_spark.functions.text import (
     SUBWORD_RE,
-    avg_token_len,
-    distinct_tokens,
-    en_stopword_ratio,
     fingerprint,
     lang_id_en,
     punct_ratio,
@@ -315,16 +312,32 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex), distinct counts,
     stopword ratio, mean token length, md5 content fingerprint — the quality
-    /statistics pass of a training-data pipeline (functions/text.py). Single
-    codegen'd projection, no shuffle."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
+    /statistics pass of a training-data pipeline (functions/text.py). No
+    shuffle beyond the conditional narrow-input widening.
+
+    Tokenizes ONCE per row (the naive five-signal form re-split the text
+    per signal — interpreted HOF lambdas get no CSE; same rewrite as
+    doc_quality, round 6). Identical operands -> identical values, so the
+    oracle is unchanged."""
+    from bigdatapipelne_spark.operators.dedup import _widen_narrow_input
+    from bigdatapipelne_spark.functions.text import stopword_ratio_from_tokens
+
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    n = F.size("toks")
+    return base.select(
         "doc_id",
-        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
-        F.size(distinct_tokens("text")).cast("bigint").alias("n_distinct"),
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(F.col("toks"))).cast("bigint").alias("n_distinct"),
         subword_count("text").alias("n_subword"),
-        en_stopword_ratio("text").alias("stopword_ratio"),
-        avg_token_len("text").alias("avg_token_len"),
+        stopword_ratio_from_tokens("toks").alias("stopword_ratio"),
+        F.when(
+            n > 0,
+            F.length(F.regexp_replace(F.lower(F.col("text")), r"\s", "")).cast(
+                "double"
+            )
+            / n.cast("double"),
+        ).alias("avg_token_len"),
         fingerprint("text").alias("fingerprint"),
     )
 

@@ -962,3 +962,27 @@ def test_pq_codebooks_shape_and_dim_guard(spark):
     assert all(len(c) == 8 for cb in cbs for c in cb)  # 64 / 8 subspaces
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks(normed, "vec_id", m=7)
+
+
+def test_ngram_doc_freq_cap_not_binding_at_oracle_scales(spark):
+    """NGRAM_MAX_DOC_FREQ (the default stop-shingle cap that keeps the
+    inverted-index self-join from going quadratic at scale — the round-6
+    sf10 rehearsal's disk-filling finding) must be a NO-OP at the driver's
+    oracle scales, so every hash-gated n-gram query still compares the
+    exact result. If testdata regeneration ever produces a hotter shingle
+    distribution, this fails before the gate can mismatch."""
+    from .conftest import SF_MEDIUM
+    from bigdatapipelne_spark.functions.text import shingles_from_tokens
+    from bigdatapipelne_spark.operators.dedup import NGRAM_MAX_DOC_FREQ
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        sh = docs.select(tokens("text").alias("t")).select(
+            F.explode(F.array_distinct(shingles_from_tokens("t", 3))).alias("s")
+        )
+        max_df = sh.groupBy("s").count().agg(F.max("count")).first()[0]
+        assert max_df < NGRAM_MAX_DOC_FREQ, (
+            f"{sf}: max shingle doc-freq {max_df} reaches the "
+            f"NGRAM_MAX_DOC_FREQ={NGRAM_MAX_DOC_FREQ} cap — the capped "
+            "default would diverge from the exact oracle"
+        )

@@ -637,6 +637,16 @@ _GATE_PRIORITY = [
     "simhash_sigs",
     "simhash_near_dups",
     "winnowed_doc_pairs",
+    # The sf10 rehearsal's stop-shingle fix (NGRAM_MAX_DOC_FREQ default)
+    # churns every n-gram-index consumer: the pair miner itself, both CC
+    # variants and the min-id dedup view re-gate; user_scd2_stream_drain
+    # re-gates for the swap_parquet relocation its sink now imports.
+    # Slots from exact_stratified_split / mixture_rebalanced /
+    # doc_char_entropy / value_drift_psi (r05 green, code unchanged).
+    "ngram_jaccard_pairs",
+    "deduped_documents",
+    "near_dup_clusters_pd",
+    "user_scd2_stream_drain",
     "fraud_stream_drain",
     "session_stream_drain",
     "stream_dedup_drain",
@@ -686,13 +696,10 @@ _GATE_PRIORITY = [
     # rank boundaries (Bernoulli hash splits drift binomially on small
     # strata); slot from user_scd2_stream_drain (standing r03 row; SCD2
     # stays gated via user_scd2).
-    "exact_stratified_split",
     # ...plus domain-mixture rebalancing and the char-entropy quality
     # signal (slots from lineitem_profile/price_histogram, r03 rows
     # standing; the profiling family stays gated via value_percentiles,
     # value_anomalies and cube_order_stats).
-    "mixture_rebalanced",
-    "doc_char_entropy",
     # Round-4 wave 2: span-level cross-doc dedup, consecutive-repeat
     # collapse, exact MG heavy hitters, vocabulary coverage, and
     # delta-vs-corpus incremental dedup. Their slots come from
@@ -748,7 +755,6 @@ _GATE_PRIORITY = [
     # packed_sequences (standing r03 rows, code unchanged).
     "quality_deciles",
     "doc_unigram_logprob",
-    "value_drift_psi",
     # top_customers, distinct_parts_per_brand, user_running_total and
     # user_sessions rotate out (round-2 green rows stand, code unchanged)
     # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,

@@ -343,12 +343,20 @@ def winnowed_pairs(
     k: int = 20,
     window: int = 10,
     min_shared: int = 2,
+    max_doc_freq: int | None = NGRAM_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowed fingerprints — the
     contained-copy / boilerplate detector (catches partial overlap that
     whole-document Jaccard dilutes away). Same inverted-index join-aggregate
     shape as ``ngram_jaccard_duplicates``: only (id, 32-byte fp) rows ever
-    shuffle, candidates come from fp buckets, never all pairs.
+    shuffle, candidates come from fp buckets, never all pairs — and the
+    same stop-token hazard: ONE boilerplate fingerprint in millions of
+    docs contributes df^2 candidate rows, so ``max_doc_freq`` (default on,
+    same constant and one-sided semantics as the n-gram index: a dropped
+    hot fingerprint can only UNDERCOUNT ``shared`` — a missed pair, never
+    a false positive; no-op at oracle scales — max observed fp df 22 at
+    sf0.1, asserted in tests/test_llm_ops.py) drops fingerprints above it
+    from the candidate index. Pass None for the exact unbounded form.
 
     Output: id_a, id_b, shared (fingerprint count).
     """
@@ -360,6 +368,14 @@ def winnowed_pairs(
     fp = winnow_fingerprints(df, id_col, text_col, k, window).localCheckpoint(
         eager=True
     )
+    if max_doc_freq is not None:
+        keep = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("docfreq"))
+            .filter(F.col("docfreq") <= max_doc_freq)
+            .select("fp")
+        )
+        fp = fp.join(keep, "fp")
     a = fp.select(F.col(id_col).alias("id_a"), "fp")
     b = fp.select(F.col(id_col).alias("id_b"), "fp")
     return (

@@ -656,9 +656,14 @@ def embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatapipelne_spark.operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    # 32 cells / 1 Lloyd pass: the quantizer costs one distributed pass and
-    # recall is within a point of the sqrt(N)-cell default on this corpus.
-    return ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=32, iters=1)
+    # sqrt(N) cells (the default) + one Lloyd pass: cell population then
+    # scales as sqrt(N), keeping candidates at N*sqrt(N)*probes. A pinned
+    # cell count is a scale bug — the round-6 sf10 rehearsal measured the
+    # old 32-cell form at 6k-vector cells, ~2.5B interpreted pair scores.
+    # Arrow scorer: one numpy matmul per cell instead of the interpreted
+    # per-pair HOF fold (the certified-exact paths keep the Catalyst fold;
+    # this rows-only path takes the 10-100x batch win).
+    return ivf_topk(emb, "vec_id", "embedding", k=5, iters=1, scorer="arrow")
 
 
 # ---------------------------------------------------------------------------

@@ -986,3 +986,12 @@ def test_ngram_doc_freq_cap_not_binding_at_oracle_scales(spark):
             f"NGRAM_MAX_DOC_FREQ={NGRAM_MAX_DOC_FREQ} cap — the capped "
             "default would diverge from the exact oracle"
         )
+        # same guarantee for the winnowing fingerprint index (winnowed_pairs
+        # shares the cap constant and one-sided semantics)
+        from bigdatapipelne_spark.operators.dedup import winnow_fingerprints
+
+        wfp = winnow_fingerprints(docs, "doc_id", "text")
+        max_fp = wfp.groupBy("fp").count().agg(F.max("count")).first()[0]
+        assert max_fp < NGRAM_MAX_DOC_FREQ, (
+            f"{sf}: max winnow fingerprint doc-freq {max_fp} reaches the cap"
+        )

@@ -644,6 +644,9 @@ _GATE_PRIORITY = [
     # Slots from exact_stratified_split / mixture_rebalanced /
     # doc_char_entropy / value_drift_psi (r05 green, code unchanged).
     "ngram_jaccard_pairs",
+    # tfidf_top_terms re-gates for the round-6 widen (single-row-group
+    # scan fix); slot from chunk_dup_docs (r04 green, code unchanged).
+    "tfidf_top_terms",
     "deduped_documents",
     "near_dup_clusters_pd",
     "user_scd2_stream_drain",
@@ -707,7 +710,6 @@ _GATE_PRIORITY = [
     # golden_events / customer_merge rotating out with standing r03 rows
     # (code unchanged; the MERGE/funnel families keep local parity
     # coverage and customer_merge's oracle still runs in the sweep).
-    "chunk_dup_docs",
     "frequent_tokens",
     "incremental_dedup",
     # Round-4 wave 3: A-ES weighted sampling, unigram-LM perplexity-proxy

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from bigdatapipelne_spark.operators.dedup import (
     BANDS,
+    _widen_narrow_input,
     decontaminate,
     NUM_PERM,
     ROWS_PER_BAND,
@@ -1071,11 +1072,23 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast offsets → per-partition windows), never a single-task
     global window; the oracle is the one-window SQL equivalent."""
     from bigdatapipelne_spark.operators.selection import budget_select
+    from bigdatapipelne_spark.functions.text import (
+        quality_from_ratios,
+        stopword_ratio_from_tokens,
+    )
 
-    docs = t(spark, sf_dir, "documents").select(
+    base = _widen_narrow_input(t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", tokens("text").alias("toks")
+    )
+    docs = base.select(
         "doc_id",
-        F.size(tokens("text")).alias("n_toks"),
-        F.coalesce(quality_score("text"), F.lit(0.0)).alias("q"),
+        F.size("toks").alias("n_toks"),
+        F.coalesce(
+            quality_from_ratios(
+                stopword_ratio_from_tokens("toks"), punct_ratio("text")
+            ),
+            F.lit(0.0),
+        ).alias("q"),
     )
     return budget_select(
         docs, "doc_id", "n_toks", "q", budget=_CORPUS_TOKEN_BUDGET
@@ -1307,8 +1320,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint pinned). The corpus size N rides along as a 1-row broadcast. The
     top-3 window re-shuffles on doc_id once. ln() is evaluated on identical
     (tf, df, N) integers in both engines, and ties (equal tf, df) break on
-    the term itself, so rank is engine-stable."""
-    docs = t(spark, sf_dir, "documents")
+    the term itself, so rank is engine-stable. Input widened: the
+    single-row-group testdata scan would otherwise tokenize the whole
+    corpus on one core (round-6 sf10 rehearsal)."""
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents"))
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
@@ -1966,7 +1981,9 @@ def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     decrement and the integer threshold stays discriminative."""
     from bigdatapipelne_spark.operators.frequency import frequent_items
 
-    docs = t(spark, sf_dir, "documents")
+    # widened: per-partition MG summaries degenerate to ONE summary (and
+    # one core of tokenizing) on a single-row-group scan
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents"))
     return frequent_items(docs, tokens("text"), capacity=30)
 
 
@@ -2139,7 +2156,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppl exponentiates the already-rounded mean."""
     from bigdatapipelne_spark.operators.frequency import unigram_logprob
 
-    docs = t(spark, sf_dir, "documents")
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents"))
     return unigram_logprob(docs, "doc_id", tokens("text"))
 
 
@@ -2269,11 +2286,22 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage of a curriculum pipeline. Per-decile stats round at the
     presentation boundary only."""
     from bigdatapipelne_spark.operators.selection import global_rank
+    from bigdatapipelne_spark.functions.text import (
+        quality_from_ratios,
+        stopword_ratio_from_tokens,
+    )
 
-    docs = t(spark, sf_dir, "documents").select(
+    # widen + tokenize-once (the doc_quality round-6 rewrite): same
+    # operands -> same doubles, so rank order and the oracle are unchanged
+    base = _widen_narrow_input(t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", tokens("text").alias("toks")
+    )
+    docs = base.select(
         "doc_id",
-        F.size(tokens("text")).alias("n_tokens"),
-        quality_score("text").alias("quality"),
+        F.size("toks").alias("n_tokens"),
+        quality_from_ratios(
+            stopword_ratio_from_tokens("toks"), punct_ratio("text")
+        ).alias("quality"),
     )
     n = docs.count()
     ranked = global_rank(docs, [F.desc("quality"), F.asc("doc_id")])

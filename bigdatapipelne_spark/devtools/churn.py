@@ -48,8 +48,12 @@ from functools import lru_cache
 PKG = "bigdatapipelne_spark"
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Two alternatives because the name list's extent differs: a parenthesized
+# import spans lines up to the ')'; a bare one ends at the newline (a
+# single [\w,\s]+ group would greedily swallow the following statements
+# and mangle every single-name import).
 _LOCAL_IMPORT_RE = re.compile(
-    r"from\s+(bigdatapipelne_spark[\w.]*)\s+import\s+\(?([\w,\s]+)\)?"
+    r"from\s+(bigdatapipelne_spark[\w.]*)\s+import\s+(?:\(([^)]*)\)|([^\n]+))"
 )
 
 
@@ -108,8 +112,8 @@ def dep_functions(fn) -> dict[tuple[str, str], types.FunctionType]:
                 mod = importlib.import_module(m.group(1))
             except Exception:  # e.g. udaf modules need a live SparkContext
                 continue
-            for nm in m.group(2).split(","):
-                nm = nm.strip()
+            for nm in (m.group(2) or m.group(3) or "").split(","):
+                nm = nm.split(" as ")[0].strip()
                 if nm:
                     _push(getattr(mod, nm, None), stack)
     return seen

@@ -647,6 +647,16 @@ _GATE_PRIORITY = [
     # tfidf_top_terms re-gates for the round-6 widen (single-row-group
     # scan fix); slot from chunk_dup_docs (r04 green, code unchanged).
     "tfidf_top_terms",
+    # The round-6 local-import fix in the churn walker surfaced two more
+    # stale-evidence queries (their operators changed in r04-5 behind
+    # single-name local imports the old regex mangled): packed_sequences
+    # (operators/packing adaptive buckets) and value_anomalies
+    # (operators/profile mad_outliers). Slots from schema_evolution_disk /
+    # compaction_disk (r04 green, code unchanged; the storage family stays
+    # anchored by card_medallion_disk, bucketed_join_disk, store_vacuum
+    # and store_time_travel).
+    "packed_sequences",
+    "value_anomalies",
     "deduped_documents",
     "near_dup_clusters_pd",
     "user_scd2_stream_drain",
@@ -741,8 +751,6 @@ _GATE_PRIORITY = [
     # embedding_quantized / bm25_search / docs_sample_per_group (standing
     # r03 rows; sampling stays gated via docs_sample_fraction and
     # weighted_docs_sample, vectors via doc_feature_hash).
-    "schema_evolution_disk",
-    "compaction_disk",
     "stream_versioned_sink_drain",
     # stream_restart_resume_drain: exactly-once across a checkpoint-resumed
     # restart (W5/W6 promoted to driver-gated evidence); slot from

@@ -147,3 +147,31 @@ def test_key_query_prunes_to_one_bucket(api):
     # partition filter must reach the scan
     assert "PartitionFilters: [" in plan
     assert "__bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_delete_emptying_a_bucket_removes_its_directory(spark, tmp_path):
+    """Dynamic partition overwrite cannot represent an emptied partition
+    (no rows -> no partition in the write), so delete_from_store must
+    remove the directory explicitly — otherwise the deleted rows silently
+    survive. Regression test for that edge: a store with ONE key per
+    bucket, delete that key, read back zero rows for it."""
+    from bigdatapipelne_spark.operators.serving import (
+        delete_from_store,
+        merge_into_store,
+        read_store,
+    )
+
+    path = str(tmp_path / "one_key_store")
+    rows = spark.createDataFrame([(i, f"v{i}") for i in range(6)], "k long, v string")
+    merge_into_store(spark, path, rows, ["k"], num_buckets=4)
+    before = read_store(spark, path).count()
+    assert before == 6
+
+    doomed = spark.createDataFrame([(2,)], "k long")
+    delete_from_store(spark, path, doomed, ["k"], num_buckets=4)
+    after = read_store(spark, path)
+    assert after.count() == 5
+    assert after.filter("k = 2").count() == 0
+    # delete is idempotent, including on a now-possibly-empty bucket
+    delete_from_store(spark, path, doomed, ["k"], num_buckets=4)
+    assert read_store(spark, path).count() == 5

@@ -63,6 +63,28 @@ SWEEP = [
     "q1_pricing_summary",
     "q9_product_profit",
     "q18_large_orders",
+    "q21_waiting_orders",
+    # broad-coverage wave 2: windows/sessions/sketches/analytics/medallion
+    "stage_events",
+    "events_time_rollup",
+    "user_sessions",
+    "session_window_agg",
+    "sliding_window_traffic",
+    "hll_users_rollup",
+    "approx_users_per_type",
+    "value_percentiles",
+    "cube_order_stats",
+    "salted_skew_join",
+    "asof_purchase_view",
+    "purchase_funnel",
+    "golden_events",
+    "user_scd2",
+    "exact_stratified_split",
+    "weighted_docs_sample",
+    "mixture_rebalanced",
+    "doc_char_entropy",
+    "pii_redaction",
+    "doc_unigram_logprob",
 ]
 
 RATIO_NOTES = {

@@ -657,6 +657,13 @@ _GATE_PRIORITY = [
     # and store_time_travel).
     "packed_sequences",
     "value_anomalies",
+    # pii_redaction / doc_char_entropy re-gate for the round-6 widen (the
+    # sf10 rehearsal found their regex/char-explode stages one-core on
+    # the narrow scan). Slots from ann_topk_recall / ivf_topk_recall
+    # (r05 green, code unchanged; the ANN certificate family stays
+    # anchored by embedding_ann_recall and ivfpq_topk_recall).
+    "pii_redaction",
+    "doc_char_entropy",
     "deduped_documents",
     "near_dup_clusters_pd",
     "user_scd2_stream_drain",
@@ -701,8 +708,6 @@ _GATE_PRIORITY = [
     # user_moving_avg / top_parts_per_brand rotating out with standing
     # r03 rows (window-family coverage stays via customer_order_gaps and
     # purchase_only_days).
-    "ann_topk_recall",
-    "ivf_topk_recall",
     "deduped_best_quality",
     "corpus_budget_select",
     # exact_stratified_split: exact-count per-stratum 80/10/10 at integer

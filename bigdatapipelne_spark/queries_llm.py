@@ -1220,8 +1220,10 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, char) rows with map-side partial aggregation collapsing each
     partition's counts pre-shuffle. log2-derived doubles are rounded to
     6 dp for emission (JVM-vs-libm ln differs by 1 ulp on ~4% of inputs);
-    nothing ranks on the rounded value."""
-    docs = t(spark, sf_dir, "documents")
+    nothing ranks on the rounded value. Input widened: the per-char
+    explode otherwise runs on the single-row-group scan's one partition
+    (round-6 sf10 rehearsal, 25x)."""
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents"))
     freq = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
         .filter(F.col("ch") != "")
@@ -1420,8 +1422,10 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus contains no PII, so each doc is first augmented with a
     deterministic email + phone derived from its id (same construction in
     the oracle) — the redaction must then strip exactly those spans.
-    Two codegen regexp_replace passes, zero shuffles."""
-    docs = t(spark, sf_dir, "documents")
+    Two codegen regexp_replace passes; the only exchange is the
+    conditional narrow-input widening (round-6 sf10 rehearsal: the regex
+    passes ran one-core on the single-row-group scan, 45x)."""
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents"))
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -2115,9 +2119,20 @@ def weighted_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample on any cluster size or engine. Top-k via TakeOrdered, never a
     global sort; the oracle replays weight, draw key, and ranking."""
     from bigdatapipelne_spark.operators.sampling import weighted_sample_topk
+    from bigdatapipelne_spark.functions.text import (
+        quality_from_ratios,
+        stopword_ratio_from_tokens,
+    )
 
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", quality_score("text").alias("q")
+    # widen + tokenize-once (identical operands -> identical doubles)
+    base = _widen_narrow_input(t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", tokens("text").alias("toks")
+    )
+    docs = base.select(
+        "doc_id",
+        quality_from_ratios(
+            stopword_ratio_from_tokens("toks"), punct_ratio("text")
+        ).alias("q"),
     )
     return weighted_sample_topk(docs, "doc_id", "q", k=50)
 

@@ -84,16 +84,26 @@ def weighted_sample_topk(
     from bigdatapipelne_spark.operators.selection import uniform_hash
 
     w = F.col(weight_col).cast("double")
-    key = F.pow(uniform_hash(id_col), F.lit(1.0) / w)
+    # Ineligible rows (w <= 0 / NULL) get a NULL key instead of a pre-sort
+    # filter: PushDownPredicates would substitute the WHOLE weight
+    # expression into a pushed ``w > 0`` filter below the caller's
+    # projections (and below any widening repartition), evaluating an
+    # expensive weight — e.g. the quality tokenize — twice, once on the
+    # narrow scan (measured 2x cost + one-core stage on
+    # weighted_docs_sample in the round-6 sf10 rehearsal). DESC NULLS LAST
+    # ranks the null keys behind every eligible row and the post-limit
+    # filter drops any that straggle into an under-full top-k, so the
+    # emitted set is exactly the filter-first A-ES result.
+    key = F.when(w > 0, F.pow(uniform_hash(id_col), F.lit(1.0) / w))
     return (
-        df.filter(w > 0)
-        .select(
+        df.select(
             F.col(id_col),
             w.alias("weight"),
             key.alias("__key"),
         )
-        .orderBy(F.desc("__key"), F.asc(id_col))
+        .orderBy(F.desc_nulls_last("__key"), F.asc(id_col))
         .limit(k)
+        .filter(F.col("__key").isNotNull())
         .select(
             id_col, "weight", F.round(F.col("__key"), 6).alias("sample_key")
         )
@@ -114,13 +124,16 @@ def weighted_sample_per_group(
     from bigdatapipelne_spark.operators.selection import uniform_hash
 
     w = F.col(weight_col).cast("double")
-    key = F.pow(uniform_hash(id_col), F.lit(1.0) / w)
-    win = Window.partitionBy(group_col).orderBy(F.desc("__key"), F.asc(id_col))
+    # NULL-key form for ineligible rows — same pushed-filter double-eval
+    # rationale as weighted_sample_topk above.
+    key = F.when(w > 0, F.pow(uniform_hash(id_col), F.lit(1.0) / w))
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc_nulls_last("__key"), F.asc(id_col)
+    )
     return (
-        df.filter(w > 0)
-        .select(F.col(group_col), F.col(id_col), w.alias("weight"), key.alias("__key"))
+        df.select(F.col(group_col), F.col(id_col), w.alias("weight"), key.alias("__key"))
         .withColumn("rk", F.row_number().over(win))
-        .filter(F.col("rk") <= k)
+        .filter((F.col("rk") <= k) & F.col("__key").isNotNull())
         .select(
             group_col, id_col, "weight",
             F.round(F.col("__key"), 6).alias("sample_key"),

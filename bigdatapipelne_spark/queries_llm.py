@@ -1815,13 +1815,26 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the fingerprint groupBy."""
     from bigdatapipelne_spark.operators.dedup import decontaminate, exact_duplicates
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # widen + tokenize-once (round-6 narrow-scan/fusion pattern; identical
+    # operands -> identical doubles, oracle unchanged)
+    from bigdatapipelne_spark.functions.text import (
+        quality_from_ratios,
+        stopword_ratio_from_tokens,
+    )
+
+    docs = _widen_narrow_input(
+        t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
     docs2 = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000)))
     enriched = docs2.select(
+        "doc_id", "text", tokens("text").alias("__toks")
+    ).select(
         "doc_id",
         "text",
-        F.size(tokens("text")).cast("long").alias("n_tokens"),
-        quality_score("text").alias("q"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        quality_from_ratios(
+            stopword_ratio_from_tokens("__toks"), punct_ratio("text")
+        ).alias("q"),
     )
     filtered = enriched.filter(
         (F.col("q") >= 0.53) & (F.col("doc_id") % 100000 >= 25)
@@ -2497,9 +2510,21 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether the classifier's precision supports language-filtered
     corpus cuts. One grouped count; labels computed in the scan
     projection."""
-    docs = t(spark, sf_dir, "documents")
+    from bigdatapipelne_spark.functions.text import stopword_ratio_from_tokens
+
+    # widen + tokenize-once (round-6 narrow-scan pattern); the 0.05
+    # threshold and null handling mirror lang_id_en exactly
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents"))
+    sig = docs.select(
+        "lang", tokens("text").alias("__toks")
+    ).select("lang", stopword_ratio_from_tokens("__toks").alias("__sr"))
     return (
-        docs.select("lang", lang_id_en("text").alias("lang_pred"))
+        sig.select(
+            "lang",
+            F.when(F.col("__sr") >= F.lit(0.05), F.lit("en"))
+            .otherwise(F.lit("other"))
+            .alias("lang_pred"),
+        )
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -85,6 +85,23 @@ SWEEP = [
     "doc_char_entropy",
     "pii_redaction",
     "doc_unigram_logprob",
+    # broad-coverage wave 3: the rest of the document/embedding surface
+    "corpus_pipeline",
+    "lang_confusion",
+    "doc_chunks",
+    "doc_chunks_udtf",
+    "doc_repetition",
+    "doc_collapse_repeats",
+    "vocab_coverage",
+    "doc_feature_hash",
+    "bm25_search",
+    "decontaminated_overlap",
+    "simhash_sigs",
+    "incremental_dedup",
+    "deduped_documents",
+    "near_dup_clusters_pd",
+    "embedding_topk",
+    "embedding_quantized",
 ]
 
 RATIO_NOTES = {

@@ -664,6 +664,16 @@ _GATE_PRIORITY = [
     # anchored by embedding_ann_recall and ivfpq_topk_recall).
     "pii_redaction",
     "doc_char_entropy",
+    # wave-3 narrow-scan widens (doc_chunks 34.6x, doc_repetition 38.0x,
+    # doc_collapse_repeats 27.0x at sf10) re-gate; slots from
+    # medallion_audit / salted_skew_join / stream_versioned_sink_drain
+    # (standing green rows, code unchanged; the medallion chain stays
+    # anchored by card_medallion_disk, skew handling by the executed-plan
+    # tests in test_joins.py, the versioned store by store_vacuum and
+    # store_time_travel).
+    "doc_chunks",
+    "doc_repetition",
+    "doc_collapse_repeats",
     "deduped_documents",
     "near_dup_clusters_pd",
     "user_scd2_stream_drain",
@@ -756,14 +766,12 @@ _GATE_PRIORITY = [
     # embedding_quantized / bm25_search / docs_sample_per_group (standing
     # r03 rows; sampling stays gated via docs_sample_fraction and
     # weighted_docs_sample, vectors via doc_feature_hash).
-    "stream_versioned_sink_drain",
     # stream_restart_resume_drain: exactly-once across a checkpoint-resumed
     # restart (W5/W6 promoted to driver-gated evidence); slot from
     # stream_dedup_drain (standing r03 row, code unchanged).
     "stream_restart_resume_drain",
     # medallion_audit: per-batch row reconciliation across raw->stage->spec;
     # slot from multimodal_features (standing r03 row, code unchanged).
-    "medallion_audit",
     # quality_deciles (exact global rank via the distributed two-pass
     # prefix pattern, integer-arithmetic decile) and user_type_unpivot
     # (pivot -> melt round-trip). Slots from lineitem_quality and
@@ -784,7 +792,6 @@ _GATE_PRIORITY = [
     # priority_rollup, user_type_pivot and purchase_only_days, and exact
     # percentile() is still driver-exercised inside
     # value_percentiles_approx's rank brackets.
-    "salted_skew_join",
     # LLM-pipeline + multimodal entries needing fresh driver evidence
     # (near_dup_clusters rotates out; its round-2 row stands and the
     # pointer-doubling twin shares its oracle in the local sweep)

@@ -792,7 +792,8 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode; no shuffle at all."""
     from bigdatapipelne_spark.functions.text import chunk_tokens, tokens
 
-    docs = t(spark, sf_dir, "documents")
+    # widened: single-row-group scan would chunk the corpus on one core
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", tokens("text").alias("__toks"))
         .select("doc_id", F.explode(chunk_tokens("__toks", 40, 8)).alias("c"))
@@ -1463,7 +1464,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-token ratio and top-unigram mass, plus the boolean filter verdict.
     One explode + two stacked aggregations, both collapsing map-side; the
     ratios are int/int double divisions (engine-determinism rules)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents"))
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
@@ -1965,7 +1966,7 @@ def doc_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the oracle's 1-based-index mirror."""
     from bigdatapipelne_spark.functions.text import collapse_repeat_tokens
 
-    docs = t(spark, sf_dir, "documents").select(
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents")).select(
         "doc_id", tokens("text").alias("w")
     )
     return docs.withColumn("c", collapse_repeat_tokens("w")).select(

@@ -674,6 +674,18 @@ _GATE_PRIORITY = [
     "doc_chunks",
     "doc_repetition",
     "doc_collapse_repeats",
+    # Final wave-3 widens (doc_feature_hash 58.7x, bm25_search 51.2x,
+    # embedding_topk 22.4x, embedding_quantized 24.2x at sf10 — the
+    # embeddings table is also a single row group) re-gate; slots from
+    # incremental_dedup / store_time_travel / incremental_near_dup /
+    # stream_restart_resume_drain (standing green rows, code unchanged;
+    # versioned store stays anchored by store_vacuum, the incremental
+    # dedup family by its r04-r05 rows + local parity, checkpoint resume
+    # by tests/test_streaming.py).
+    "doc_feature_hash",
+    "bm25_search",
+    "embedding_topk",
+    "embedding_quantized",
     "deduped_documents",
     "near_dup_clusters_pd",
     "user_scd2_stream_drain",
@@ -736,7 +748,6 @@ _GATE_PRIORITY = [
     # (code unchanged; the MERGE/funnel families keep local parity
     # coverage and customer_merge's oracle still runs in the sweep).
     "frequent_tokens",
-    "incremental_dedup",
     # Round-4 wave 3: A-ES weighted sampling, unigram-LM perplexity-proxy
     # scoring, PSI drift monitoring. Slots from user_type_pivot /
     # purchase_only_days / customer_order_gaps (standing r03 rows, code
@@ -751,11 +762,9 @@ _GATE_PRIORITY = [
     # store_time_travel certifies VERSION-AS-OF snapshot isolation on the
     # versioned store; its slot comes from approx_users_per_type (standing
     # r03 row; the HLL family stays gated via hll_users_rollup).
-    "store_time_travel",
     # incremental_near_dup: the steady-state MinHash probe of a standing
     # corpus band index; slot from value_percentiles_approx (standing r03
     # row; percentile family stays gated via value_percentiles).
-    "incremental_near_dup",
     # bucketed_join_disk: zero-shuffle co-located fact-fact join from disk,
     # plan-asserted inside the query; slot from priority_rollup (standing
     # r03 row; grouping-sets family stays gated via cube_order_stats).
@@ -769,7 +778,6 @@ _GATE_PRIORITY = [
     # stream_restart_resume_drain: exactly-once across a checkpoint-resumed
     # restart (W5/W6 promoted to driver-gated evidence); slot from
     # stream_dedup_drain (standing r03 row, code unchanged).
-    "stream_restart_resume_drain",
     # medallion_audit: per-batch row reconciliation across raw->stage->spec;
     # slot from multimodal_features (standing r03 row, code unchanged).
     # quality_deciles (exact global rank via the distributed two-pass

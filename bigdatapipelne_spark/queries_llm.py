@@ -445,7 +445,9 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for a 10-vector query set against the full corpus
     (operators/similarity.py: brute_force_topk — query side broadcast,
     corpus never shuffled)."""
-    emb = t(spark, sf_dir, "embeddings")
+    # corpus side widened: the embeddings table is also a single row
+    # group, so the dim-wide cosine folds otherwise run one-core
+    emb = _widen_narrow_input(t(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 10)
     return brute_force_topk(q, emb, "vec_id", "embedding", k=5)
 
@@ -1550,7 +1552,9 @@ def embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_int8,
     )
 
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _widen_narrow_input(
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     scaled = emb.withColumn("scale", int8_scale("embedding"))
     dq = scaled.withColumn(
         "d", dequantize_int8(quantize_int8("embedding", "scale"), "scale")
@@ -1654,7 +1658,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 dp to absorb the cross-engine ln() ulp."""
     from bigdatapipelne_spark.operators.search import bm25_topk
 
-    docs = t(spark, sf_dir, "documents")
+    # widened: the per-term tf expressions otherwise evaluate one-core on
+    # the narrow scan (51.2x at sf10)
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents"))
     return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=25)
 
 
@@ -1896,7 +1902,11 @@ def doc_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays it exactly."""
     from bigdatapipelne_spark.functions.vectors import feature_hash_counts
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # widened: round-6 sf10 rehearsal measured the hashing projection
+    # one-core on the narrow scan (58.7x)
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
     return feature_hash_counts(docs, "doc_id", "text", dim=64)
 
 

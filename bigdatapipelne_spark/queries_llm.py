@@ -1843,9 +1843,15 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             stopword_ratio_from_tokens("__toks"), punct_ratio("text")
         ).alias("q"),
     )
+    # Materialize the quality-filtered frame ONCE: it feeds the dedup
+    # scan, the canonical join's left side, decontamination and the final
+    # anti-join — without the checkpoint Catalyst re-evaluates the whole
+    # widen+tokenize+quality subplan per consumer (~4x; the dominant cost
+    # of the sf10 cell). Content is deterministic, so truncating lineage
+    # is hash-safe (winnowed_pairs precedent).
     filtered = enriched.filter(
         (F.col("q") >= 0.53) & (F.col("doc_id") % 100000 >= 25)
-    )
+    ).localCheckpoint(eager=True)
     canon = exact_duplicates(filtered.select("doc_id", "text"), "doc_id", "text")
     deduped = filtered.join(
         canon.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),

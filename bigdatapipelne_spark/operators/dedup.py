@@ -72,37 +72,58 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return keyed.join(groups, "fp").select(id_col, "canonical_id", "group_size")
 
 
-def _minhash_exprs(shingle_col: str, num_perm: int = NUM_PERM) -> list[Column]:
-    """One min-expression per permutation: min(md5('<seed>:' || shingle)).
+def _shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """ONE tokenize/shingle pass over the corpus -> (id, sh) rows, where
+    sh = md5 of each DISTINCT n-token shingle. Every downstream MinHash
+    consumer (signatures, set sizes, intersection joins) derives from this
+    frame, so the document text is scanned exactly once and only 40-byte
+    hash rows ever move again."""
+    df = _widen_narrow_input(df)
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_from_tokens("__toks", n))).alias("s"),
+        )
+        .select(id_col, F.md5("s").alias("sh"))
+    )
+
+
+def _minhash_exprs(sh_col: str, num_perm: int = NUM_PERM) -> list[Column]:
+    """One min-expression per permutation: min(md5('<seed>:' || sh)), where
+    sh is the shingle's md5 (see _shingle_hash_rows).
 
     md5 hex strings compare lexicographically the same in every engine, so
     the 'permutation' is just a seeded rehash — deterministic and portable.
-    Min over the exploded multiset equals min over the set, so no distinct
-    pass is needed before aggregation.
+    Seeding over the shingle's HASH instead of its raw text keeps the
+    signature aggregation on fixed-width 32-char rows (the raw shingle
+    never needs to be rematerialized per permutation) without changing the
+    min-wise uniformity of the family.
     """
     return [
-        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col(shingle_col)))).alias(f"mh{seed}")
+        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col(sh_col)))).alias(f"mh{seed}")
         for seed in range(num_perm)
     ]
+
+
+def _sigs_from_hash_rows(
+    sh: DataFrame, id_col: str, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """(id, sh) rows -> per-document signature id, mh0..mh{k-1}. Partial
+    aggregation collapses each document's shingles map-side, so the shuffle
+    carries one row per (partition, document)."""
+    return sh.groupBy(id_col).agg(*_minhash_exprs("sh", num_perm))
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = NUM_PERM
 ) -> DataFrame:
-    """Per-document MinHash signature: id, mh0..mh{k-1}.
-
-    explode(shingles) -> groupBy(id) with k min-aggregates. Partial
-    aggregation collapses each document's shingles map-side, so the shuffle
-    carries one row per (partition, document)."""
-    df = _widen_narrow_input(df)
-    exploded = (
-        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-        .select(
-            F.col(id_col),
-            F.explode(shingles_from_tokens("__toks", n)).alias("shingle"),
-        )
+    """Per-document MinHash signature: id, mh0..mh{k-1}."""
+    return _sigs_from_hash_rows(
+        _shingle_hash_rows(df, id_col, text_col, n), id_col, num_perm
     )
-    return exploded.groupBy(id_col).agg(*_minhash_exprs("shingle", num_perm))
 
 
 def lsh_bands(
@@ -127,14 +148,59 @@ def lsh_bands(
     )
 
 
+# Default LSH band-bucket occupancy cap for candidate generation. A band
+# bucket is the set of documents agreeing on one band's minhashes; real
+# near-dup groups produce small buckets, but a globally-common shingle
+# whose seeded hash happens to be tiny becomes the minhash of a large
+# corpus fraction — two such "stop minhashes" collide thousands of
+# unrelated documents into one bucket, and candidates grow as C(bucket,2)
+# (the round-6 sf10 rehearsal measured the top-10 buckets at 400-838 docs
+# contributing ~2M of 7M candidate pairs at 500k docs). Buckets larger
+# than the cap are dropped from candidate GENERATION only — the standard
+# production guard (a true near-dup pair agrees on ~every band, so it is
+# still found via its selective buckets). The cap is a NO-OP at all
+# oracle scales (max observed bucket: well under 100 at sf0.01 — asserted
+# in tests/test_llm_ops.py), so the hash gate always compares the exact
+# uncapped semantics.
+MINHASH_MAX_BAND_BUCKET = 256
+
+
+def _capped_bands(b: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop (band, band_key) buckets with more than ``max_bucket`` members
+    from the banding frame. One count aggregate + an equi-join — both on
+    the 40-byte band key."""
+    if max_bucket is None:
+        return b
+    keep = (
+        b.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("band", "band_key")
+    )
+    return b.join(keep, ["band", "band_key"])
+
+
 def minhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_band_bucket: int | None = MINHASH_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band.
 
     The self-join is on (band, band_key) — an equi-join over hash buckets,
-    not a cross join; AQE's skew handling splits any pathological bucket."""
+    not a cross join; AQE's skew handling splits any pathological bucket,
+    and ``max_band_bucket`` (default on) drops degenerate stop-shingle
+    buckets before they go quadratic."""
     b = lsh_bands(minhash_signatures(df, id_col, text_col, n), id_col)
+    return _pairs_from_bands(b, id_col, max_band_bucket)
+
+
+def _pairs_from_bands(
+    b: DataFrame, id_col: str, max_band_bucket: int | None
+) -> DataFrame:
+    b = _capped_bands(b, max_band_bucket)
     left = b.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = b.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -151,50 +217,63 @@ def minhash_near_duplicates(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_band_bucket: int | None = MINHASH_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram-Jaccard.
 
     Output: id_a, id_b, jaccard (>= threshold).
 
-    Verification never ships a shingle *array*: documents are exploded once
-    into (id, shingle-md5) rows, the intersection size per candidate pair is
-    a join-aggregate over those 40-byte rows, and set sizes come from a
-    per-document count. At 100 TB the shuffles carry fixed-width hash rows
-    bounded by (total shingles + candidate pairs), not document-sized
+    The corpus text is tokenized/shingled exactly ONCE: a single
+    (id, shingle-md5) frame (localCheckpointed — four consumers) feeds the
+    signatures, the set sizes, and both sides of the intersection join, so
+    at 100 TB every exchange after the scan carries fixed-width hash rows
+    bounded by (total shingles + candidate pairs), never document-sized
     payloads. jaccard is an int/int double division (engine-exact).
+
+    Candidate pruning (both lossless w.r.t. the final output):
+
+    - degenerate stop-shingle band buckets are dropped via
+      ``max_band_bucket`` (see MINHASH_MAX_BAND_BUCKET — no-op at oracle
+      scales, asserted);
+    - the exact length filter: jaccard <= min(sz)/max(sz), so a pair with
+      min(sz) < threshold*max(sz) cannot pass verification (1-row slack
+      absorbs double rounding; only MORE pairs are kept than strictly
+      necessary, never fewer).
 
     LSH-candidate pairs always share >= ROWS_PER_BAND min-shingles, so the
     inner intersection join cannot drop a pair that would pass ``threshold``.
     """
-    df = _widen_narrow_input(df)
-    cands = minhash_candidate_pairs(df, id_col, text_col, n)
-    sh = (
-        df.select(F.col(id_col).alias("sid"), tokens(text_col).alias("__toks"))
-        .select(
-            "sid",
-            F.explode(F.array_distinct(shingles_from_tokens("__toks", n))).alias("s"),
-        )
-        .select("sid", F.md5("s").alias("sh"))
-    )
+    sh = _shingle_hash_rows(df, id_col, text_col, n).localCheckpoint(eager=True)
+    b = lsh_bands(_sigs_from_hash_rows(sh, id_col), id_col)
+    cands = _pairs_from_bands(b, id_col, max_band_bucket)
+    sh = sh.withColumnRenamed(id_col, "sid")
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
 
-    a = sh.select(F.col("sid").alias("id_a"), "sh")
-    b = sh.select(F.col("sid").alias("id_b"), "sh")
-    inter = (
-        cands.join(a, "id_a")
-        .join(b, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     size_a = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"))
     size_b = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("sz_b"))
+    cands = (
+        cands.join(size_a, "id_a")
+        .join(size_b, "id_b")
+        .filter(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1.0)
+        )
+    )
+
+    a = sh.select(F.col("sid").alias("id_a"), "sh")
+    b2 = sh.select(F.col("sid").alias("id_b"), "sh")
+    inter = (
+        cands.select("id_a", "id_b", "sz_a", "sz_b")
+        .join(a, "id_a")
+        .join(b2, ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     jac = F.col("inter").cast("double") / (
         (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
     )
     return (
-        inter.join(size_a, "id_a")
-        .join(size_b, "id_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -244,14 +323,9 @@ def ngram_jaccard_duplicates(
     """
     # The shingle index feeds three consumers (sizes + both join sides);
     # materialize it once instead of re-tokenizing the corpus per consumer.
-    df = _widen_narrow_input(df)
     sh_full = (
-        df.select(F.col(id_col).alias("sid"), tokens(text_col).alias("__toks"))
-        .select(
-            "sid",
-            F.explode(F.array_distinct(shingles_from_tokens("__toks", n))).alias("s"),
-        )
-        .select("sid", F.md5("s").alias("sh"))
+        _shingle_hash_rows(df, id_col, text_col, n)
+        .withColumnRenamed(id_col, "sid")
         .localCheckpoint(eager=True)
     )
     sizes = sh_full.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
@@ -724,6 +798,7 @@ def incremental_near_duplicates(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_band_bucket: int | None = MINHASH_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-dup detection of an arriving batch against a standing corpus —
     the steady-state MinHash form (``incremental_exact_duplicates`` is the
@@ -740,48 +815,54 @@ def incremental_near_duplicates(
     intersection is a join-aggregate over fixed-width hash rows bounded by
     candidate pairs, and the division is int/int (engine-exact).
 
+    Candidate pruning mirrors ``minhash_near_duplicates`` (both lossless):
+    the CORPUS band index drops stop-shingle buckets above
+    ``max_band_bucket`` (that cap is exactly the bucket ceiling a real
+    pipeline enforces on its standing index), and the exact length filter
+    removes pairs whose size ratio already forbids ``threshold``.
+
     Emits ``delta_id, corpus_id, jaccard`` (>= threshold).
     """
-    delta = _widen_narrow_input(delta)
-    corpus = _widen_narrow_input(corpus)
-    bd = lsh_bands(minhash_signatures(delta, id_col, text_col, n), id_col).select(
-        F.col(id_col).alias("delta_id"), "band", "band_key"
+    shd = (
+        _shingle_hash_rows(delta, id_col, text_col, n)
+        .withColumnRenamed(id_col, "delta_id")
+        .localCheckpoint(eager=True)
     )
-    bc = lsh_bands(minhash_signatures(corpus, id_col, text_col, n), id_col).select(
-        F.col(id_col).alias("corpus_id"), "band", "band_key"
+    shc = (
+        _shingle_hash_rows(corpus, id_col, text_col, n)
+        .withColumnRenamed(id_col, "corpus_id")
+        .localCheckpoint(eager=True)
+    )
+    bd = lsh_bands(_sigs_from_hash_rows(shd, "delta_id"), "delta_id")
+    bc = _capped_bands(
+        lsh_bands(_sigs_from_hash_rows(shc, "corpus_id"), "corpus_id"),
+        max_band_bucket,
     )
     cands = (
         bd.join(bc, ["band", "band_key"]).select("delta_id", "corpus_id").distinct()
     )
 
-    def sh_rows(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias(out_id), tokens(text_col).alias("__toks"))
-            .select(
-                out_id,
-                F.explode(
-                    F.array_distinct(shingles_from_tokens("__toks", n))
-                ).alias("s"),
-            )
-            .select(out_id, F.md5("s").alias("sh"))
+    size_d = shd.groupBy("delta_id").agg(F.count(F.lit(1)).alias("sz_d"))
+    size_c = shc.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sz_c"))
+    cands = (
+        cands.join(size_d, "delta_id")
+        .join(size_c, "corpus_id")
+        .filter(
+            F.least("sz_d", "sz_c").cast("double")
+            >= F.lit(threshold) * F.greatest("sz_d", "sz_c") - F.lit(1.0)
         )
-
-    shd, shc = sh_rows(delta, "delta_id"), sh_rows(corpus, "corpus_id")
+    )
     inter = (
         cands.join(shd, "delta_id")
         .join(shc, ["corpus_id", "sh"])
-        .groupBy("delta_id", "corpus_id")
+        .groupBy("delta_id", "corpus_id", "sz_d", "sz_c")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    size_d = shd.groupBy("delta_id").agg(F.count(F.lit(1)).alias("sz_d"))
-    size_c = shc.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sz_c"))
     jac = F.col("inter").cast("double") / (
         (F.col("sz_d") + F.col("sz_c") - F.col("inter")).cast("double")
     )
     return (
-        inter.join(size_d, "delta_id")
-        .join(size_c, "corpus_id")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("delta_id", "corpus_id", "jaccard")
     )

@@ -2,15 +2,17 @@
 expressions — the relevance-scoring half of a training-data curation
 pipeline (topical filtering, eval-set retrieval, targeted decontamination).
 
-Scale design: for a FIXED query (a handful of terms), everything is
-per-row expression work plus two 1-row broadcasts — no shuffle of the
-corpus at all:
+Scale design: for a FIXED query (a handful of terms), the corpus text is
+tokenized exactly ONCE and reduced to a per-document (dl, tf...) profile
+before anything else touches it:
 
-- per-doc term frequencies are ``size(filter(tokens, t))`` per query term
-  (array scans inside codegen, no explode);
+- per-doc term frequencies and length come from one explode + one
+  map-side-combined conditional aggregation (all whole-stage codegen —
+  array-lambda ``filter`` HOFs are interpreted per element and were the
+  dominant cost at scale), localCheckpointed because both the stats pass
+  and the scoring pass consume it;
 - corpus stats (N, avgdl, per-term document frequencies) are ONE global
-  aggregate — conditional sums, map-side combined — cross-joined back as
-  a 1-row broadcast;
+  aggregate over that profile — cross-joined back as a 1-row broadcast;
 - the score is an explicit left-to-right sum over the term list, so
   float addition order is fixed by construction (not by shuffle order),
   which is what lets a distributed run hash-match a single-threaded
@@ -49,18 +51,27 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("terms must be non-empty")
-    base = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).withColumn("_dl", F.size("_toks").cast("double"))
-    def tf_of(term: str) -> Column:
-        # NB: a 2-arg lambda here would be interpreted by F.filter as
-        # (element, index) — capture the term via closure, not default arg
-        return F.size(F.filter(F.col("_toks"), lambda x: x == F.lit(term)))
-
-    tf_cols = [
-        tf_of(t).cast("double").alias(f"_tf{i}") for i, t in enumerate(terms)
-    ]
-    scored_base = base.select(id_col, "_dl", *tf_cols)
+    # One tokenize + one explode; explode_outer keeps empty documents (one
+    # NULL token row) so dl=0 docs still count toward N/avgdl. Conditional
+    # sums stay in whole-stage codegen and combine map-side, so the shuffle
+    # is one row per document; the checkpoint stops the stats pass and the
+    # scoring pass from each re-tokenizing the corpus.
+    ex = docs.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_t")
+    )
+    scored_base = (
+        ex.groupBy(id_col)
+        .agg(
+            F.count("_t").cast("double").alias("_dl"),
+            *[
+                F.sum(F.when(F.col("_t") == term, 1).otherwise(0))
+                .cast("double")
+                .alias(f"_tf{i}")
+                for i, term in enumerate(terms)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
 
     stats = scored_base.agg(
         F.count(F.lit(1)).cast("double").alias("_N"),

@@ -715,8 +715,14 @@ _GATE_PRIORITY = [
     # family anchors: correlated subquery (q2), multi-join volume (q7),
     # global-scalar HAVING (q11), semi-join chain (q20), anti-join +
     # scalar avg (q22).
-    "q7_nation_volume",
     "q11_value_concentration",
+    # incremental_near_dup re-gates for the late-round-6 minhash rework
+    # (tokenize-once hash-row reuse, seeded-md5-over-shingle-hash
+    # signatures — the oracle mirrors the new scheme — band-bucket cap,
+    # lossless length prefilter). Slot from q7_nation_volume (r05 green,
+    # code unchanged; TPC-H stays anchored by q11 in-gate plus the
+    # q2/q20/q22 standing rows).
+    "incremental_near_dup",
     # Never-gated until now (registration slots 51+ in r02 and r03): CUBE,
     # exact percentiles, INTERSECT, the batch SCD2 snapshot, the streaming
     # sketch store, stream-static enrichment, the cogrouped as-of twin,

@@ -96,8 +96,10 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(threshold: float = 0.5) -> str:
+    # Signatures seed over the shingle's md5 (fixed-width rows engine-side);
+    # mirrors operators/dedup.py _minhash_exprs exactly.
     mins = ",\n           ".join(
-        f"min(md5('{seed}:' || s)) AS mh{seed}" for seed in range(NUM_PERM)
+        f"min(md5('{seed}:' || md5(s))) AS mh{seed}" for seed in range(NUM_PERM)
     )
     band_rows = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -2207,7 +2209,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
     mins = ",\n             ".join(
-        f"min(md5('{seed}:' || s)) AS mh{seed}" for seed in range(NUM_PERM)
+        f"min(md5('{seed}:' || md5(s))) AS mh{seed}" for seed in range(NUM_PERM)
     )
 
     def band_rows(src: str, idc: str) -> str:

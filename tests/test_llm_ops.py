@@ -995,3 +995,33 @@ def test_ngram_doc_freq_cap_not_binding_at_oracle_scales(spark):
         assert max_fp < NGRAM_MAX_DOC_FREQ, (
             f"{sf}: max winnow fingerprint doc-freq {max_fp} reaches the cap"
         )
+
+
+def test_minhash_band_bucket_cap_not_binding_at_oracle_scales(spark):
+    """MINHASH_MAX_BAND_BUCKET (the stop-shingle band-bucket cap that keeps
+    LSH candidate generation from going C(bucket,2)-quadratic at scale — the
+    round-6 sf10 rehearsal measured 400-838-doc buckets at 500k docs) must
+    be a NO-OP at the driver's oracle scales, so every hash-gated minhash
+    query still compares the exact uncapped semantics."""
+    from .conftest import SF_MEDIUM
+    from bigdatapipelne_spark.operators.dedup import (
+        MINHASH_MAX_BAND_BUCKET,
+        _shingle_hash_rows,
+        _sigs_from_hash_rows,
+        lsh_bands,
+    )
+
+    for sf in (SF_SMALL, SF_MEDIUM):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        b = lsh_bands(
+            _sigs_from_hash_rows(_shingle_hash_rows(docs, "doc_id", "text", 3), "doc_id"),
+            "doc_id",
+        )
+        max_bucket = (
+            b.groupBy("band", "band_key").count().agg(F.max("count")).first()[0]
+        )
+        assert max_bucket < MINHASH_MAX_BAND_BUCKET, (
+            f"{sf}: max LSH band bucket {max_bucket} reaches the "
+            f"MINHASH_MAX_BAND_BUCKET={MINHASH_MAX_BAND_BUCKET} cap — the "
+            "capped default would diverge from the exact oracle"
+        )

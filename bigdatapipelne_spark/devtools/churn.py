@@ -128,7 +128,17 @@ def dep_functions(fn) -> dict[tuple[str, str], types.FunctionType]:
 def round_commit(round_no: int) -> str | None:
     """Commit that added CORRECTNESS_r{N}.json — the snapshot whose code
     that round's rows certify (the driver commits the record immediately
-    after the end-of-round snapshot; the delta is record files only)."""
+    after the end-of-round snapshot; the delta is record files only).
+
+    Round-boundary case (round-6 verdict item 1): between the driver
+    writing a fresh record and committing it, the file exists on disk but
+    has NO adding commit. Returning None there drops every green row of
+    the newest round from both the last-green map and re-certification —
+    exactly when the evidence is freshest. The record was produced against
+    the end-of-round snapshot, which at that moment IS HEAD, so certify
+    HEAD. (If the working tree has been edited since, the HEAD-vs-tree AST
+    diff still flags the edits — HEAD is the certified snapshot, not the
+    tree.)"""
     name = f"CORRECTNESS_r{round_no:02d}.json"
     out = subprocess.run(
         ["git", "log", "--format=%H", "--diff-filter=A", "--", name],
@@ -136,7 +146,17 @@ def round_commit(round_no: int) -> str | None:
         capture_output=True,
         text=True,
     ).stdout.split()
-    return out[0] if out else None
+    if out:
+        return out[0]
+    if os.path.exists(os.path.join(REPO, name)):
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        return head or None
+    return None
 
 
 @lru_cache(maxsize=None)

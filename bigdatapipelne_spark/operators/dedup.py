@@ -12,10 +12,13 @@ Design for 100 TB:
   Jaccard verification runs only on candidate pairs.
 - **SimHash** is one grouped aggregation per document; matching is again an
   equi-join on the signature (or banded substrings for hamming<k).
-- Everything is md5-based and deterministic: same input -> same candidate
-  set on any cluster size, and the duckdb oracle can replicate it exactly.
+- Everything is hash-deterministic (md5, or the winnowing polynomial):
+  same input -> same candidate set on any cluster size, and the duckdb
+  oracle can replicate it exactly.
 
-All expressions are built-in functions — no Python on the hot path.
+All expressions are built-in functions — no row-at-a-time Python anywhere;
+the one Python path (the winnowing hash kernel) is an Arrow-vectorized
+pandas_udf doing numpy convolutions.
 """
 
 from __future__ import annotations
@@ -290,6 +293,16 @@ def minhash_near_duplicates(
 # so the hash gate always compares the exact result).
 NGRAM_MAX_DOC_FREQ = 256
 
+# Winnowing's own boilerplate ceiling. Char-20-gram fingerprints are ~6x
+# denser per document than token trigrams, so the template-text knee sits
+# far lower: at 100x data the df 17-64 band alone held 356M of 578M
+# candidate rows (df-histogram in the round-7 profile) while genuinely
+# copied passages pair at df=2-3. Still a NO-OP at all oracle/bench scales
+# (max observed fingerprint df 22 at sf0.1 — asserted in
+# tests/test_llm_ops.py), and still one-sided: a dropped hot fingerprint
+# can only UNDERCOUNT ``shared``, never invent a pair.
+WINNOW_MAX_DOC_FREQ = 32
+
 
 def ngram_jaccard_duplicates(
     df: DataFrame,
@@ -360,6 +373,17 @@ def ngram_jaccard_duplicates(
     )
 
 
+WINNOW_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne); MOSS-classic 31-bit hashes
+WINNOW_BASE = 1_000_003
+
+
+def winnow_hash_powers(k: int) -> list[int]:
+    """``WINNOW_BASE ** j mod WINNOW_MOD`` for j in [0, k) — the k-gram
+    polynomial-hash coefficients, shared by the Spark kernel and the
+    DuckDB oracle text (queries_llm._winnow_kg_sql)."""
+    return [pow(WINNOW_BASE, j, WINNOW_MOD) for j in range(k)]
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -370,7 +394,7 @@ def winnow_fingerprints(
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     rolling-hash scheme): hash every ``k``-char gram of the normalized
     text, slide a ``window`` over the hash sequence, keep the minimum hash
-    per window, dedupe. Output: (id, fp) — one row per selected
+    per window, dedupe. Output: (id, fp long) — one row per selected
     fingerprint.
 
     Guarantees: any shared substring of length >= k + window - 1 yields at
@@ -379,34 +403,63 @@ def winnow_fingerprints(
     (unlike the whole-text md5 in ``functions.text.fingerprint``, which any
     single-character edit breaks).
 
-    All pure codegen (nested transform/sequence/slice/array_min — no UDF).
-    We take the plain window minimum (lexicographic over md5 hex; DuckDB
-    orders VARCHAR the same way, so it is oracle-replicable) rather than
-    the paper's rightmost-min tie rule — ties between *different* grams are
-    md5 collisions, i.e. nonexistent in practice.
+    The hash is a polynomial over the normalized text's UTF-8 bytes:
+    ``h(gram) = sum_j byte[j] * WINNOW_BASE^j  mod WINNOW_MOD`` — 31-bit
+    values as in the original MOSS (the DuckDB oracle replays the same
+    polynomial over ``ord()`` code points, identical for this all-ASCII
+    corpus; both engines share the selected-min sets exactly, collisions
+    included). We take the plain window minimum rather than the paper's
+    rightmost-min tie rule.
+
+    Computed as ONE Arrow-vectorized pandas_udf per document — the k-gram
+    hash sequence is a sliding dot product (``np.convolve`` against the
+    coefficient kernel, C-speed) and the window minima a strided
+    ``sliding_window_view`` min. The previous all-codegen form (nested
+    transform/slice/array_min over per-gram md5) evaluated ~n_chars
+    higher-order-function lambdas per doc INTERPRETED (HOFs are
+    CodegenFallback), which at 100x data was 85% of winnowed_pairs' cost
+    (560s of a ~700s run at 500k docs); this kernel does the same work in
+    ~seconds. Normalization stays in Catalyst so the UDF receives the
+    exact string the oracle normalizes.
     """
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.functions import pandas_udf
+
     df = _widen_narrow_input(df)
-    # Each projection materializes its input as a plain column first:
-    # expressions referenced inside a higher-order-function lambda are
-    # re-evaluated per element (no CSE across the lambda boundary), so
-    # inlining normalize_text into the transform would run the regexp once
-    # per k-gram instead of once per row (~300x on typical docs).
-    s = F.col("__s")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))),
-        lambda i: F.md5(s.substr(i, F.lit(k))),
-    )
-    hs = F.col("__hs")
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(hs) - (window - 1), F.lit(1))),
-            lambda i: F.array_min(F.slice(hs, i, window)),
-        )
-    )
+    powers = np.array(winnow_hash_powers(k), dtype=np.int64)
+    kernel = powers[::-1].copy()  # convolve reverses its second arg
+    mod, win = WINNOW_MOD, window
+
+    def _fps_of(texts):
+        out = []
+        for s in texts:
+            if s is None:
+                out.append([])
+                continue
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            if len(b) < len(powers):
+                # one gram = the whole (short) text; empty text hashes to 0
+                h = np.array([(b * powers[: len(b)]).sum() % mod])
+            else:
+                # per-position terms < 2^8 * 2^31, k-term sums < 2^44: exact
+                h = np.convolve(b, kernel, mode="valid") % mod
+            if len(h) < win:
+                mins = h.min(keepdims=True)
+            else:
+                mins = sliding_window_view(h, win).min(axis=1)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    # real objects, not strings: the module-wide `from __future__ import
+    # annotations` would otherwise leave pandas_udf un-resolvable hints
+    _fps_of.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    fps_of = pandas_udf(_fps_of, "array<long>")
+
     return (
         df.select(F.col(id_col), normalize_text(text_col).alias("__s"))
-        .select(F.col(id_col), grams.alias("__hs"))
-        .select(F.col(id_col), F.explode(fps).alias("fp"))
+        .select(F.col(id_col), F.explode(fps_of("__s")).alias("fp"))
     )
 
 
@@ -417,39 +470,57 @@ def winnowed_pairs(
     k: int = 20,
     window: int = 10,
     min_shared: int = 2,
-    max_doc_freq: int | None = NGRAM_MAX_DOC_FREQ,
+    max_doc_freq: int | None = WINNOW_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowed fingerprints — the
     contained-copy / boilerplate detector (catches partial overlap that
     whole-document Jaccard dilutes away). Same inverted-index join-aggregate
-    shape as ``ngram_jaccard_duplicates``: only (id, 32-byte fp) rows ever
+    shape as ``ngram_jaccard_duplicates``: only (id, 8-byte fp) rows ever
     shuffle, candidates come from fp buckets, never all pairs — and the
     same stop-token hazard: ONE boilerplate fingerprint in millions of
     docs contributes df^2 candidate rows, so ``max_doc_freq`` (default on,
-    same constant and one-sided semantics as the n-gram index: a dropped
-    hot fingerprint can only UNDERCOUNT ``shared`` — a missed pair, never
-    a false positive; no-op at oracle scales — max observed fp df 22 at
+    a tighter constant than the n-gram index — see WINNOW_MAX_DOC_FREQ —
+    with the same one-sided semantics: a dropped hot fingerprint can only
+    UNDERCOUNT ``shared`` — a missed pair, never a false positive; no-op
+    at oracle scales — max observed fp df 22 at
     sf0.1, asserted in tests/test_llm_ops.py) drops fingerprints above it
     from the candidate index. Pass None for the exact unbounded form.
 
     Output: id_a, id_b, shared (fingerprint count).
     """
-    # Materialize the fingerprint index once: it feeds both sides of the
-    # self-join, and the md5-per-k-gram computation (~n_chars hashes per
-    # doc) is the dominant cost — Catalyst does not share the subplan
-    # across join sides, so without this every document is fingerprinted
-    # twice.
-    fp = winnow_fingerprints(df, id_col, text_col, k, window).localCheckpoint(
-        eager=True
-    )
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
     if max_doc_freq is not None:
-        keep = (
+        # Capped path: the cap bounds every fingerprint bucket at
+        # ``max_doc_freq`` ids, so the self-join collapses into ONE
+        # grouped collect_list + a nested in-memory explode — candidate
+        # pairs are generated narrowly inside the partial aggregate and
+        # never cross a join. Two shuffles total (index group-by-fp, pair
+        # counts), versus four for the join form (docfreq, keep-join, two
+        # self-join sides); the df==1 tail (~60% of buckets at 100x data)
+        # dies in the size() filter without ever being re-shuffled.
+        buckets = (
             fp.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("docfreq"))
-            .filter(F.col("docfreq") <= max_doc_freq)
-            .select("fp")
+            .agg(F.collect_list(F.col(id_col)).alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq))
         )
-        fp = fp.join(keep, "fp")
+        return (
+            buckets.select(F.explode("ids").alias("id_a"), "ids")
+            .select("id_a", F.explode("ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared)
+        )
+    # Exact unbounded form: buckets can be arbitrarily large (a corpus-wide
+    # boilerplate fingerprint), so collect_list is unsafe — keep the
+    # inverted-index self-join, whose per-bucket cost is spread across
+    # tasks. Materialize the index once: it feeds both join sides and
+    # Catalyst does not share the subplan across them.
+    fp = fp.localCheckpoint(eager=True)
+    # df==1 fingerprints can only pair with themselves (id_a < id_b drops
+    # them) — prune them from the index before the self-join.
+    docfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("docfreq"))
+    fp = fp.join(docfreq.filter(F.col("docfreq") >= 2).select("fp"), "fp")
     a = fp.select(F.col(id_col).alias("id_a"), "fp")
     b = fp.select(F.col(id_col).alias("id_b"), "fp")
     return (

@@ -181,22 +181,48 @@ def delete_from_store(
 
 
 def expire_serving(
-    spark, serving_path: str, now_epoch: int | None = None
+    spark, serving_path: str, now_epoch: int | None = None, keep: int = 2
 ) -> int:
     """W7 storage reclaim: physically delete TTL-expired rows from the
     keyed parquet serving store (DynamoDB's background TTL sweeper —
     ``live_view`` is the lazy read-side filter; this is the actual
-    expiry). The rewrite lands in a staging dir first, so a crash never
-    leaves a half-written store; the rmtree+rename swap itself is NOT
-    atomic for concurrent readers (a read between the two calls sees a
-    missing path) — run it in the store's maintenance window, or use a
-    table format with real snapshot isolation (Delta/Iceberg MERGE/
-    DELETE) where concurrent readers matter. Returns rows expired."""
+    expiry; DynamoDB's sweeper never blocks readers,
+    lambda_app/consumer/function.py:12). Returns rows expired.
+
+    Reader-atomic when ``serving_path`` is a versioned-store root
+    (``sources/store.py`` MANIFEST present): the live rows land in a NEW
+    version directory and the manifest pointer flips with ``os.replace``,
+    so a concurrent reader sees the pre- or post-expiry snapshot, never a
+    missing path; in-flight reads of the old snapshot stay valid until
+    ``gc_versions`` (``keep`` newest retained here) passes them.
+
+    Legacy plain-parquet path: the rewrite lands in a staging dir first,
+    so a crash never leaves a half-written store, but the rmtree+rename
+    swap is NOT atomic for concurrent readers (a read between the two
+    calls sees a missing path) — run it in a maintenance window, or
+    migrate the store to a versioned root (``store.commit_version``)."""
     import os
     import shutil
     import time
 
+    from bigdatapipelne_spark.sources.store import (
+        commit_version,
+        current_version,
+        gc_versions,
+        read_current,
+    )
+
     now = int(time.time()) if now_epoch is None else now_epoch
+    if current_version(serving_path) is not None:
+        df = read_current(spark, serving_path)
+        live = df.filter(F.col("ttl") > F.lit(now))
+        expired = df.count() - live.count()
+        if expired == 0:
+            return 0
+        commit_version(live, serving_path)
+        gc_versions(serving_path, keep=keep)
+        return expired
+
     df = spark.read.parquet(serving_path)
     live = df.filter(F.col("ttl") > F.lit(now))
     expired = df.count() - live.count()

@@ -181,16 +181,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_duplicates(docs, "doc_id", "text", n=3, threshold=0.05)
 
 
+def _winnow_kg_sql(k: int = 20) -> str:
+    """The k-gram polynomial-hash expression of operators/dedup.py
+    winnow_fingerprints, as DuckDB SQL: h(gram at i) = sum_j
+    byte[i+j] * BASE^j mod MOD, with ``ord()`` code points standing in
+    for UTF-8 bytes (identical on this all-ASCII corpus; asserted in
+    tests/test_llm_ops.py). Per-term products are < 2^39 and the k-term
+    sum < 2^44, so plain BIGINT arithmetic is exact."""
+    from bigdatapipelne_spark.operators.dedup import WINNOW_MOD, winnow_hash_powers
+
+    terms = " + ".join(
+        f"(CASE WHEN i + {j} <= length(s) THEN CAST(ord(substring(s, i + {j}, 1)) "
+        f"AS BIGINT) ELSE 0 END) * {p}"
+        for j, p in enumerate(winnow_hash_powers(k))
+    )
+    return (
+        f"list_transform(generate_series(1, greatest(length(s) - {k - 1}, 1)), "
+        f"i -> ({terms}) % {WINNOW_MOD})"
+    )
+
+
 @query(
     "winnowed_doc_pairs",
-    oracle="""
+    oracle=f"""
     WITH norm AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
       FROM documents
     ),
     kg AS (
-      SELECT doc_id, list_transform(generate_series(1, greatest(length(s) - 19, 1)),
-                                    i -> md5(substring(s, i, 20))) AS hs
+      SELECT doc_id, {_winnow_kg_sql(20)} AS hs
       FROM norm
     ),
     win AS (
@@ -211,8 +230,8 @@ def winnowed_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS rolling-hash) fingerprint overlap: pairs sharing >= 2
     selected 20-char-gram min-hashes (operators/dedup.py:winnow_fingerprints)
     — the contained-copy detector that whole-document Jaccard dilutes away.
-    The oracle re-derives the identical k-gram hashes, window minima, and
-    inverted-index counts in SQL."""
+    The oracle re-derives the identical polynomial k-gram hashes, window
+    minima, and inverted-index counts in SQL."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return winnowed_pairs(docs, "doc_id", "text", k=20, window=10, min_shared=2)
 

@@ -987,13 +987,17 @@ def test_ngram_doc_freq_cap_not_binding_at_oracle_scales(spark):
             "default would diverge from the exact oracle"
         )
         # same guarantee for the winnowing fingerprint index (winnowed_pairs
-        # shares the cap constant and one-sided semantics)
-        from bigdatapipelne_spark.operators.dedup import winnow_fingerprints
+        # has its own, tighter cap with the same one-sided semantics)
+        from bigdatapipelne_spark.operators.dedup import (
+            WINNOW_MAX_DOC_FREQ,
+            winnow_fingerprints,
+        )
 
         wfp = winnow_fingerprints(docs, "doc_id", "text")
         max_fp = wfp.groupBy("fp").count().agg(F.max("count")).first()[0]
-        assert max_fp < NGRAM_MAX_DOC_FREQ, (
-            f"{sf}: max winnow fingerprint doc-freq {max_fp} reaches the cap"
+        assert max_fp < WINNOW_MAX_DOC_FREQ, (
+            f"{sf}: max winnow fingerprint doc-freq {max_fp} reaches the "
+            f"WINNOW_MAX_DOC_FREQ={WINNOW_MAX_DOC_FREQ} cap"
         )
 
 

@@ -125,6 +125,60 @@ def test_expire_serving_reclaims_rows(spark, tmp_path):
     assert expire_serving(spark, path, now_epoch=150) == 0  # idempotent
 
 
+def test_expire_serving_versioned_is_reader_atomic(spark, tmp_path):
+    """TTL expiry over a versioned-store root (sources/store.py): a reader
+    concurrent with the sweep sees the pre- or post-expiry snapshot, never
+    a missing path — DynamoDB's TTL sweeper never blocks reads
+    (lambda_app/consumer/function.py:12). The pre-expiry snapshot stays
+    readable (gc keep=2) until GC passes it."""
+    import threading
+
+    from bigdatapipelne_spark.operators.serving import expire_serving, live_view
+    from bigdatapipelne_spark.sources.store import (
+        commit_version,
+        current_version,
+        read_current,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "serving_store")
+    df = spark.createDataFrame([(1, 100), (2, 200), (3, 300)], "k long, ttl long")
+    commit_version(df, root)
+
+    # Pin a snapshot BEFORE the sweep — must stay valid after it.
+    before = read_current(spark, root)
+    assert sorted(r.k for r in live_view(before, now_epoch=F.lit(150)).collect()) == [2, 3]
+
+    # Concurrent-reader certificate: poll the manifest while the sweep
+    # runs — every resolution must land on an existing version directory.
+    stop = threading.Event()
+    failures: list[str] = []
+
+    def reader() -> None:
+        import os
+
+        while not stop.is_set():
+            cur = current_version(root)
+            if cur is None or not os.path.isdir(os.path.join(root, cur)):
+                failures.append(f"unreadable store state: {cur!r}")
+
+    poller = threading.Thread(target=reader)
+    poller.start()
+    try:
+        assert expire_serving(spark, root, now_epoch=150) == 1
+    finally:
+        stop.set()
+        poller.join()
+    assert not failures
+
+    # New readers see the swept snapshot; the pinned pre-sweep snapshot
+    # still collects (its version dir survives gc keep=2).
+    assert sorted(r.k for r in read_current(spark, root).collect()) == [2, 3]
+    assert sorted(r.k for r in before.collect()) == [1, 2, 3]
+    assert expire_serving(spark, root, now_epoch=150) == 0  # idempotent, no commit
+    assert current_version(root) == "v_00000002"
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """Partition pruning: a filter on the partition column reaches the scan
     as a PartitionFilter, so only that directory is read."""

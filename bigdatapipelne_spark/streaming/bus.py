@@ -89,25 +89,90 @@ def decode_payload(
     raw: DataFrame, schema: StructType, fmt: str, payload_format: str = "json"
 ) -> DataFrame:
     """Bus envelope -> typed rows, the shared decode both the contract
-    test and a production flip exercise. The payload column is cast from
-    binary and parsed against the DECLARED schema (from_json, not
-    inference — the Flink-DDL discipline); a malformed record yields a
-    NULL struct whose columns all come out NULL, the PERMISSIVE analog."""
-    if payload_format != "json":
-        raise NotImplementedError(f"payload_format={payload_format!r}")
+    test and a production flip exercise. The payload column is parsed
+    against the DECLARED schema (never inference — the Flink-DDL
+    discipline); a malformed record yields a row whose columns all come
+    out NULL, the PERMISSIVE analog, in BOTH branches.
+
+    - ``json``: ``from_json`` over the binary column cast to string —
+      whole-stage-codegen JVM path.
+    - ``avro``: the spec-level binary record decode in
+      ``streaming/avro_codec.py`` (the sandbox has neither the spark-avro
+      SQL jar nor a Python avro package), Arrow-batched via
+      ``mapInPandas`` so decode cost stays off the per-row JVM<->Python
+      boundary. Works on streaming DataFrames (mapInPandas is
+      streaming-supported)."""
     col = PAYLOAD_COLUMN.get(fmt, "value")
-    return raw.select(
-        F.from_json(F.col(col).cast("string"), schema).alias("r")
-    ).select("r.*")
+    if payload_format == "json":
+        return raw.select(
+            F.from_json(F.col(col).cast("string"), schema).alias("r")
+        ).select("r.*")
+    if payload_format != "avro":
+        raise NotImplementedError(f"payload_format={payload_format!r}")
+
+    from bigdatapipelne_spark.streaming.avro_codec import (
+        AvroDecodeError,
+        decode_record,
+    )
+
+    n_fields = len(schema.fields)
+    names = [f.name for f in schema.fields]
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for buf in pdf[col]:
+                try:
+                    rows.append(decode_record(bytes(buf), schema))
+                except (AvroDecodeError, TypeError):
+                    rows.append((None,) * n_fields)
+            yield pd.DataFrame(rows, columns=names)
+
+    return raw.select(col).mapInPandas(batches, schema)
 
 
-def encode_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
-    """Typed rows -> bus wire shape: JSON ``value`` plus optional ``key``
-    (kafka's partitioning key / kinesis' partitionKey)."""
-    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
-    if key_col is not None:
-        cols.insert(0, F.col(key_col).cast("string").alias("key"))
-    return df.select(*cols)
+def encode_payload(
+    df: DataFrame, key_col: str | None = None, payload_format: str = "json"
+) -> DataFrame:
+    """Typed rows -> bus wire shape: a ``value`` payload plus optional
+    ``key`` (kafka's partitioning key / kinesis' partitionKey). JSON via
+    ``to_json`` (codegen); avro via the spec-level binary record encoder,
+    Arrow-batched."""
+    if payload_format == "json":
+        cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+        if key_col is not None:
+            cols.insert(0, F.col(key_col).cast("string").alias("key"))
+        return df.select(*cols)
+    if payload_format != "avro":
+        raise NotImplementedError(f"payload_format={payload_format!r}")
+
+    from bigdatapipelne_spark.streaming.avro_codec import encode_record
+
+    schema = df.schema
+    names = list(df.columns)
+    out_schema = (
+        ("key string, " if key_col is not None else "") + "value binary"
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            # object-cast so a NULL in a numeric column stays None, not
+            # the NaN float pandas widens it to
+            cells = pdf[names].astype(object).where(pdf[names].notna(), None)
+            vals = [
+                encode_record(tuple(row), schema)
+                for row in cells.itertuples(index=False, name=None)
+            ]
+            out = {"value": vals}
+            if key_col is not None:
+                out = {"key": pdf[key_col].astype(str), "value": vals}
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, out_schema)
 
 
 def open_stream(spark: SparkSession, bundle: SourceBundle) -> DataFrame:

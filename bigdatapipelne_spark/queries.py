@@ -696,7 +696,15 @@ _GATE_PRIORITY = [
     "session_stream_drain",
     "stream_dedup_drain",
     "purchase_view_stream_join",
-    "purchase_view_outer_drain",
+    # ROUND 7 — purchase_view_outer_drain rotates out (r06 green, code
+    # unchanged; stream-stream joins stay anchored by
+    # purchase_view_stream_join, and the outer drain's left-eviction
+    # oracle is a subset of the full-outer's). Its slot seats
+    # customer_merge, churned this round: the new-customer slice key is
+    # now the negative mirror (-k-1) instead of +1000000, which collided
+    # with real custkeys at the 100x replica scale and tripped the
+    # strict duplicate-source-key guard.
+    "customer_merge",
     # ROUND 7 — enriched_stream_drain rotates out (r06 green; this
     # round's bus.py edits touch only the avro decode_payload/
     # encode_payload branches, which no file-format drain reaches — the

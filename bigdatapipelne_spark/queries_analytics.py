@@ -970,7 +970,7 @@ def user_scd2_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), srcall AS (
       SELECT * FROM src
       UNION ALL
-      SELECT c_custkey + 1000000, total_spent, n_orders
+      SELECT -c_custkey - 1, total_spent, n_orders
       FROM src WHERE c_custkey % 7 = 0
     )
     SELECT
@@ -1009,9 +1009,14 @@ def customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+    # New-customer slice keys are the NEGATIVE mirror (-k-1) of real keys:
+    # unlike a fixed "+1000000" offset, that can never collide with a real
+    # custkey at any scale factor (the 100x replica construction re-keys
+    # customers past 1M, where an additive offset lands on live keys and
+    # the strict duplicate-source-key guard correctly refuses the merge).
     srcall = src.unionByName(
         src.filter(F.col("c_custkey") % 7 == 0).select(
-            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            (-F.col("c_custkey") - 1).alias("c_custkey"),
             "total_spent",
             "n_orders",
         )

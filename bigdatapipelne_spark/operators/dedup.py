@@ -400,13 +400,20 @@ def ngram_jaccard_duplicates(
     sizes = sh_full.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
     sh = sh_full
     if max_doc_freq is not None:
-        keep = (
-            sh_full.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("docfreq"))
-            .filter(F.col("docfreq") <= max_doc_freq)
-            .select("sh")
+        # doc-freq cap as a count-over-window partitioned by the shingle
+        # hash: ONE exchange and a streaming filter, vs the count-aggregate
+        # + join-back form's two shuffles over the full index (same
+        # transform as _capped_bands — see that docstring for the measured
+        # win).
+        from pyspark.sql.window import Window
+
+        sh = (
+            sh_full.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            )
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
         )
-        sh = sh_full.join(keep, "sh")
     a = sh.select(F.col("sid").alias("id_a"), "sh")
     b = sh.select(F.col("sid").alias("id_b"), "sh")
     inter = (
@@ -805,13 +812,19 @@ def decontaminate(
 
     corp = index(corpus, "corpus_id")
     if max_doc_freq is not None:
-        keep = (
-            corp.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("docfreq"))
-            .filter(F.col("docfreq") <= max_doc_freq)
-            .select("sh")
+        # Window-based cap (see ngram_jaccard_duplicates): one exchange,
+        # and — since corp is NOT checkpointed — it also avoids the
+        # join-back form re-running the whole corpus tokenize/shingle for
+        # the second join input.
+        from pyspark.sql.window import Window
+
+        corp = (
+            corp.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            )
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
         )
-        corp = corp.join(keep, "sh")
     bench = index(benchmark, "bench_id")
     bench_sz = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
     inter = (

@@ -634,7 +634,12 @@ _GATE_PRIORITY = [
     "embedding_near_dup",
     "near_dup_clusters",
     "minhash_near_dups",
-    "simhash_sigs",
+    # ROUND 7 — simhash_sigs rotates out (r06 green, code unchanged;
+    # signatures stay exercised by simhash_near_dups in-gate). Its slot
+    # seats decontaminated_overlap, churned by the window-based doc-freq
+    # cap in decontaminate (one exchange instead of a tokenize-twice
+    # join-back).
+    "decontaminated_overlap",
     "simhash_near_dups",
     "winnowed_doc_pairs",
     # The sf10 rehearsal's stop-shingle fix (NGRAM_MAX_DOC_FREQ default)

@@ -58,7 +58,15 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    import gc
+
     def run_once(name: str) -> float:
+        # Release dead localCheckpoint RDD blocks first — the
+        # ContextCleaner unpersists them only after the Python DataFrame
+        # refs are collected, and a 143-query session otherwise
+        # accumulates GBs of orphaned checkpoint blocks that degrade
+        # later queries (see bench_sf10.py).
+        gc.collect()
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -93,8 +93,12 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    import gc
+
     out: dict[str, dict] = {}
     for name in only:
+        # Free dead localCheckpoint blocks between cells (see bench_sf10.py).
+        gc.collect()
         try:
             s01 = run(name, SF01)
             s1 = run(name, SF1)

@@ -170,8 +170,17 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    import gc
+
     out: dict[str, dict] = {}
     for name in only:
+        # Release dead localCheckpoint RDD blocks between queries: the
+        # ContextCleaner only unpersists them once the Python-side
+        # DataFrame references are collected, and a 100x sweep otherwise
+        # accumulates multi-GB of orphaned checkpoint blocks in the block
+        # manager (measured 5.6 GB after a handful of dedup cells),
+        # degrading later cells via storage eviction + GC pressure.
+        gc.collect()
         try:
             s01 = run(name, SF01)
             s10 = run(name, SF10)

@@ -292,6 +292,129 @@ def ivf_assignments(
     )
 
 
+class IvfIndex:
+    """The persisted state of a steady-state IVF ANN service: the
+    inverted file (``assignments``: one ``(id, vn, cluster)`` row per
+    corpus vector, vn L2-normalized) and the coarse-quantizer
+    ``centroids`` (driver-resident list, ships inside the scorer
+    closure). Build once with ``build_ivf_index``, persist with
+    ``save_ivf_index`` (the inverted file lands PARTITIONED BY cluster,
+    so a query batch probing few cells partition-prunes to exactly those
+    cells' files), reload with ``load_ivf_index``, and serve query
+    batches with ``ivf_query_topk`` — per-batch cost is
+    O(|queries| x probed-cell population), never O(corpus)."""
+
+    def __init__(self, assignments: DataFrame, centroids: list[list[float]]):
+        self.assignments = assignments
+        self.centroids = centroids
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None = None,
+    iters: int = 2,
+) -> IvfIndex:
+    """One corpus pass -> the persistent ``IvfIndex`` (see IvfIndex)."""
+    if n_centroids is None:
+        n_centroids = max(4, int(math.sqrt(df.count())))
+    assignments, centroids = ivf_assignments(
+        df, id_col, vec_col, n_centroids, iters
+    )
+    return IvfIndex(assignments=assignments, centroids=centroids)
+
+
+def save_ivf_index(index: IvfIndex, id_col: str, path: str) -> None:
+    """Persist: inverted file partitioned by cluster (probe-time partition
+    pruning), centroid table as a tiny (cluster, centroid) parquet."""
+    import os
+
+    index.assignments.select(id_col, "vn", "cluster").write.partitionBy(
+        "cluster"
+    ).parquet(os.path.join(path, "assignments"))
+    spark = index.assignments.sparkSession
+    rows = [(ci, list(c)) for ci, c in enumerate(index.centroids)]
+    spark.createDataFrame(
+        rows, "cluster int, centroid array<double>"
+    ).coalesce(1).write.parquet(os.path.join(path, "centroids"))
+
+
+def load_ivf_index(spark, path: str) -> IvfIndex:
+    import os
+
+    cents = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    return IvfIndex(
+        assignments=spark.read.parquet(os.path.join(path, "assignments")),
+        centroids=[list(r.centroid) for r in cents],
+    )
+
+
+def ivf_query_topk(
+    queries: DataFrame,
+    index: IvfIndex,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_probe: int = 2,
+    scorer: str = "catalyst",
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """Serve a query batch against a standing ``IvfIndex``: normalize the
+    queries, pick each query's ``n_probe`` nearest cells against the
+    broadcast centroid table (one Arrow matmul per batch), equi-join the
+    probed cells' inverted-file rows, exact cosine, top-k per query.
+    The corpus is never rescanned — with the index loaded from its
+    partitioned form, only the probed cells' files are read.
+    ``exclude_same_id`` drops neighbor rows whose id equals the query id
+    (the self-match when queries are drawn from the indexed corpus);
+    disable it for disjoint id spaces where collisions are distinct
+    vectors — but note the ``arrow`` scorer always masks equal-id pairs
+    inside the matmul (use distinct id ranges with it)."""
+    probes = _cell_scores_udf(index.centroids, n_probe)(F.col("vn"))
+    # n_probe=1 scores to a scalar best-cell, >1 to an array of cells
+    cluster = F.explode(probes) if n_probe > 1 else probes
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _normalized(vec_col).alias("vn")
+    ).select("query_id", "vn", cluster.alias("cluster"))
+    c = index.assignments.select(
+        F.col(id_col).alias("neighbor_id"), F.col("vn").alias("cv"), "cluster"
+    )
+    q = q.withColumnRenamed("vn", "qv")
+    if scorer == "arrow":
+        q2 = q.withColumnRenamed("cluster", "bucket").withColumn("qn", F.lit(1.0))
+        c2 = c.withColumnRenamed("cluster", "bucket").withColumn("cn", F.lit(1.0))
+        scored = _score_buckets_topk_arrow(q2, c2, k).dropDuplicates(
+            ["query_id", "neighbor_id"]
+        )
+    else:
+        scored = (
+            q.join(c, "cluster")
+            .withColumn(
+                "score",
+                F.aggregate(
+                    F.zip_with("qv", "cv", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            .select("query_id", "neighbor_id", "score")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+    if exclude_same_id:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,

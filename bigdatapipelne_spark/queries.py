@@ -692,7 +692,13 @@ _GATE_PRIORITY = [
     # by tests/test_streaming.py).
     "doc_feature_hash",
     "bm25_search",
-    "embedding_topk",
+    # ROUND 7 — embedding_topk rotates out (r06 green, code unchanged;
+    # the exact-twin family stays anchored by the three recall
+    # certificates and embedding_quantized in-gate). Its slot seats
+    # ivf_index_topk_recall — NEW round-7 query certifying the
+    # persisted-IVF serving path (build -> save -> load -> query) with
+    # the same exact-twin floor as ivf_topk_recall.
+    "ivf_index_topk_recall",
     "embedding_quantized",
     "deduped_documents",
     "near_dup_clusters_pd",

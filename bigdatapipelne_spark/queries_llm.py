@@ -811,6 +811,35 @@ def ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_recall_certificate(emb, ann, IVF_TOPK_RECALL_FLOOR)
 
 
+@query("ivf_index_topk_recall", oracle=_TOPK_EXACT_COUNT_SQL)
+def ivf_index_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked recall bound for the PERSISTED-IVF serving path
+    (operators/similarity.py: build_ivf_index -> save_ivf_index ->
+    load_ivf_index -> ivf_query_topk): the inverted file round-trips
+    parquet (partitioned by cluster for probe-time pruning) and the
+    query batch is served against the reloaded index — the steady-state
+    ANN shape, certified with the same exact-twin floor as
+    ivf_topk_recall (identical quantizer parameters)."""
+    import tempfile
+
+    from bigdatapipelne_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < TOPK_RECALL_CAP)
+    ix = build_ivf_index(emb, "vec_id", "embedding", n_centroids=16, iters=1)
+    root = tempfile.mkdtemp(prefix="ivf_index_")
+    save_ivf_index(ix, "vec_id", root)
+    ann = ivf_query_topk(
+        emb, load_ivf_index(spark, root), "vec_id", "embedding",
+        k=5, n_probe=4, scorer="arrow",
+    )
+    return _topk_recall_certificate(emb, ann, IVF_TOPK_RECALL_FLOOR)
+
+
 _CHUNKS_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     ch AS (

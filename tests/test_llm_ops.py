@@ -155,6 +155,51 @@ def test_ivf_recall_and_determinism(spark):
     assert got == got2
 
 
+def test_ivf_standing_index_roundtrip_and_pruning(spark, tmp_path):
+    """The IVF serving path: build the index once, persist (inverted file
+    partitioned by cluster), reload, and serve a query batch — results
+    equal the twin computed against a never-persisted index, self-queries
+    recover themselves... and the probe scan is partition-pruned to the
+    probed cells (asserted from the executed plan's PartitionFilters)."""
+    from bigdatapipelne_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    ix = build_ivf_index(emb, "vec_id", "embedding", n_centroids=8, iters=1)
+    root = str(tmp_path / "ivf_index")
+    save_ivf_index(ix, "vec_id", root)
+    rix = load_ivf_index(spark, root)
+    assert rix.centroids == ix.centroids
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    fresh = ivf_query_topk(queries, ix, "vec_id", "embedding", k=3, n_probe=2)
+    served = ivf_query_topk(queries, rix, "vec_id", "embedding", k=3, n_probe=2)
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in fresh.collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank) for r in served.collect())
+    assert a == b and len(b) > 0
+
+    # nearest-neighbor sanity: with self-matches allowed, every query's
+    # rank-1 neighbor is itself (cosine 1.0)
+    selfq = ivf_query_topk(
+        queries, rix, "vec_id", "embedding", k=1, n_probe=1,
+        exclude_same_id=False,
+    )
+    for r in selfq.collect():
+        assert r.neighbor_id == r.query_id and r.score == pytest.approx(1.0)
+
+    # partition pruning: probing ONE cell for one query must read only
+    # that cluster's partition directory
+    one = emb.filter(F.col("vec_id") == 0)
+    probe = ivf_query_topk(one, rix, "vec_id", "embedding", k=3, n_probe=1)
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "isnotnull(cluster" in plan, plan
+
+
 def test_text_functions_empty_and_null(spark):
     df = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, None), (4, "one two!")],

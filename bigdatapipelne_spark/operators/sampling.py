@@ -127,12 +127,41 @@ def weighted_sample_per_group(
     # NULL-key form for ineligible rows — same pushed-filter double-eval
     # rationale as weighted_sample_topk above.
     key = F.when(w > 0, F.pow(uniform_hash(id_col), F.lit(1.0) / w))
+    # Group cardinality is CONSTANT in corpus size (languages, domains),
+    # so a single per-group window concentrates the whole corpus sort on
+    # n_groups cores no matter the scale — measured 42x at 100x data on
+    # ~10 langs. Salted two-stage top-k instead: a per-(group, salt)
+    # window prunes to k survivors per salt (parallelism n_groups x
+    # SALTS), then the exact per-group window ranks the tiny survivor
+    # set (n_groups x SALTS x k rows). Identical result: every
+    # per-group top-k row is top-k within its own salt bucket. The
+    # widening repartition also lifts an expensive weight expression
+    # (e.g. the quality tokenize) off a narrow single-file scan.
+    SALTS = 32
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        # widen BEFORE projecting the key: a projection stays below a
+        # repartition added above it, which would evaluate the weight on
+        # the narrow scan
+        df = df.repartition(par)
+    keyed = df.select(
+        F.col(group_col), F.col(id_col), w.alias("weight"), key.alias("__key")
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(SALTS))
+    pre = Window.partitionBy(group_col, "__salt").orderBy(
+        F.desc_nulls_last("__key"), F.asc(id_col)
+    )
+    survivors = (
+        keyed.withColumn("__salt", salt)
+        .withColumn("__prk", F.row_number().over(pre))
+        .filter(F.col("__prk") <= k)
+        .drop("__salt", "__prk")
+    )
     win = Window.partitionBy(group_col).orderBy(
         F.desc_nulls_last("__key"), F.asc(id_col)
     )
     return (
-        df.select(F.col(group_col), F.col(id_col), w.alias("weight"), key.alias("__key"))
-        .withColumn("rk", F.row_number().over(win))
+        survivors.withColumn("rk", F.row_number().over(win))
         .filter((F.col("rk") <= k) & F.col("__key").isNotNull())
         .select(
             group_col, id_col, "weight",

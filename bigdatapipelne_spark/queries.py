@@ -663,7 +663,10 @@ _GATE_PRIORITY = [
     # compaction_disk (r04 green, code unchanged; the storage family stays
     # anchored by card_medallion_disk, bucketed_join_disk, store_vacuum
     # and store_time_travel).
-    "packed_sequences",
+    # ROUND 7 — packed_sequences rotates out (r06 green, code unchanged
+    # this round). Its slot seats multimodal_features, churned by the
+    # batched Arrow reduction rewrite of image_features.
+    "multimodal_features",
     "value_anomalies",
     # pii_redaction / doc_char_entropy re-gate for the round-6 widen (the
     # sf10 rehearsal found their regex/char-explode stages one-core on

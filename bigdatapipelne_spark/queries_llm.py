@@ -2132,16 +2132,23 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vc(docs, tokens("text"), [5, 15, 50], spark=spark)
 
 
-@query(
-    "incremental_dedup",
-    oracle=f"""
+# Re-crawl copies must land on doc_ids no scale factor can produce while
+# staying LARGER than every real id (the canonical-first-id semantics keep
+# originals canonical). A fixed "+200000" collided with live doc_ids at
+# the 100x corpus (500k docs) — same bug class as customer_merge's
+# "+1000000". 2^40 is beyond any plausible testdata id space.
+_RECRAWL_OFF_1 = 1 << 40
+_RECRAWL_OFF_2 = 1 << 41
+
+_INCR_DEDUP_ORACLE = f"""
     WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src3'),
     delta AS (
       SELECT doc_id, text FROM documents WHERE source = 'src3'
       UNION ALL
-      SELECT doc_id + 200000 AS doc_id, text FROM corpus WHERE doc_id % 11 = 0
+      SELECT doc_id + {_RECRAWL_OFF_1} AS doc_id, text FROM corpus
+      WHERE doc_id % 11 = 0
       UNION ALL
-      SELECT doc_id + 300000 AS doc_id, text FROM documents
+      SELECT doc_id + {_RECRAWL_OFF_2} AS doc_id, text FROM documents
       WHERE source = 'src3' AND doc_id % 13 = 0
     ),
     dk AS (SELECT doc_id, {_SQL_FINGERPRINT} AS fp FROM delta),
@@ -2154,8 +2161,29 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dk d
     JOIN firsts f USING (fp)
     LEFT JOIN cfp c USING (fp)
-    """,
-)
+    """
+
+
+def _incr_dedup_delta(docs: DataFrame):
+    corpus = docs.filter(F.col("source") != "src3").select("doc_id", "text")
+    src3 = docs.filter(F.col("source") == "src3").select("doc_id", "text")
+    delta = (
+        src3
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 11 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(_RECRAWL_OFF_1)
+            )
+        )
+        .unionByName(
+            src3.filter(F.col("doc_id") % 13 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(_RECRAWL_OFF_2)
+            )
+        )
+    )
+    return delta, corpus
+
+
+@query("incremental_dedup", oracle=_INCR_DEDUP_ORACLE)
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-vs-corpus exact dedup (operators/dedup.py
     incremental_exact_duplicates) — the steady-state dedup of a
@@ -2168,22 +2196,36 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatapipelne_spark.operators.dedup import incremental_exact_duplicates
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    corpus = docs.filter(F.col("source") != "src3").select("doc_id", "text")
-    src3 = docs.filter(F.col("source") == "src3").select("doc_id", "text")
-    delta = (
-        src3
-        .unionByName(
-            corpus.filter(F.col("doc_id") % 11 == 0).withColumn(
-                "doc_id", F.col("doc_id") + F.lit(200000)
-            )
-        )
-        .unionByName(
-            src3.filter(F.col("doc_id") % 13 == 0).withColumn(
-                "doc_id", F.col("doc_id") + F.lit(300000)
-            )
-        )
-    )
+    delta, corpus = _incr_dedup_delta(docs)
     return incremental_exact_duplicates(delta, corpus, "doc_id", "text")
+
+
+@query("incremental_dedup_indexed", oracle=_INCR_DEDUP_ORACLE)
+def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted standing-index form of incremental_dedup (the exact
+    twin of incremental_near_dup_indexed): the corpus's distinct
+    fingerprint index (operators/dedup.py build_fingerprint_index) is
+    written to parquet and reloaded, and the batch is classified against
+    the reloaded index with NO corpus frame — zero corpus text in the
+    per-batch plan. Same oracle as incremental_dedup (result-identical
+    by construction)."""
+    import tempfile
+
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_exact_duplicates,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    delta, corpus = _incr_dedup_delta(docs)
+    path = tempfile.mkdtemp(prefix="fp_index_")
+    build_fingerprint_index(corpus, "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return incremental_exact_duplicates(
+        delta, None, "doc_id", "text",
+        corpus_index=spark.read.parquet(path),
+    )
 
 
 @query(

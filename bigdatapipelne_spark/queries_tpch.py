@@ -585,8 +585,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (ties keep every minimal supplier, as the classic query does).
     The per-(part, supplier) aggregate reduces the fact table before any
     dimension join, so the correlated min costs one grouped pass + a
-    broadcastable per-part min table."""
-    li = t(spark, sf_dir, "lineitem")
+    broadcastable per-part min table. The size-15 part filter is applied
+    BEFORE the aggregate via a broadcast semi-join (Catalyst cannot push
+    a join filter below an aggregation on its own): only ~1/50 of
+    lineitem ever reaches the per-(part, supplier) groupBy, and per-part
+    results are unchanged — the min is over suppliers WITHIN each part."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "left_semi",
+    )
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         (
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
@@ -594,7 +603,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cost")
     )
     min_cost = cost.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
-    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     return (

@@ -62,6 +62,15 @@ _SQL_SHINGLES = (
 _SQL_FINGERPRINT = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 _SQL_STOPWORD_LIST = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
 
+# Synthetic-copy / re-crawl ids must land on doc_ids no scale factor can
+# produce while staying LARGER than every real id (canonical-first-id
+# semantics keep originals canonical). Fixed "+100000"/"+200000"/"+400000"
+# offsets collided with live doc_ids at the 100x corpus (500k docs) — same
+# bug class as customer_merge's "+1000000". 2^40 is beyond any plausible
+# testdata id space.
+_RECRAWL_OFF_1 = 1 << 40
+_RECRAWL_OFF_2 = 1 << 41
+
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -74,7 +83,7 @@ _SQL_STOPWORD_LIST = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
     WITH docs2 AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      SELECT doc_id + {_RECRAWL_OFF_1} AS doc_id, text FROM documents
     ),
     keyed AS (SELECT doc_id, {_SQL_FINGERPRINT} AS fp FROM docs2),
     groups AS (
@@ -91,7 +100,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     true duplicate — the raw documents table has none at small SF, which
     would make the check trivially all-singletons."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    dup = docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    dup = docs.withColumn("doc_id", F.col("doc_id") + F.lit(_RECRAWL_OFF_1))
     return exact_duplicates(docs.unionByName(dup), "doc_id", "text")
 
 
@@ -1807,7 +1816,7 @@ _CORPUS_ORACLE = f"""
     WITH docs2 AS (
       SELECT doc_id, text, lang FROM documents
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text, lang FROM documents
+      SELECT doc_id + {_RECRAWL_OFF_1} AS doc_id, text, lang FROM documents
     ),
     base AS (
       SELECT doc_id, text, lang, {_SQL_TOKS} AS toks,
@@ -1826,7 +1835,7 @@ _CORPUS_ORACLE = f"""
     ),
     filtered AS (
       SELECT * FROM sig
-      WHERE sr * 0.5 + (1.0 - pr) * 0.5 >= 0.53 AND doc_id % 100000 >= 25
+      WHERE sr * 0.5 + (1.0 - pr) * 0.5 >= 0.53 AND doc_id % {_RECRAWL_OFF_1} >= 25
     ),
     deduped AS (
       SELECT * FROM (
@@ -1905,7 +1914,9 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _widen_narrow_input(
         t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     )
-    docs2 = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000)))
+    docs2 = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(_RECRAWL_OFF_1))
+    )
     enriched = docs2.select(
         "doc_id", "text", tokens("text").alias("__toks")
     ).select(
@@ -1923,7 +1934,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the sf10 cell). Content is deterministic, so truncating lineage
     # is hash-safe (winnowed_pairs precedent).
     filtered = enriched.filter(
-        (F.col("q") >= 0.53) & (F.col("doc_id") % 100000 >= 25)
+        (F.col("q") >= 0.53) & (F.col("doc_id") % _RECRAWL_OFF_1 >= 25)
     ).localCheckpoint(eager=True)
     canon = exact_duplicates(filtered.select("doc_id", "text"), "doc_id", "text")
     deduped = filtered.join(
@@ -2132,13 +2143,9 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vc(docs, tokens("text"), [5, 15, 50], spark=spark)
 
 
-# Re-crawl copies must land on doc_ids no scale factor can produce while
-# staying LARGER than every real id (the canonical-first-id semantics keep
-# originals canonical). A fixed "+200000" collided with live doc_ids at
-# the 100x corpus (500k docs) — same bug class as customer_merge's
-# "+1000000". 2^40 is beyond any plausible testdata id space.
-_RECRAWL_OFF_1 = 1 << 40
-_RECRAWL_OFF_2 = 1 << 41
+# _RECRAWL_OFF_1/_RECRAWL_OFF_2 are defined at module top (shared by the
+# exact_dedup / corpus_pipeline synthetic copies and every incremental
+# re-crawl delta below).
 
 _INCR_DEDUP_ORACLE = f"""
     WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src3'),
@@ -2354,7 +2361,7 @@ def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
     delta0 AS (
       SELECT doc_id, text FROM documents WHERE source = 'src3'
       UNION ALL
-      SELECT doc_id + 400000 AS doc_id, text || ' drift' AS text
+      SELECT doc_id + {_RECRAWL_OFF_1} AS doc_id, text || ' drift' AS text
       FROM corpus0 WHERE doc_id % 17 = 0
     ),{side("delta", "delta_id")},{side("corpus", "corpus_id")},
     cands AS (
@@ -2401,7 +2408,7 @@ def incremental_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(
             corpus.filter(F.col("doc_id") % 17 == 0).select(
-                (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+                (F.col("doc_id") + F.lit(_RECRAWL_OFF_1)).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" drift")).alias("text"),
             )
         )
@@ -2441,7 +2448,7 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(
             corpus.filter(F.col("doc_id") % 17 == 0).select(
-                (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+                (F.col("doc_id") + F.lit(_RECRAWL_OFF_1)).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" drift")).alias("text"),
             )
         )

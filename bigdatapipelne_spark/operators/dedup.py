@@ -561,10 +561,21 @@ def winnowed_pairs(
         # counts), versus four for the join form (docfreq, keep-join, two
         # self-join sides); the df==1 tail (~60% of buckets at 100x data)
         # dies in the size() filter without ever being re-shuffled.
+        # The doc-freq gate runs as a count-over-window BEFORE collect_list:
+        # a corpus-wide boilerplate fingerprint (the exact hot key the cap
+        # exists to defuse) must die in a streaming filter, never
+        # materialize its full id list in one aggregation buffer. The
+        # window's hash(fp) exchange satisfies the groupBy's distribution,
+        # so this is still one shuffle for the whole index stage.
+        from pyspark.sql.window import Window
+
         buckets = (
-            fp.groupBy("fp")
+            fp.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            )
+            .filter((F.col("__df") >= 2) & (F.col("__df") <= max_doc_freq))
+            .groupBy("fp")
             .agg(F.collect_list(F.col(id_col)).alias("ids"))
-            .filter((F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq))
         )
         return (
             buckets.select(F.explode("ids").alias("id_a"), "ids")

@@ -12,22 +12,34 @@ version or the new one, never a missing or half-written store. Old
 versions stay on disk (still readable by in-flight queries) until
 ``gc_versions`` reclaims them.
 
-Contract and limits, honestly: SINGLE writer (concurrent writers would
-last-wins the manifest, not merge — real multi-writer needs the table
-format's commit protocol); readers must resolve the manifest at query
-START and not re-resolve mid-query; GC must keep at least as many
-versions as the longest-running reader. That is exactly the
-snapshot/GC discipline Delta calls VACUUM retention.
+Contract and limits, honestly: optimistic single-committer (concurrent
+writers are SAFE but one loses — ``commit_version`` compare-and-swaps the
+manifest against the parent version it read, so a racing commit raises
+``ConcurrentCommitError`` instead of silently discarding the other
+writer's version; retry by re-reading and re-committing. Real multi-writer
+MERGE needs a table format's commit protocol). Readers must resolve the
+manifest at query START and not re-resolve mid-query; GC must keep at
+least as many versions as the longest-running reader. That is exactly the
+snapshot/GC discipline Delta calls VACUUM retention, and the CAS mirrors
+the reference's DynamoDB conditional-write PUT path
+(lambda_app/api/function.py:29-34).
 """
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "MANIFEST"
+_UNSET = object()
+
+
+class ConcurrentCommitError(RuntimeError):
+    """The manifest moved between reading the parent version and the
+    pointer flip — another writer committed first. Re-read and retry."""
 
 
 def _versions(root: str) -> list[str]:
@@ -49,21 +61,57 @@ def current_version(root: str) -> str | None:
         return fh.read().strip() or None
 
 
-def commit_version(df: DataFrame, root: str) -> str:
+def commit_version(
+    df: DataFrame, root: str, expected_parent: str | None | object = _UNSET
+) -> str:
     """Write ``df`` as the next version and atomically repoint the
     manifest. Returns the new version's directory path. Safe against
     crashes at any point: an unreferenced ``v_N`` dir (crash before the
     manifest flip) is invisible to readers and reclaimed by the next
-    ``gc_versions``."""
+    ``gc_versions``.
+
+    Optimistic concurrency: the pointer flip is a compare-and-swap
+    against ``expected_parent`` — the version this commit builds on
+    (default: the manifest at entry). If another writer committed in
+    between, the flip raises ``ConcurrentCommitError`` (the staged
+    version dir is removed) instead of silently discarding that commit;
+    callers retry by re-reading the store and re-committing. The CAS
+    critical section is an ``flock`` on ``.COMMIT_LOCK`` — kernel-released
+    on writer death, so no stale-lock recovery is needed."""
     os.makedirs(root, exist_ok=True)
-    vs = _versions(root)
-    nxt = (int(vs[-1][2:]) + 1) if vs else 1
-    vdir = os.path.join(root, f"v_{nxt:08d}")
-    df.write.mode("errorifexists").parquet(vdir)
-    tmp = os.path.join(root, f".{_MANIFEST}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(os.path.basename(vdir))
-    os.replace(tmp, os.path.join(root, _MANIFEST))  # atomic pointer flip
+    if expected_parent is _UNSET:
+        expected_parent = current_version(root)
+    # Allocate the version number atomically: mkdir fails for the loser of
+    # a same-number race, who re-lists and takes the next slot. The parquet
+    # write APPENDS into the (empty, owned) dir — overwrite mode would
+    # delete-and-recreate it, opening a window for a double allocation.
+    while True:
+        vs = _versions(root)
+        nxt = (int(vs[-1][2:]) + 1) if vs else 1
+        vdir = os.path.join(root, f"v_{nxt:08d}")
+        try:
+            os.mkdir(vdir)
+            break
+        except FileExistsError:
+            continue
+    df.write.mode("append").parquet(vdir)
+    lock_fd = os.open(os.path.join(root, ".COMMIT_LOCK"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        cur = current_version(root)
+        if cur != expected_parent:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"manifest moved: expected parent {expected_parent!r}, "
+                f"found {cur!r} — another writer committed first"
+            )
+        tmp = os.path.join(root, f".{_MANIFEST}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(os.path.basename(vdir))
+        os.replace(tmp, os.path.join(root, _MANIFEST))  # atomic pointer flip
+    finally:
+        fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        os.close(lock_fd)
     return vdir
 
 

@@ -90,6 +90,12 @@ def _decode_long(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
         if shift > 63:
             raise AvroDecodeError("varint too long")
+    if acc >= 1 << 64:
+        # a 10-byte varint can carry up to 70 bits; anything past the
+        # zigzag-encoded int64 range must stay on the AvroDecodeError
+        # (all-NULL PERMISSIVE row) path, not escape as a Python int that
+        # fails Arrow conversion outside decode_payload's try
+        raise AvroDecodeError("varint exceeds int64 range")
     # un-zigzag
     n = (acc >> 1) ^ -(acc & 1)
     return n, pos

@@ -169,7 +169,13 @@ def encode_payload(
             ]
             out = {"value": vals}
             if key_col is not None:
-                out = {"key": pdf[key_col].astype(str), "value": vals}
+                # NULL keys must stay NULL (the JSON branch's cast('string')
+                # semantics) — astype(str) would render them as the literal
+                # string 'None' and silently change bus partitioning
+                keys = pdf[key_col].map(
+                    lambda v: None if pd.isna(v) else str(v)
+                )
+                out = {"key": keys, "value": vals}
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, out_schema)

@@ -283,3 +283,49 @@ def test_avro_timestamp_micros_roundtrip(spark):
     schema = StructType.fromDDL("ts timestamp, v long")
     t = dt.datetime(2026, 1, 1, 0, 0, 5, 123456)
     assert decode_record(encode_record((t, 9), schema), schema) == (t, 9)
+
+
+def test_avro_null_key_stays_null_in_encode_payload(spark):
+    """A NULL key must encode to a NULL bus key (JSON-branch cast('string')
+    parity), not the literal string 'None' — the two payload formats must
+    not partition the bus differently."""
+    df = spark.createDataFrame(
+        [(None, "view"), (7, "purchase")], "user_id long, event_type string"
+    )
+    for fmt in ("json", "avro"):
+        wire = bus.encode_payload(df, key_col="user_id", payload_format=fmt)
+        keys = sorted(r.key for r in wire.collect() if r.key is not None)
+        nulls = [r.key for r in wire.collect() if r.key is None]
+        assert keys == ["7"], fmt
+        assert len(nulls) == 1, fmt
+
+
+def test_avro_oversized_varint_stays_on_null_row_path(spark):
+    """A 10-byte varint carries up to 70 bits; values past int64 must raise
+    AvroDecodeError inside decode (-> all-NULL PERMISSIVE row), not escape
+    as a Python int that kills the task at Arrow conversion."""
+    from bigdatapipelne_spark.streaming.avro_codec import AvroDecodeError, _decode_long
+
+    # zigzag(2^65) — six continuation bytes of 0x80|0x7f then the tail
+    big = (1 << 65) << 1
+    buf = bytearray()
+    z = big
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            break
+    with pytest.raises(AvroDecodeError):
+        _decode_long(bytes(buf), 0)
+
+    # end-to-end: the malformed frame decodes to the all-NULL row
+    decoded = bus.decode_payload(
+        _kafka_frame(spark, [bytes(buf) * 4]), EVENTS_SCHEMA, "kafka",
+        payload_format="avro",
+    )
+    rows = decoded.collect()
+    assert len(rows) == 1
+    assert all(v is None for v in rows[0])

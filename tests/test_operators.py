@@ -640,6 +640,77 @@ def test_versioned_store_crash_orphan_invisible_and_gcd(spark, tmp_path):
     assert "v_00000001" in deleted
 
 
+def test_versioned_store_concurrent_commit_cas(spark, tmp_path):
+    """Two writers building on the same parent: exactly one commit wins;
+    the loser raises ConcurrentCommitError (its staged version removed)
+    instead of silently discarding the winner's version, and succeeds on
+    retry against the fresh parent."""
+    import os
+    import pytest
+    from bigdatapipelne_spark.sources import store
+
+    root = str(tmp_path / "vstore")
+    base = store.commit_version(spark.createDataFrame([(0,)], "id int"), root)
+    parent = store.current_version(root)
+
+    # deterministic interleave: both writers captured `parent`; A lands first
+    a = store.commit_version(
+        spark.createDataFrame([(1,)], "id int"), root, expected_parent=parent
+    )
+    with pytest.raises(store.ConcurrentCommitError):
+        store.commit_version(
+            spark.createDataFrame([(2,)], "id int"), root,
+            expected_parent=parent,
+        )
+    # winner's pointer intact; loser's staged dir cleaned up
+    assert store.current_version(root) == os.path.basename(a)
+    assert store._versions(root) == [os.path.basename(base), os.path.basename(a)]
+    # retry against the fresh parent succeeds
+    store.commit_version(spark.createDataFrame([(2,)], "id int"), root)
+    assert store.read_current(spark, root).collect()[0][0] == 2
+
+
+def test_versioned_store_concurrent_commit_threads(spark, tmp_path):
+    """The racing form: N threads commit concurrently on the same captured
+    parent; exactly one wins per round, losers retry — every row number
+    eventually lands, no version is ever silently discarded, and the
+    manifest always points at a readable version."""
+    import threading
+    from bigdatapipelne_spark.sources import store
+
+    root = str(tmp_path / "vstore")
+    store.commit_version(spark.createDataFrame([(0,)], "id int"), root)
+    barrier = threading.Barrier(4)
+    outcomes: dict[int, str] = {}
+
+    def writer(i: int) -> None:
+        parent = store.current_version(root)
+        barrier.wait()
+        df = spark.createDataFrame([(i,)], "id int")
+        try:
+            store.commit_version(df, root, expected_parent=parent)
+            outcomes[i] = "won"
+        except store.ConcurrentCommitError:
+            while True:  # standard OCC loop: re-read parent, retry
+                try:
+                    store.commit_version(df, root)
+                    break
+                except store.ConcurrentCommitError:
+                    continue
+            outcomes[i] = "retried"
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(1, 5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(outcomes) == 4
+    assert "won" in outcomes.values()
+    # every surviving version dir is a committed (pointed-at-some-point or
+    # retried) commit; the current version reads cleanly
+    assert store.read_current(spark, root).count() == 1
+
+
 def test_mad_outliers_robustness(spark):
     """MAD flags a gross outlier that inflates the mean/stddev z-score;
     a constant group (MAD=0) yields null z and no flags."""

@@ -283,11 +283,21 @@ def minhash_near_duplicates(
     Output: id_a, id_b, jaccard (>= threshold).
 
     The corpus text is tokenized/shingled exactly ONCE: a single
-    (id, shingle-md5) frame (localCheckpointed — four consumers) feeds the
-    signatures, the set sizes, and both sides of the intersection join, so
+    (id, shingle-md5) frame (localCheckpointed — three consumers) feeds
+    the signatures, the per-doc shingle-set arrays, and nothing else, so
     at 100 TB every exchange after the scan carries fixed-width hash rows
     bounded by (total shingles + candidate pairs), never document-sized
     payloads. jaccard is an int/int double division (engine-exact).
+
+    Verification is per-pair set intersection over COLLECTED shingle-set
+    arrays (``array_intersect`` in one codegen stage), not a candidate x
+    shingle row-explosion join: the round-8 sf10 profile attributed 36.9s
+    of the 72.5s cell to that join's ~110M-row sort-merge (2.1M candidate
+    pairs x ~52 shingles/doc re-shuffled and sorted on (id, sh)). The
+    array form shuffles each doc's set once (bounded by the doc's own
+    distinct-shingle count — the same per-doc bound the oracle's
+    list_distinct carries) and the intersection never crosses an
+    exchange.
 
     Candidate pruning (both lossless w.r.t. the final output):
 
@@ -305,37 +315,53 @@ def minhash_near_duplicates(
     sh = _shingle_hash_rows(df, id_col, text_col, n).localCheckpoint(eager=True)
     b = lsh_bands(_sigs_from_hash_rows(sh, id_col), id_col)
     cands = _pairs_from_bands(b, id_col, max_band_bucket)
-    sh = sh.withColumnRenamed(id_col, "sid")
-    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+    # per-doc shingle SETS (rows are already distinct per doc); each array
+    # is bounded by its document's length
+    sets = (
+        sh.withColumnRenamed(id_col, "sid")
+        .groupBy("sid")
+        .agg(F.collect_list("sh").alias("ss"))
+    )
+    return _verify_candidate_pairs(
+        cands, sets, sets, "id_a", "id_b", threshold
+    ).select("id_a", "id_b", "jaccard")
 
-    size_a = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"))
-    size_b = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("sz_b"))
-    cands = (
-        cands.join(size_a, "id_a")
-        .join(size_b, "id_b")
-        .filter(
-            F.least("sz_a", "sz_b").cast("double")
-            >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1.0)
+
+def _verify_candidate_pairs(
+    cands: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    a_id: str,
+    b_id: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against per-doc
+    shingle-set arrays (``sid``, ``ss``). The exact length prefilter
+    (jaccard <= min(sz)/max(sz), 1-row slack for double rounding) runs
+    before the intersection so forbidden pairs never pay it; the
+    intersection itself is ``array_intersect`` in the joined stage — no
+    candidate x shingle row explosion, no post-aggregation."""
+    p = (
+        cands.join(
+            sets_a.select(F.col("sid").alias(a_id), F.col("ss").alias("__ss_a")),
+            a_id,
         )
+        .join(
+            sets_b.select(F.col("sid").alias(b_id), F.col("ss").alias("__ss_b")),
+            b_id,
+        )
+        .withColumn("__sz_a", F.size("__ss_a"))
+        .withColumn("__sz_b", F.size("__ss_b"))
+        .filter(
+            F.least("__sz_a", "__sz_b").cast("double")
+            >= F.lit(threshold) * F.greatest("__sz_a", "__sz_b") - F.lit(1.0)
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__ss_a", "__ss_b")))
     )
-
-    a = sh.select(F.col("sid").alias("id_a"), "sh")
-    b2 = sh.select(F.col("sid").alias("id_b"), "sh")
-    inter = (
-        cands.select("id_a", "id_b", "sz_a", "sz_b")
-        .join(a, "id_a")
-        .join(b2, ["id_b", "sh"])
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    jac = F.col("__inter").cast("double") / (
+        (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")).cast("double")
     )
-    jac = F.col("inter").cast("double") / (
-        (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-    )
-    return (
-        inter.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return p.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold)
 
 
 # Default stop-shingle doc-frequency cap for the n-gram inverted index.
@@ -1034,9 +1060,10 @@ def incremental_near_duplicates(
     the index).
 
     Exact-Jaccard verification mirrors ``minhash_near_duplicates``
-    cross-frame: both sides explode once to (id, shingle-md5) rows, the
-    intersection is a join-aggregate over fixed-width hash rows bounded by
-    candidate pairs, and the division is int/int (engine-exact).
+    cross-frame: both sides reduce once to per-doc shingle-set arrays and
+    candidates verify via ``array_intersect`` (no candidate x shingle row
+    explosion); the corpus side collects sets only for candidate-touched
+    ids, and the division is int/int (engine-exact).
 
     Candidate pruning mirrors ``minhash_near_duplicates`` (both lossless):
     the CORPUS band index drops stop-shingle buckets above
@@ -1073,18 +1100,26 @@ def incremental_near_duplicates(
             F.least("sz_d", "sz_c").cast("double")
             >= F.lit(threshold) * F.greatest("sz_d", "sz_c") - F.lit(1.0)
         )
+        .select("delta_id", "corpus_id")
     )
-    inter = (
-        cands.join(shd, "delta_id")
-        .join(shc, ["corpus_id", "sh"])
-        .groupBy("delta_id", "corpus_id", "sz_d", "sz_c")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Per-doc shingle-set arrays for the exact verification (see
+    # minhash_near_duplicates: array_intersect beats the candidate x
+    # shingle row-explosion join). The CORPUS side collects sets ONLY for
+    # corpus_ids that survived the length prefilter — a semi-join keeps
+    # the steady-state probe bounded by the batch's candidates, never the
+    # standing index's full row count.
+    sets_d = (
+        shd.withColumnRenamed("delta_id", "sid")
+        .groupBy("sid")
+        .agg(F.collect_list("sh").alias("ss"))
     )
-    jac = F.col("inter").cast("double") / (
-        (F.col("sz_d") + F.col("sz_c") - F.col("inter")).cast("double")
+    touched_c = cands.select(F.col("corpus_id").alias("sid")).distinct()
+    sets_c = (
+        shc.withColumnRenamed("corpus_id", "sid")
+        .join(touched_c, "sid")
+        .groupBy("sid")
+        .agg(F.collect_list("sh").alias("ss"))
     )
-    return (
-        inter.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("delta_id", "corpus_id", "jaccard")
-    )
+    return _verify_candidate_pairs(
+        cands, sets_d, sets_c, "delta_id", "corpus_id", threshold
+    ).select("delta_id", "corpus_id", "jaccard")

@@ -96,6 +96,21 @@ def dep_functions(fn) -> dict[tuple[str, str], types.FunctionType]:
             names.update(code.co_names)
         for name in names:
             _push(g.get(name), stack)
+        # module-attribute calls (``from pkg.sources import store`` +
+        # ``store.commit_version(...)``): the module object itself is not
+        # walkable, but co_names carries the LOAD_ATTR names — resolve
+        # every (package-module, co_name) pair so functions reached only
+        # through a module handle still churn-flag their callers (found
+        # via store_vacuum NOT flagging on a commit_version edit, r8)
+        mods = [
+            v
+            for v in g.values()
+            if isinstance(v, types.ModuleType)
+            and getattr(v, "__name__", "").startswith(PKG)
+        ]
+        for mod in mods:
+            for name in names:
+                _push(getattr(mod, name, None), stack)
         # closure cells (inner functions referencing enclosing-scope fns)
         for cell in f.__closure__ or ():
             try:
@@ -114,8 +129,25 @@ def dep_functions(fn) -> dict[tuple[str, str], types.FunctionType]:
                 continue
             for nm in (m.group(2) or m.group(3) or "").split(","):
                 nm = nm.split(" as ")[0].strip()
-                if nm:
-                    _push(getattr(mod, nm, None), stack)
+                if not nm:
+                    continue
+                obj = getattr(mod, nm, None)
+                if obj is None:
+                    # ``from pkg.sources import store`` names a SUBMODULE,
+                    # which is only an attribute of the package once
+                    # something has imported it — do so
+                    try:
+                        obj = importlib.import_module(f"{m.group(1)}.{nm}")
+                    except Exception:
+                        obj = None
+                _push(obj, stack)
+                # locally-imported MODULE (``from pkg.sources import
+                # store``): resolve its attributes named in co_names
+                if isinstance(obj, types.ModuleType) and getattr(
+                    obj, "__name__", ""
+                ).startswith(PKG):
+                    for name in names:
+                        _push(getattr(obj, name, None), stack)
     return seen
 
 

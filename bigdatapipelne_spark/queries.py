@@ -628,7 +628,11 @@ _GATE_PRIORITY = [
     # user_type_unpivot) — rows standing, families still anchored (q7/
     # q11 keep TPC-H; as-of via asof_purchase_view; CC via
     # near_dup_clusters; SCD2 via store/versioned family + local parity).
-    "doc_quality",
+    # ROUND 8 — doc_quality rotates out (r07 green, code unchanged; the
+    # quality family stays anchored by text_stats and doc_repetition
+    # in-gate). Its slot seats exact_dedup, churned by the 2^40
+    # collision-proof synthetic-copy offsets (verdict item 4).
+    "exact_dedup",
     "text_stats",
     "asof_purchase_view",
     "embedding_near_dup",
@@ -673,7 +677,11 @@ _GATE_PRIORITY = [
     # the narrow scan). Slots from ann_topk_recall / ivf_topk_recall
     # (r05 green, code unchanged; the ANN certificate family stays
     # anchored by embedding_ann_recall and ivfpq_topk_recall).
-    "pii_redaction",
+    # ROUND 8 — pii_redaction rotates out (r07 green, code unchanged;
+    # regex surface keeps local parity). Its slot seats
+    # q2_min_cost_supplier, churned by the round-7 post-gate semi-join
+    # pushdown (the red test_gate_churn finding — verdict item 1).
+    "q2_min_cost_supplier",
     "doc_char_entropy",
     # wave-3 narrow-scan widens (doc_chunks 34.6x, doc_repetition 38.0x,
     # doc_collapse_repeats 27.0x at sf10) re-gate; slots from
@@ -682,9 +690,16 @@ _GATE_PRIORITY = [
     # anchored by card_medallion_disk, skew handling by the executed-plan
     # tests in test_joins.py, the versioned store by store_vacuum and
     # store_time_travel).
-    "doc_chunks",
+    # ROUND 8 — doc_chunks and doc_collapse_repeats rotate out (r07
+    # green, code unchanged; chunking keeps the shared-oracle UDTF twin
+    # in the local sweep, the text family stays anchored by text_stats +
+    # doc_repetition). Their slots seat q21_waiting_orders (churned by
+    # the smax localCheckpoint) and incremental_dedup_indexed (new in
+    # late r7 — no lifetime driver row; the red test_lifetime_coverage
+    # finding).
+    "q21_waiting_orders",
     "doc_repetition",
-    "doc_collapse_repeats",
+    "incremental_dedup_indexed",
     # Final wave-3 widens (doc_feature_hash 58.7x, bm25_search 51.2x,
     # embedding_topk 22.4x, embedding_quantized 24.2x at sf10 — the
     # embeddings table is also a single row group) re-gate; slots from
@@ -702,9 +717,20 @@ _GATE_PRIORITY = [
     # persisted-IVF serving path (build -> save -> load -> query) with
     # the same exact-twin floor as ivf_topk_recall.
     "ivf_index_topk_recall",
-    "embedding_quantized",
-    "deduped_documents",
-    "near_dup_clusters_pd",
+    # ROUND 8 — embedding_quantized, deduped_documents and
+    # near_dup_clusters_pd rotate out (r07 green, code unchanged;
+    # vectors stay anchored by doc_feature_hash + the recall
+    # certificates, exact dedup by exact_dedup entering this round, CC
+    # by near_dup_clusters in-gate). Their slots seat the three queries
+    # churned by the versioned store's OCC commit_version
+    # (compare-and-swap + append-mode write): store_time_travel,
+    # stream_versioned_sink_drain — store_vacuum was already in-gate —
+    # and purchase_view_outer_drain, churned by the avro codec's varint
+    # int64 bound (_decode_long is in every drain's reachable set via
+    # the bus seam).
+    "store_time_travel",
+    "stream_versioned_sink_drain",
+    "purchase_view_outer_drain",
     "user_scd2_stream_drain",
     "fraud_stream_drain",
     "session_stream_drain",
@@ -853,10 +879,11 @@ _GATE_PRIORITY = [
     # stands. Its slot goes to lang_confusion — the one registered query
     # that had never been inside a gate window.
     "ivfpq_topk_recall",
-    # lang_confusion: language-ID confusion matrix over the labeled
-    # documents corpus — the final registered query without a lifetime
-    # driver row (added after the r04 window filled).
-    "lang_confusion",
+    # ROUND 8 — lang_confusion rotates out (r07 green, code unchanged;
+    # LID keeps local parity). Its slot seats enriched_stream_drain,
+    # churned by the avro varint bound like the other drains (its r06
+    # row predates _decode_long's new int64 guard).
+    "enriched_stream_drain",
     # Streaming / pipeline anchors + round-3 additions. card_medallion_disk
     # supersedes card_spec_mart in-gate (same oracle, adds the disk
     # round-trip); card_spec_mart, serving_upsert and fraud_stream_drain

@@ -100,3 +100,17 @@ def test_churned_queries_hold_gate_slots():
         "row (and whose new form no other green query re-certifies) must "
         f"occupy a gate slot this round: {ungated}"
     )
+
+
+def test_dep_walk_reaches_module_attribute_calls():
+    """Round-8 walker fix: ``from pkg.sources import store`` +
+    ``store.commit_version(...)`` must reach the store functions — the
+    module handle is not itself walkable, and the submodule is not even an
+    attribute of its package until imported. Found via store_vacuum NOT
+    churn-flagging on a commit_version edit."""
+    from bigdatapipelne_spark.devtools.churn import dep_functions
+
+    fns = dep_functions(QUERIES["store_vacuum"])
+    reached = {q for (m, q) in fns if m.endswith("sources.store")}
+    assert "commit_version" in reached
+    assert "gc_versions" in reached

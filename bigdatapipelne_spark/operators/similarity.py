@@ -1023,6 +1023,7 @@ def ivfpq_topk(
     )
 
     flat_offset = (np.arange(m) * k_cb).astype(np.int64)
+    shortlist_n = rerank_factor * k
 
     def adc_cell(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
         if left.empty or right.empty:
@@ -1032,15 +1033,37 @@ def ivfpq_topk(
         L = np.array(left["lut"].tolist(), dtype=np.float64)          # (nq, m*k_cb)
         C = np.array(right["codes"].tolist(), dtype=np.int64) + flat_offset  # (nc, m)
         S = L[:, C].sum(axis=2)                                       # (nq, nc)
-        qid = np.repeat(left["query_id"].to_numpy(), len(right))
-        nid = np.tile(right["neighbor_id"].to_numpy(), len(left))
-        return pd.DataFrame({"query_id": qid, "neighbor_id": nid, "adc": S.ravel()})
+        qids = left["query_id"].to_numpy()
+        nids = right["neighbor_id"].to_numpy()
+        # self-pairs out BEFORE the cut so they never occupy a slot
+        S = np.where(qids[:, None] == nids[None, :], -np.inf, S)
+        # Per-cell shortlist cut — LOSSLESS: every corpus vector lives in
+        # exactly one cell, so a query's global ADC top-N is contained in
+        # the union of its per-cell top-Ns. Emitting only
+        # rerank_factor*k rows per (query, cell) — with the SAME
+        # (-adc, neighbor_id) tie order as the global window — shrinks
+        # the cogroup output from sum(nq_cell * nc_cell) (~180M rows at
+        # 200k vectors, which then paid a dropDuplicates and a global
+        # rank window) to nq * n_probe * shortlist rows (~5M).
+        if len(nids) > shortlist_n:
+            order = np.lexsort((nids[None, :].repeat(len(qids), 0), -S), axis=1)
+            idx = order[:, :shortlist_n]                               # (nq, t)
+            qid = np.repeat(qids, shortlist_n)
+            nid = nids[idx.ravel()]
+            adc = np.take_along_axis(S, idx, axis=1).ravel()
+        else:
+            qid = np.repeat(qids, len(nids))
+            nid = np.tile(nids, len(qids))
+            adc = S.ravel()
+        keep = adc != -np.inf
+        return pd.DataFrame(
+            {"query_id": qid[keep], "neighbor_id": nid[keep], "adc": adc[keep]}
+        )
 
     cand = (
         q.groupBy("cluster")
         .cogroup(corpus.groupBy("cluster"))
         .applyInPandas(adc_cell, "query_id long, neighbor_id long, adc double")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))

@@ -1084,6 +1084,82 @@ def test_ivfpq_recall_and_determinism(spark):
             assert abs(r.score - bf_scores[(r.query_id, r.neighbor_id)]) < 1e-12
 
 
+def test_ivfpq_percell_shortlist_matches_unbounded_adc(spark):
+    """Round-8 losslessness pin for the per-cell ADC shortlist cut: the
+    shipped ivfpq_topk (which emits only rerank_factor*k candidates per
+    (query, cell) inside the Arrow cogroup) must produce the EXACT frame
+    the old unbounded path produced — every corpus vector lives in one
+    coarse cell, so the global ADC top-N is contained in the union of
+    per-cell top-Ns when the cell cut uses the same (-adc, neighbor_id)
+    tie order as the global window."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdatapipelne_spark.operators.similarity import (
+        _cell_scores_udf,
+        _pq_codes_udf,
+        _pq_lut_udf,
+        ivf_assignments,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    k, n_probe, rerank_factor, m, k_cb = 3, 3, 4, 8, 16
+
+    # reference: the pre-round-8 unbounded ADC path, inline
+    assigned, centroids = ivf_assignments(emb, "vec_id", "embedding", 16, 1)
+    codebooks = pq_codebooks(assigned, "vec_id", m=m, k_cb=k_cb, iters=1)
+    corpus = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), "cluster",
+        _pq_codes_udf(codebooks)(F.col("vn")).alias("codes"),
+    )
+    q = assigned.select(
+        F.col("vec_id").alias("query_id"),
+        _pq_lut_udf(codebooks)(F.col("vn")).alias("lut"),
+        F.explode(_cell_scores_udf(centroids, n_probe)(F.col("vn"))).alias("cluster"),
+    )
+    flat_offset = (np.arange(m) * k_cb).astype(np.int64)
+
+    def adc_all(left, right):
+        if left.empty or right.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "adc": "float64"})
+        L = np.array(left["lut"].tolist(), dtype=np.float64)
+        C = np.array(right["codes"].tolist(), dtype=np.int64) + flat_offset
+        S = L[:, C].sum(axis=2)
+        qid = np.repeat(left["query_id"].to_numpy(), len(right))
+        nid = np.tile(right["neighbor_id"].to_numpy(), len(left))
+        return pd.DataFrame({"query_id": qid, "neighbor_id": nid, "adc": S.ravel()})
+
+    cand = (
+        q.groupBy("cluster").cogroup(corpus.groupBy("cluster"))
+        .applyInPandas(adc_all, "query_id long, neighbor_id long, adc double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    shortlist = cand.withColumn("arank", F.row_number().over(w_adc)).filter(
+        F.col("arank") <= rerank_factor * k)
+    qvecs = assigned.select(F.col("vec_id").alias("query_id"), F.col("vn").alias("qv"))
+    cvecs = assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv"))
+    exact = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0),
+                        lambda a, v: a + v)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    ref = (
+        shortlist.join(qvecs, "query_id").join(cvecs, "neighbor_id")
+        .withColumn("score", exact).withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+    got = ivfpq_topk(emb, "vec_id", "embedding", k=k, n_centroids=16,
+                     n_probe=n_probe, iters=1, rerank_factor=rerank_factor)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
 def test_pq_codebooks_shape_and_dim_guard(spark):
     import pytest
     from bigdatapipelne_spark.operators.similarity import _normalized, pq_codebooks

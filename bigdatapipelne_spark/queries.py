@@ -847,7 +847,12 @@ _GATE_PRIORITY = [
     # (pivot -> melt round-trip). Slots from lineitem_quality and
     # packed_sequences (standing r03 rows, code unchanged).
     "quality_deciles",
-    "doc_unigram_logprob",
+    # ROUND 8 — doc_unigram_logprob rotates out (r07 green, code
+    # unchanged; the frequency family stays anchored by frequent_tokens
+    # and bm25_search in-gate). Its slot seats simhash_sigs, churned by
+    # the conv-word vote-bit extraction (bit-identical by construction,
+    # but the churn guard rightly demands fresh driver evidence).
+    "simhash_sigs",
     # top_customers, distinct_parts_per_brand, user_running_total and
     # user_sessions rotate out (round-2 green rows stand, code unchanged)
     # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,

@@ -941,14 +941,43 @@ def build_fingerprint_index(
     corpus: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """The standing exact-dedup state: the corpus's DISTINCT content
-    fingerprints (one 32-char column). Persist bucketed on ``__fp`` and
-    every batch's membership probe is shuffle-free. The per-batch
+    fingerprints (one 32-char column). Persist bucketed on ``__fp``
+    (``save_fingerprint_index``) and every batch's membership probe
+    leaves the index UNSHUFFLED — only the batch moves. The per-batch
     maintenance is an append of the admitted batch's new fingerprints."""
     return (
         corpus.select(fingerprint(text_col).alias("__fp"))
         .distinct()
         .withColumn("__in_corpus", F.lit(True))
     )
+
+
+def save_fingerprint_index(
+    index: DataFrame,
+    name: str,
+    path: str,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the standing fingerprint index as a catalog table BUCKETED
+    (and sorted) on ``__fp``. This is the layout half of the steady-state
+    contract: the bucketed scan already satisfies the probe join's
+    hash distribution on ``__fp``, so each batch's membership check
+    shuffles ONLY the batch's fingerprints — the standing index (the
+    100 TB side) is read in place, never re-exchanged per batch
+    (plan-asserted in tests/test_bucketing.py). Size ``n_buckets`` for
+    the corpus, not the batch."""
+    from bigdatapipelne_spark.sources.io import write_bucketed_table
+
+    write_bucketed_table(
+        index.sparkSession, index, name, ["__fp"], n_buckets, path,
+        sort_cols=["__fp"],
+    )
+
+
+def load_fingerprint_index(spark, name: str) -> DataFrame:
+    """Reload a ``save_fingerprint_index`` table; pass the result as
+    ``corpus_index`` to ``incremental_exact_duplicates``."""
+    return spark.table(name)
 
 
 def incremental_exact_duplicates(
@@ -1005,15 +1034,20 @@ class NearDupIndex:
     of re-deriving the corpus side per call:
 
     - ``bands``: capped ``(corpus_id, band, band_key)`` rows. Persist
-      bucketed on ``(band, band_key)`` and the candidate probe is
-      shuffle-free on the corpus side.
+      bucketed on ``band_key`` and the candidate probe leaves the corpus
+      index unshuffled.
     - ``shingles``: ``(corpus_id, sh)`` shingle-md5 rows for exact-Jaccard
-      verification. Persist bucketed on ``sh``.
+      verification. Persist bucketed on ``corpus_id``: the verify stage
+      semi-joins and then collect_lists per corpus_id, both satisfied by
+      that distribution.
     - ``sizes``: ``(corpus_id, sz_c)`` distinct-shingle counts for the
       length prefilter. Small; broadcastable.
 
     All three are plain DataFrames so they round-trip through any sink
-    (``df.write.parquet`` / the versioned store); reload and wrap."""
+    (``df.write.parquet`` / the versioned store); reload and wrap — or use
+    ``save_near_dup_index`` / ``load_near_dup_index`` for the bucketed
+    catalog layout that keeps per-batch probes from re-shuffling the
+    standing index."""
 
     def __init__(self, bands: DataFrame, shingles: DataFrame, sizes: DataFrame):
         self.bands = bands
@@ -1044,6 +1078,48 @@ def build_near_dup_index(
     )
     sizes = shc.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sz_c"))
     return NearDupIndex(bands=bc, shingles=shc, sizes=sizes)
+
+
+def save_near_dup_index(
+    index: NearDupIndex,
+    name: str,
+    path: str,
+    n_buckets: int = 32,
+) -> None:
+    """Persist a ``NearDupIndex`` as three catalog tables with the probe
+    joins' layouts baked in: ``<name>_bands`` bucketed+sorted on
+    ``band_key`` (the candidate equi-join key), ``<name>_shingles``
+    bucketed on ``corpus_id`` (the verify semi-join + collect_list key),
+    ``<name>_sizes`` bucketed on ``corpus_id``. Per-batch probes then
+    shuffle only the BATCH's rows; the standing index — the 100 TB side —
+    is scanned in place (plan-asserted in tests/test_bucketing.py)."""
+    import os
+
+    from bigdatapipelne_spark.sources.io import write_bucketed_table
+
+    spark = index.bands.sparkSession
+    write_bucketed_table(
+        spark, index.bands, f"{name}_bands", ["band_key"], n_buckets,
+        os.path.join(path, "bands"), sort_cols=["band_key"],
+    )
+    write_bucketed_table(
+        spark, index.shingles, f"{name}_shingles", ["corpus_id"], n_buckets,
+        os.path.join(path, "shingles"), sort_cols=["corpus_id"],
+    )
+    write_bucketed_table(
+        spark, index.sizes, f"{name}_sizes", ["corpus_id"], n_buckets,
+        os.path.join(path, "sizes"), sort_cols=["corpus_id"],
+    )
+
+
+def load_near_dup_index(spark, name: str) -> NearDupIndex:
+    """Reload a ``save_near_dup_index`` layout; pass as ``corpus_index``
+    to ``incremental_near_duplicates``."""
+    return NearDupIndex(
+        bands=spark.table(f"{name}_bands"),
+        shingles=spark.table(f"{name}_shingles"),
+        sizes=spark.table(f"{name}_sizes"),
+    )
 
 
 def incremental_near_duplicates(

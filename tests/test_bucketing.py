@@ -101,3 +101,130 @@ def test_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
 
     # Round trip preserves the rows.
     assert spark.read.parquet(out).count() == li.count()
+
+
+def _exchange_count(df) -> int:
+    return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+
+def test_bucketed_fingerprint_index_probe_reads_index_in_place(spark, tmp_path):
+    """Round-8 steady-state layout claim: with the standing fingerprint
+    index persisted bucketed on __fp, a batch's membership probe must NOT
+    re-shuffle the index — only the batch's fingerprints move. Asserted
+    comparatively (bucketed plan has strictly fewer exchanges than the
+    plain-parquet reload) plus a bucketed-scan marker, with AQE off for a
+    fully-determined plan; results equal the inline form exactly."""
+    from pyspark.sql import functions as F
+
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_exact_duplicates,
+        load_fingerprint_index,
+        save_fingerprint_index,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+
+    ix = build_fingerprint_index(corpus, "doc_id", "text")
+    # bucket count == session shuffle partitions so the batch side's
+    # existing exchange satisfies the bucketed join directly (in
+    # production you size buckets to the index and Spark shuffles each
+    # batch to the bucket count)
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    save_fingerprint_index(ix, "fp_ix_b", str(tmp_path / "fpix"), n_buckets=nb)
+    plain_path = str(tmp_path / "fpix_plain")
+    ix.write.parquet(plain_path)
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe_b = incremental_exact_duplicates(
+            delta, None, "doc_id", "text",
+            corpus_index=load_fingerprint_index(spark, "fp_ix_b"),
+        )
+        probe_p = incremental_exact_duplicates(
+            delta, None, "doc_id", "text",
+            corpus_index=spark.read.parquet(plain_path),
+        )
+        plan_b = probe_b._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan_b or "Bucketed: true" in plan_b
+        assert _exchange_count(probe_b) < _exchange_count(probe_p), (
+            "bucketed index probe must drop the index-side exchange"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+
+    inline = incremental_exact_duplicates(delta, corpus, "doc_id", "text")
+    assert sorted(map(tuple, probe_b.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    spark.sql("DROP TABLE IF EXISTS fp_ix_b")
+
+
+def test_bucketed_near_dup_index_probe_reads_index_in_place(spark, tmp_path):
+    """Same layout claim for the NearDupIndex: bands bucketed on band_key
+    (the candidate equi-join key) and shingles on corpus_id (the verify
+    semi-join + collect_list key) — the bucketed probe plan has strictly
+    fewer exchanges than the plain reload and identical results."""
+    from pyspark.sql import functions as F
+
+    from bigdatapipelne_spark.operators.dedup import (
+        NearDupIndex,
+        build_near_dup_index,
+        incremental_near_duplicates,
+        load_near_dup_index,
+        save_near_dup_index,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        corpus.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" drift")).alias("text"),
+        )
+    )
+
+    ix = build_near_dup_index(corpus, "doc_id", "text")
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    save_near_dup_index(ix, "nd_ix_b", str(tmp_path / "ndix"), n_buckets=nb)
+    for part in ("bands", "shingles", "sizes"):
+        getattr(ix, part).write.parquet(str(tmp_path / f"ndix_plain_{part}"))
+    plain = NearDupIndex(
+        bands=spark.read.parquet(str(tmp_path / "ndix_plain_bands")),
+        shingles=spark.read.parquet(str(tmp_path / "ndix_plain_shingles")),
+        sizes=spark.read.parquet(str(tmp_path / "ndix_plain_sizes")),
+    )
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe_b = incremental_near_duplicates(
+            delta, None, "doc_id", "text",
+            corpus_index=load_near_dup_index(spark, "nd_ix_b"),
+        )
+        probe_p = incremental_near_duplicates(
+            delta, None, "doc_id", "text", corpus_index=plain
+        )
+        plan_b = probe_b._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan_b or "Bucketed: true" in plan_b
+        assert _exchange_count(probe_b) < _exchange_count(probe_p), (
+            "bucketed near-dup index probe must drop index-side exchanges"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+
+    inline = incremental_near_duplicates(delta, corpus, "doc_id", "text")
+    assert sorted(map(tuple, probe_b.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    for t in ("nd_ix_b_bands", "nd_ix_b_shingles", "nd_ix_b_sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

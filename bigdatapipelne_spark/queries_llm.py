@@ -2212,26 +2212,49 @@ def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted standing-index form of incremental_dedup (the exact
     twin of incremental_near_dup_indexed): the corpus's distinct
     fingerprint index (operators/dedup.py build_fingerprint_index) is
-    written to parquet and reloaded, and the batch is classified against
-    the reloaded index with NO corpus frame — zero corpus text in the
-    per-batch plan. Same oracle as incremental_dedup (result-identical
-    by construction)."""
+    persisted through save_fingerprint_index — a catalog table BUCKETED
+    and sorted on __fp, the production layout whose probe joins read the
+    index IN PLACE (no index-side exchange; plan-asserted in
+    tests/test_bucketing.py) — reloaded, and the batch is classified
+    against it with NO corpus frame: zero corpus text and zero standing-
+    index shuffle in the per-batch plan. Same oracle as incremental_dedup
+    (result-identical by construction)."""
+    import os
+    import shutil
     import tempfile
 
     from bigdatapipelne_spark.operators.dedup import (
         build_fingerprint_index,
         incremental_exact_duplicates,
+        load_fingerprint_index,
+        save_fingerprint_index,
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     delta, corpus = _incr_dedup_delta(docs)
+    # run-unique catalog name + sweep of prior runs' leaked entries — the
+    # session catalog/warehouse is shared (bucketed_join_disk pattern)
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith("fp_ix_r_") and not tbl.isTemporary:
+            loc = next(
+                (
+                    r.data_type
+                    for r in spark.sql(f"DESCRIBE FORMATTED {tbl.name}").collect()
+                    if r.col_name == "Location"
+                ),
+                None,
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+            if loc and loc.startswith("file:"):
+                shutil.rmtree(loc.removeprefix("file:"), ignore_errors=True)
     path = tempfile.mkdtemp(prefix="fp_index_")
-    build_fingerprint_index(corpus, "doc_id", "text").write.mode(
-        "overwrite"
-    ).parquet(path)
+    name = f"fp_ix_r_{os.path.basename(path).removeprefix('fp_index_')}"
+    save_fingerprint_index(
+        build_fingerprint_index(corpus, "doc_id", "text"), name, path
+    )
     return incremental_exact_duplicates(
         delta, None, "doc_id", "text",
-        corpus_index=spark.read.parquet(path),
+        corpus_index=load_fingerprint_index(spark, name),
     )
 
 
@@ -2385,20 +2408,25 @@ def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
 @query("incremental_near_dup_indexed", oracle=_incremental_minhash_oracle())
 def incremental_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The steady-state twin of incremental_near_dup: the corpus's
-    NearDupIndex (operators/dedup.py build_near_dup_index) is PERSISTED —
-    written to parquet and reloaded, exactly the state a production
-    pipeline maintains between batches — and the probe runs against the
-    reloaded index with NO corpus frame at all, so the per-batch plan
-    reads zero corpus text (asserted in tests/test_llm_ops.py). Same
-    oracle as incremental_near_dup: the two paths are result-identical by
-    construction, and this gate certifies it end-to-end at driver scale."""
+    NearDupIndex (operators/dedup.py build_near_dup_index) is PERSISTED
+    through save_near_dup_index — three catalog tables bucketed on their
+    probe-join keys (bands on band_key, shingles/sizes on corpus_id),
+    the production layout whose per-batch probes read the standing index
+    IN PLACE (plan-asserted in tests/test_bucketing.py) — reloaded, and
+    the probe runs against it with NO corpus frame at all, so the
+    per-batch plan reads zero corpus text (asserted in
+    tests/test_llm_ops.py). Same oracle as incremental_near_dup: the two
+    paths are result-identical by construction, and this gate certifies
+    it end-to-end at driver scale."""
     import os
+    import shutil
     import tempfile
 
     from bigdatapipelne_spark.operators.dedup import (
-        NearDupIndex,
         build_near_dup_index,
         incremental_near_duplicates,
+        load_near_dup_index,
+        save_near_dup_index,
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
@@ -2413,18 +2441,30 @@ def incremental_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # run-unique catalog names + sweep of prior runs' leaked entries
+    # (shared catalog/warehouse — bucketed_join_disk pattern)
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith("nd_ix_r_") and not tbl.isTemporary:
+            loc = next(
+                (
+                    r.data_type
+                    for r in spark.sql(f"DESCRIBE FORMATTED {tbl.name}").collect()
+                    if r.col_name == "Location"
+                ),
+                None,
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+            if loc and loc.startswith("file:"):
+                shutil.rmtree(
+                    os.path.dirname(loc.removeprefix("file:")), ignore_errors=True
+                )
     ix = build_near_dup_index(corpus, "doc_id", "text")
     root = tempfile.mkdtemp(prefix="near_dup_index_")
-    ix.bands.write.parquet(os.path.join(root, "bands"))
-    ix.shingles.write.parquet(os.path.join(root, "shingles"))
-    ix.sizes.write.parquet(os.path.join(root, "sizes"))
-    reloaded = NearDupIndex(
-        bands=spark.read.parquet(os.path.join(root, "bands")),
-        shingles=spark.read.parquet(os.path.join(root, "shingles")),
-        sizes=spark.read.parquet(os.path.join(root, "sizes")),
-    )
+    name = f"nd_ix_r_{os.path.basename(root).removeprefix('near_dup_index_')}"
+    save_near_dup_index(ix, name, root)
     return incremental_near_duplicates(
-        delta, None, "doc_id", "text", corpus_index=reloaded
+        delta, None, "doc_id", "text",
+        corpus_index=load_near_dup_index(spark, name),
     )
 
 

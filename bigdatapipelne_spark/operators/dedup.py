@@ -283,7 +283,7 @@ def minhash_near_duplicates(
     Output: id_a, id_b, jaccard (>= threshold).
 
     The corpus text is tokenized/shingled exactly ONCE: a single
-    (id, shingle-md5) frame (localCheckpointed — three consumers) feeds
+    (id, shingle-md5) frame (localCheckpointed — two consumers) feeds
     the signatures, the per-doc shingle-set arrays, and nothing else, so
     at 100 TB every exchange after the scan carries fixed-width hash rows
     bounded by (total shingles + candidate pairs), never document-sized

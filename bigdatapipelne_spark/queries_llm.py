@@ -2207,6 +2207,55 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_exact_duplicates(delta, corpus, "doc_id", "text")
 
 
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _sweep_leaked_index_tables(
+    spark: SparkSession, prefix: str, rm_parent: bool = False
+) -> None:
+    """Drop standing-index catalog tables leaked by PRIOR runs only.
+
+    Run-unique index tables embed their creator's PID
+    (``{prefix}{pid}_{suffix}``); the sweep reclaims a table only when
+    that PID is this process or no longer alive, so two driver sessions
+    sharing a warehouse concurrently never delete each other's live index
+    mid-query. Names with no parseable PID (pre-r9 leftovers) are treated
+    as orphans. ``rm_parent`` removes the location's parent dir (the
+    NearDupIndex keeps its three tables under one root)."""
+    import os
+    import shutil
+
+    for tbl in spark.catalog.listTables():
+        if not tbl.name.startswith(prefix) or tbl.isTemporary:
+            continue
+        pid_s = tbl.name.removeprefix(prefix).split("_", 1)[0]
+        if pid_s.isdigit() and int(pid_s) != os.getpid() and _pid_alive(int(pid_s)):
+            continue  # a live concurrent session owns this index
+        loc = next(
+            (
+                r.data_type
+                for r in spark.sql(f"DESCRIBE FORMATTED {tbl.name}").collect()
+                if r.col_name == "Location"
+            ),
+            None,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+        if loc and loc.startswith("file:"):
+            p = loc.removeprefix("file:")
+            shutil.rmtree(
+                os.path.dirname(p) if rm_parent else p, ignore_errors=True
+            )
+
+
 @query("incremental_dedup_indexed", oracle=_INCR_DEDUP_ORACLE)
 def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted standing-index form of incremental_dedup (the exact
@@ -2220,7 +2269,6 @@ def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     index shuffle in the per-batch plan. Same oracle as incremental_dedup
     (result-identical by construction)."""
     import os
-    import shutil
     import tempfile
 
     from bigdatapipelne_spark.operators.dedup import (
@@ -2232,23 +2280,14 @@ def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     delta, corpus = _incr_dedup_delta(docs)
-    # run-unique catalog name + sweep of prior runs' leaked entries — the
-    # session catalog/warehouse is shared (bucketed_join_disk pattern)
-    for tbl in spark.catalog.listTables():
-        if tbl.name.startswith("fp_ix_r_") and not tbl.isTemporary:
-            loc = next(
-                (
-                    r.data_type
-                    for r in spark.sql(f"DESCRIBE FORMATTED {tbl.name}").collect()
-                    if r.col_name == "Location"
-                ),
-                None,
-            )
-            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
-            if loc and loc.startswith("file:"):
-                shutil.rmtree(loc.removeprefix("file:"), ignore_errors=True)
+    # run-unique (PID-scoped) catalog name + sweep of dead runs' leaked
+    # entries — the session catalog/warehouse is shared
+    _sweep_leaked_index_tables(spark, "fp_ix_r_")
     path = tempfile.mkdtemp(prefix="fp_index_")
-    name = f"fp_ix_r_{os.path.basename(path).removeprefix('fp_index_')}"
+    name = (
+        f"fp_ix_r_{os.getpid()}_"
+        f"{os.path.basename(path).removeprefix('fp_index_')}"
+    )
     save_fingerprint_index(
         build_fingerprint_index(corpus, "doc_id", "text"), name, path
     )
@@ -2419,7 +2458,6 @@ def incremental_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths are result-identical by construction, and this gate certifies
     it end-to-end at driver scale."""
     import os
-    import shutil
     import tempfile
 
     from bigdatapipelne_spark.operators.dedup import (
@@ -2441,26 +2479,15 @@ def incremental_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # run-unique catalog names + sweep of prior runs' leaked entries
-    # (shared catalog/warehouse — bucketed_join_disk pattern)
-    for tbl in spark.catalog.listTables():
-        if tbl.name.startswith("nd_ix_r_") and not tbl.isTemporary:
-            loc = next(
-                (
-                    r.data_type
-                    for r in spark.sql(f"DESCRIBE FORMATTED {tbl.name}").collect()
-                    if r.col_name == "Location"
-                ),
-                None,
-            )
-            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
-            if loc and loc.startswith("file:"):
-                shutil.rmtree(
-                    os.path.dirname(loc.removeprefix("file:")), ignore_errors=True
-                )
+    # run-unique (PID-scoped) catalog names + sweep of dead runs' leaked
+    # entries (shared catalog/warehouse)
+    _sweep_leaked_index_tables(spark, "nd_ix_r_", rm_parent=True)
     ix = build_near_dup_index(corpus, "doc_id", "text")
     root = tempfile.mkdtemp(prefix="near_dup_index_")
-    name = f"nd_ix_r_{os.path.basename(root).removeprefix('near_dup_index_')}"
+    name = (
+        f"nd_ix_r_{os.getpid()}_"
+        f"{os.path.basename(root).removeprefix('near_dup_index_')}"
+    )
     save_near_dup_index(ix, name, root)
     return incremental_near_duplicates(
         delta, None, "doc_id", "text",

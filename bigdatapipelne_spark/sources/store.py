@@ -30,10 +30,13 @@ from __future__ import annotations
 import fcntl
 import os
 import shutil
+import tempfile
+from typing import Callable, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "MANIFEST"
+_STAGE_LOCK = ".STAGE_LOCK"
 _UNSET = object()
 
 
@@ -73,46 +76,91 @@ def commit_version(
     Optimistic concurrency: the pointer flip is a compare-and-swap
     against ``expected_parent`` — the version this commit builds on
     (default: the manifest at entry). If another writer committed in
-    between, the flip raises ``ConcurrentCommitError`` (the staged
-    version dir is removed) instead of silently discarding that commit;
-    callers retry by re-reading the store and re-committing. The CAS
-    critical section is an ``flock`` on ``.COMMIT_LOCK`` — kernel-released
-    on writer death, so no stale-lock recovery is needed."""
+    between, the flip raises ``ConcurrentCommitError`` (the staged dir is
+    removed) instead of silently discarding that commit; callers retry by
+    re-reading the store and re-committing (``commit_with_retry`` wraps
+    that loop). The CAS critical section is an ``flock`` on
+    ``.COMMIT_LOCK`` — kernel-released on writer death, so no stale-lock
+    recovery is needed.
+
+    Staging and numbering (round-9 hardening): the parquet write lands in
+    a hidden ``.stage_*`` dir — invisible to ``_versions``, readers, and
+    ``gc_versions`` — and the version NUMBER is allocated only inside the
+    ``.COMMIT_LOCK`` critical section, immediately before the
+    rename-into-place. That makes ``v_N`` order identical to commit order
+    (a CAS loser never takes, then frees, a number a later commit could
+    re-issue out of order), and gc can never reclaim an in-flight stage:
+    a live writer holds the stage's own ``flock`` for its whole life, so
+    gc only removes stage dirs whose lock is acquirable (writer dead)."""
     os.makedirs(root, exist_ok=True)
     if expected_parent is _UNSET:
         expected_parent = current_version(root)
-    # Allocate the version number atomically: mkdir fails for the loser of
-    # a same-number race, who re-lists and takes the next slot. The parquet
-    # write APPENDS into the (empty, owned) dir — overwrite mode would
-    # delete-and-recreate it, opening a window for a double allocation.
-    while True:
-        vs = _versions(root)
-        nxt = (int(vs[-1][2:]) + 1) if vs else 1
-        vdir = os.path.join(root, f"v_{nxt:08d}")
-        try:
-            os.mkdir(vdir)
-            break
-        except FileExistsError:
-            continue
-    df.write.mode("append").parquet(vdir)
-    lock_fd = os.open(os.path.join(root, ".COMMIT_LOCK"), os.O_CREAT | os.O_RDWR)
+    sdir = tempfile.mkdtemp(prefix=".stage_", dir=root)
+    stage_fd = os.open(os.path.join(sdir, _STAGE_LOCK), os.O_CREAT | os.O_RDWR)
     try:
-        fcntl.flock(lock_fd, fcntl.LOCK_EX)
-        cur = current_version(root)
-        if cur != expected_parent:
-            shutil.rmtree(vdir, ignore_errors=True)
-            raise ConcurrentCommitError(
-                f"manifest moved: expected parent {expected_parent!r}, "
-                f"found {cur!r} — another writer committed first"
-            )
-        tmp = os.path.join(root, f".{_MANIFEST}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(os.path.basename(vdir))
-        os.replace(tmp, os.path.join(root, _MANIFEST))  # atomic pointer flip
+        fcntl.flock(stage_fd, fcntl.LOCK_EX)
+        df.write.mode("append").parquet(sdir)
+        lock_fd = os.open(
+            os.path.join(root, ".COMMIT_LOCK"), os.O_CREAT | os.O_RDWR
+        )
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            cur = current_version(root)
+            if cur != expected_parent:
+                shutil.rmtree(sdir, ignore_errors=True)
+                raise ConcurrentCommitError(
+                    f"manifest moved: expected parent {expected_parent!r}, "
+                    f"found {cur!r} — another writer committed first"
+                )
+            # version number allocated UNDER the lock: monotone with
+            # commit order by construction
+            vs = _versions(root)
+            nxt = (int(vs[-1][2:]) + 1) if vs else 1
+            vdir = os.path.join(root, f"v_{nxt:08d}")
+            os.rename(sdir, vdir)
+            try:
+                os.unlink(os.path.join(vdir, _STAGE_LOCK))
+            except OSError:
+                pass  # hidden file; parquet readers skip it anyway
+            tmp = os.path.join(root, f".{_MANIFEST}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(os.path.basename(vdir))
+            os.replace(tmp, os.path.join(root, _MANIFEST))  # atomic flip
+        finally:
+            fcntl.flock(lock_fd, fcntl.LOCK_UN)
+            os.close(lock_fd)
     finally:
-        fcntl.flock(lock_fd, fcntl.LOCK_UN)
-        os.close(lock_fd)
+        fcntl.flock(stage_fd, fcntl.LOCK_UN)
+        os.close(stage_fd)
     return vdir
+
+
+def commit_with_retry(
+    df: Union[DataFrame, Callable[[str | None], DataFrame]],
+    root: str,
+    max_retries: int = 5,
+) -> str:
+    """Bounded OCC retry loop around ``commit_version`` — the pattern
+    every foreachBatch sink caller needs, packaged (round-8 verdict #6).
+
+    Each attempt re-reads the manifest as the parent and commits against
+    it; on ``ConcurrentCommitError`` it retries, up to ``max_retries``
+    attempts total, then re-raises the last error. For blind snapshot
+    appends pass the DataFrame; for read-modify-write commits pass a
+    callable ``parent_version -> DataFrame`` so the frame is rebuilt
+    against the fresh snapshot each attempt (committing a stale
+    read-modify-write would silently undo the racing writer's rows)."""
+    if max_retries < 1:
+        raise ValueError("max_retries must be >= 1")
+    last: ConcurrentCommitError | None = None
+    for _ in range(max_retries):
+        parent = current_version(root)
+        frame = df(parent) if callable(df) else df
+        try:
+            return commit_version(frame, root, expected_parent=parent)
+        except ConcurrentCommitError as exc:
+            last = exc
+    raise last  # type: ignore[misc]  # loop ran >= 1 time
 
 
 def read_current(spark: SparkSession, root: str) -> DataFrame:
@@ -141,8 +189,17 @@ def read_version(spark: SparkSession, root: str, version: str) -> DataFrame:
 def gc_versions(root: str, keep: int = 2) -> list[str]:
     """Delete all version dirs except the newest ``keep`` (the current
     version is always within the newest ``keep``; unreferenced
-    crash-orphans older than that are removed too). Returns the deleted
-    directory names. Size ``keep`` to cover the longest-running reader."""
+    crash-orphans older than that are removed too), plus any ``.stage_*``
+    dir whose writer died mid-stage. Returns the deleted directory names.
+    Size ``keep`` to cover the longest-running reader.
+
+    Stage reclamation is race-free against live writers: a writer flocks
+    its stage's ``.STAGE_LOCK`` for the stage's whole life (commit renames
+    the dir away under the commit lock), so gc removes a stage only when
+    a NON-BLOCKING flock succeeds — i.e. the writer is dead and the
+    kernel released its lock. A stage dir with no lock file yet (the
+    microsecond mkdtemp→flock window, or a pre-flock crash) is skipped
+    and leaks until manual cleanup — it is empty and tiny."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     vs = _versions(root)
@@ -150,4 +207,22 @@ def gc_versions(root: str, keep: int = 2) -> list[str]:
     doomed = [v for v in vs[:-keep] if v != cur]
     for v in doomed:
         shutil.rmtree(os.path.join(root, v))
+    for d in os.listdir(root) if os.path.isdir(root) else []:
+        if not d.startswith(".stage_"):
+            continue
+        lock = os.path.join(root, d, _STAGE_LOCK)
+        try:
+            fd = os.open(lock, os.O_RDWR)
+        except OSError:
+            continue  # no lock file (pre-flock window) or dir just renamed
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            os.close(fd)
+            continue  # live writer still staging
+        try:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            doomed.append(d)
+        finally:
+            os.close(fd)
     return doomed

@@ -171,10 +171,10 @@ def encode_payload(
             if key_col is not None:
                 # NULL keys must stay NULL (the JSON branch's cast('string')
                 # semantics) — astype(str) would render them as the literal
-                # string 'None' and silently change bus partitioning
-                keys = pdf[key_col].map(
-                    lambda v: None if pd.isna(v) else str(v)
-                )
+                # string 'None' and silently change bus partitioning.
+                # Vectorized: nullable-string cast, then mask NA back to None.
+                keys = pdf[key_col].astype("string")
+                keys = keys.where(keys.notna(), None).astype(object)
                 out = {"key": keys, "value": vals}
             yield pd.DataFrame(out)
 

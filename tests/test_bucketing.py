@@ -133,37 +133,41 @@ def test_bucketed_fingerprint_index_probe_reads_index_in_place(spark, tmp_path):
     # production you size buckets to the index and Spark shuffles each
     # batch to the bucket count)
     nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    save_fingerprint_index(ix, "fp_ix_b", str(tmp_path / "fpix"), n_buckets=nb)
-    plain_path = str(tmp_path / "fpix_plain")
-    ix.write.parquet(plain_path)
-
-    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        probe_b = incremental_exact_duplicates(
-            delta, None, "doc_id", "text",
-            corpus_index=load_fingerprint_index(spark, "fp_ix_b"),
-        )
-        probe_p = incremental_exact_duplicates(
-            delta, None, "doc_id", "text",
-            corpus_index=spark.read.parquet(plain_path),
-        )
-        plan_b = probe_b._jdf.queryExecution().executedPlan().toString()
-        assert "SelectedBucketsCount" in plan_b or "Bucketed: true" in plan_b
-        assert _exchange_count(probe_b) < _exchange_count(probe_p), (
-            "bucketed index probe must drop the index-side exchange"
+        save_fingerprint_index(ix, "fp_ix_b", str(tmp_path / "fpix"), n_buckets=nb)
+        plain_path = str(tmp_path / "fpix_plain")
+        ix.write.parquet(plain_path)
+
+        aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            probe_b = incremental_exact_duplicates(
+                delta, None, "doc_id", "text",
+                corpus_index=load_fingerprint_index(spark, "fp_ix_b"),
+            )
+            probe_p = incremental_exact_duplicates(
+                delta, None, "doc_id", "text",
+                corpus_index=spark.read.parquet(plain_path),
+            )
+            plan_b = probe_b._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount" in plan_b or "Bucketed: true" in plan_b
+            assert _exchange_count(probe_b) < _exchange_count(probe_p), (
+                "bucketed index probe must drop the index-side exchange"
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+
+        inline = incremental_exact_duplicates(delta, corpus, "doc_id", "text")
+        assert sorted(map(tuple, probe_b.collect())) == sorted(
+            map(tuple, inline.collect())
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-
-    inline = incremental_exact_duplicates(delta, corpus, "doc_id", "text")
-    assert sorted(map(tuple, probe_b.collect())) == sorted(
-        map(tuple, inline.collect())
-    )
-    spark.sql("DROP TABLE IF EXISTS fp_ix_b")
+        # an assertion failure above must not leak the catalog table into
+        # later tests sharing the session's warehouse
+        spark.sql("DROP TABLE IF EXISTS fp_ix_b")
 
 
 def test_bucketed_near_dup_index_probe_reads_index_in_place(spark, tmp_path):
@@ -192,39 +196,43 @@ def test_bucketed_near_dup_index_probe_reads_index_in_place(spark, tmp_path):
 
     ix = build_near_dup_index(corpus, "doc_id", "text")
     nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    save_near_dup_index(ix, "nd_ix_b", str(tmp_path / "ndix"), n_buckets=nb)
-    for part in ("bands", "shingles", "sizes"):
-        getattr(ix, part).write.parquet(str(tmp_path / f"ndix_plain_{part}"))
-    plain = NearDupIndex(
-        bands=spark.read.parquet(str(tmp_path / "ndix_plain_bands")),
-        shingles=spark.read.parquet(str(tmp_path / "ndix_plain_shingles")),
-        sizes=spark.read.parquet(str(tmp_path / "ndix_plain_sizes")),
-    )
-
-    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        probe_b = incremental_near_duplicates(
-            delta, None, "doc_id", "text",
-            corpus_index=load_near_dup_index(spark, "nd_ix_b"),
+        save_near_dup_index(ix, "nd_ix_b", str(tmp_path / "ndix"), n_buckets=nb)
+        for part in ("bands", "shingles", "sizes"):
+            getattr(ix, part).write.parquet(str(tmp_path / f"ndix_plain_{part}"))
+        plain = NearDupIndex(
+            bands=spark.read.parquet(str(tmp_path / "ndix_plain_bands")),
+            shingles=spark.read.parquet(str(tmp_path / "ndix_plain_shingles")),
+            sizes=spark.read.parquet(str(tmp_path / "ndix_plain_sizes")),
         )
-        probe_p = incremental_near_duplicates(
-            delta, None, "doc_id", "text", corpus_index=plain
-        )
-        plan_b = probe_b._jdf.queryExecution().executedPlan().toString()
-        assert "SelectedBucketsCount" in plan_b or "Bucketed: true" in plan_b
-        assert _exchange_count(probe_b) < _exchange_count(probe_p), (
-            "bucketed near-dup index probe must drop index-side exchanges"
+
+        aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            probe_b = incremental_near_duplicates(
+                delta, None, "doc_id", "text",
+                corpus_index=load_near_dup_index(spark, "nd_ix_b"),
+            )
+            probe_p = incremental_near_duplicates(
+                delta, None, "doc_id", "text", corpus_index=plain
+            )
+            plan_b = probe_b._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount" in plan_b or "Bucketed: true" in plan_b
+            assert _exchange_count(probe_b) < _exchange_count(probe_p), (
+                "bucketed near-dup index probe must drop index-side exchanges"
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+
+        inline = incremental_near_duplicates(delta, corpus, "doc_id", "text")
+        assert sorted(map(tuple, probe_b.collect())) == sorted(
+            map(tuple, inline.collect())
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-
-    inline = incremental_near_duplicates(delta, corpus, "doc_id", "text")
-    assert sorted(map(tuple, probe_b.collect())) == sorted(
-        map(tuple, inline.collect())
-    )
-    for t in ("nd_ix_b_bands", "nd_ix_b_shingles", "nd_ix_b_sizes"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # an assertion failure above must not leak the catalog tables into
+        # later tests sharing the session's warehouse
+        for t in ("nd_ix_b_bands", "nd_ix_b_shingles", "nd_ix_b_sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

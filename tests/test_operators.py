@@ -711,6 +711,114 @@ def test_versioned_store_concurrent_commit_threads(spark, tmp_path):
     assert store.read_current(spark, root).count() == 1
 
 
+def test_versioned_store_commit_with_retry(spark, tmp_path):
+    """The packaged OCC loop: a blind append retries past a conflicting
+    commit; a read-modify-write callable is rebuilt against the FRESH
+    parent each attempt; the bound re-raises after max_retries."""
+    import pytest
+    from bigdatapipelne_spark.sources import store
+
+    root = str(tmp_path / "vstore")
+    store.commit_version(spark.createDataFrame([(0,)], "id int"), root)
+
+    # read-modify-write via callable: append one row to the current
+    # snapshot; a rival commit lands between attempt 1's read and its CAS
+    state = {"rival_done": False}
+
+    def build(parent):
+        if not state["rival_done"]:
+            state["rival_done"] = True
+            store.commit_version(
+                spark.createDataFrame([(100,)], "id int"), root
+            )  # moves the manifest -> attempt 1's CAS must lose
+        cur = store.read_current(spark, root)
+        return cur.unionByName(spark.createDataFrame([(1,)], "id int"))
+
+    store.commit_with_retry(build, root, max_retries=3)
+    # attempt 2 rebuilt on the rival's snapshot: both rows present
+    assert sorted(
+        r.id for r in store.read_current(spark, root).collect()
+    ) == [1, 100]
+
+    # exhaustion: a callable that always moves the manifest first never
+    # commits; the bounded loop re-raises instead of spinning
+    def always_lose(parent):
+        store.commit_version(spark.createDataFrame([(9,)], "id int"), root)
+        return spark.createDataFrame([(2,)], "id int")
+
+    with pytest.raises(store.ConcurrentCommitError):
+        store.commit_with_retry(always_lose, root, max_retries=2)
+
+    # blind DataFrame form still commits (no conflict)
+    store.commit_with_retry(spark.createDataFrame([(3,)], "id int"), root)
+    assert [r.id for r in store.read_current(spark, root).collect()] == [3]
+
+
+def test_versioned_store_gc_reclaims_dead_stage_only(spark, tmp_path):
+    """gc_versions removes a crash-orphaned .stage_* dir (its writer's
+    flock is acquirable) but never a stage whose writer still holds the
+    lock; committed versions are untouched either way."""
+    import fcntl
+    import os
+    from bigdatapipelne_spark.sources import store
+
+    root = str(tmp_path / "vstore")
+    store.commit_version(spark.createDataFrame([(1,)], "id int"), root)
+    store.commit_version(spark.createDataFrame([(2,)], "id int"), root)
+
+    # dead writer: lock file exists, nobody holds it
+    dead = os.path.join(root, ".stage_dead")
+    os.mkdir(dead)
+    open(os.path.join(dead, store._STAGE_LOCK), "w").close()
+    # live writer: this test holds the flock on a separate descriptor
+    live = os.path.join(root, ".stage_live")
+    os.mkdir(live)
+    live_fd = os.open(
+        os.path.join(live, store._STAGE_LOCK), os.O_CREAT | os.O_RDWR
+    )
+    fcntl.flock(live_fd, fcntl.LOCK_EX)
+    try:
+        deleted = store.gc_versions(root, keep=2)
+        assert ".stage_dead" in deleted
+        assert not os.path.exists(dead)
+        assert os.path.exists(live)          # in-flight stage survives gc
+        assert store._versions(root) == ["v_00000001", "v_00000002"]
+        assert store.read_current(spark, root).count() == 1
+    finally:
+        fcntl.flock(live_fd, fcntl.LOCK_UN)
+        os.close(live_fd)
+
+
+def test_versioned_store_version_numbers_monotone_with_commit_order(
+    spark, tmp_path
+):
+    """A CAS loser must not burn a version number: numbering is allocated
+    under the commit lock, so after any loss the next successful commit
+    takes exactly max+1 and _versions order == commit order."""
+    import os
+    import pytest
+    from bigdatapipelne_spark.sources import store
+
+    root = str(tmp_path / "vstore")
+    store.commit_version(spark.createDataFrame([(0,)], "id int"), root)
+    parent = store.current_version(root)
+    store.commit_version(
+        spark.createDataFrame([(1,)], "id int"), root, expected_parent=parent
+    )
+    with pytest.raises(store.ConcurrentCommitError):
+        store.commit_version(
+            spark.createDataFrame([(2,)], "id int"), root,
+            expected_parent=parent,
+        )
+    v = store.commit_version(spark.createDataFrame([(3,)], "id int"), root)
+    # loser left no gap and no stale dir: numbering is dense and ordered
+    assert store._versions(root) == ["v_00000001", "v_00000002", "v_00000003"]
+    assert os.path.basename(v) == "v_00000003"
+    assert not [
+        d for d in os.listdir(root) if d.startswith(".stage_")
+    ], "loser's stage dir must be cleaned up"
+
+
 def test_mad_outliers_robustness(spark):
     """MAD flags a gross outlier that inflates the mean/stddev z-score;
     a constant group (MAD=0) yields null z and no flags."""

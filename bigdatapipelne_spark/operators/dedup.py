@@ -94,6 +94,41 @@ def _shingle_hash_rows(
     )
 
 
+def _shingle_hash_rows_with_size(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """``_shingle_hash_rows`` plus the document's UNCAPPED distinct-shingle
+    count riding every row: ``sz`` is ``F.size`` of the distinct array
+    computed BEFORE the explode, so consumers that need the Jaccard
+    denominator — the n-gram pair aggregate — get it with ZERO extra
+    exchange instead of a sizes groupBy + join-back over the
+    candidate-pair set.
+
+    EAGERLY MATERIALIZED (localCheckpoint) at the pre-explode frame:
+    ``__ss`` is consumed twice (size + explode), and without a hard
+    barrier Catalyst's project collapsing inlines the interpreted
+    HOF shingle expression into BOTH uses — doubling the dominant
+    tokenize/shingle cost (measured 4x wall at sf1; same no-CSE-across-
+    HOF hazard as the winnowing rewrite). Callers must NOT checkpoint
+    again; downstream explode + md5 are cheap codegen over the
+    materialized arrays."""
+    df = _widen_narrow_input(df)
+    pre = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles_from_tokens("__toks", n)).alias("__ss"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return (
+        pre.select(
+            F.col(id_col), F.size("__ss").alias("sz"), F.explode("__ss").alias("s")
+        )
+        .select(id_col, F.md5("s").alias("sh"), "sz")
+    )
+
+
 # Modulus of the MinHash permutation family: the Mersenne prime 2^31-1.
 # (p-1)^2 < 2^62, so a*x + b never overflows a signed 64-bit integer in
 # either engine (Spark long / DuckDB BIGINT) — the portability constraint
@@ -411,20 +446,32 @@ def ngram_jaccard_duplicates(
     NGRAM_MAX_DOC_FREQ) drops shingles appearing in more than that many
     documents from the CANDIDATE index (standard positional-filter trick).
     Doc sizes — the Jaccard denominator — are always computed from the
-    UNCAPPED index, so the cap is one-sided: an intersection consisting
-    only of capped shingles may be undercounted (a missed pair), but a
-    reported jaccard is never inflated (no false positives). Pass
-    ``max_doc_freq=None`` for the exact unbounded form.
+    UNCAPPED shingle set, so the cap is one-sided: an intersection
+    consisting only of capped shingles may be undercounted (a missed
+    pair), but a reported jaccard is never inflated (no false positives).
+    Pass ``max_doc_freq=None`` for the exact unbounded form.
+
+    Shuffle shape (round-9 rewrite; the round-8 sf10 sweep's worst cell at
+    9.89x was this operator's old 6-exchange plan): each index row carries
+    its document's UNCAPPED set size from the scan (``F.size`` of the
+    distinct-shingle array, computed BEFORE the explode — zero extra
+    exchange), so the pair aggregate emits jaccard directly and the old
+    post-aggregation size joins — two full shuffles of the pre-threshold
+    candidate-pair set plus a sizes groupBy over the index — are gone.
+    Remaining exchanges: ONE index shuffle on ``sh`` (the cap window,
+    whose distribution the self-join reuses for both sides) and ONE pair
+    shuffle into the count aggregate. The exact length prefilter
+    (jaccard <= min(sz)/max(sz), the same 1-row rounding slack as
+    ``_verify_candidate_pairs``) runs in the joined codegen stage, so
+    size-incompatible pairs die before the pair shuffle.
     """
-    # The shingle index feeds three consumers (sizes + both join sides);
-    # materialize it once instead of re-tokenizing the corpus per consumer.
-    sh_full = (
-        _shingle_hash_rows(df, id_col, text_col, n)
-        .withColumnRenamed(id_col, "sid")
-        .localCheckpoint(eager=True)
+    # _shingle_hash_rows_with_size materializes the pre-explode shingle
+    # arrays itself (see its docstring) — ONE tokenize pass; explode+md5
+    # downstream are codegen and the self-join's two sides share the cap
+    # window's exchange via ReusedExchange.
+    sh = _shingle_hash_rows_with_size(df, id_col, text_col, n).withColumnRenamed(
+        id_col, "sid"
     )
-    sizes = sh_full.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
-    sh = sh_full
     if max_doc_freq is not None:
         # doc-freq cap as a count-over-window partitioned by the shingle
         # hash: ONE exchange and a streaming filter, vs the count-aggregate
@@ -434,29 +481,36 @@ def ngram_jaccard_duplicates(
         from pyspark.sql.window import Window
 
         sh = (
-            sh_full.withColumn(
+            sh.withColumn(
                 "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
             )
             .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
         )
-    a = sh.select(F.col("sid").alias("id_a"), "sh")
-    b = sh.select(F.col("sid").alias("id_b"), "sh")
+    a = sh.select(F.col("sid").alias("id_a"), "sh", F.col("sz").alias("sz_a"))
+    b = sh.select(F.col("sid").alias("id_b"), "sh", F.col("sz").alias("sz_b"))
     inter = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
+        # exact length prefilter: a pair with min(sz) < t*max(sz) cannot
+        # reach threshold (jaccard <= min/max); 1-row slack absorbs double
+        # rounding, so only MORE pairs survive than strictly necessary
+        .filter(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1.0)
+        )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("sz_a").alias("sz_a"),  # constant per pair
+            F.min("sz_b").alias("sz_b"),
+        )
     )
-    size_a = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"))
-    size_b = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter").cast("double") / (
         (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
     )
     return (
-        inter.join(size_a, "id_a")
-        .join(size_b, "id_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

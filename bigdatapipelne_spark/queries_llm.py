@@ -2190,6 +2190,24 @@ def _incr_dedup_delta(docs: DataFrame):
     return delta, corpus
 
 
+def _incr_near_dup_delta(docs: DataFrame):
+    """The incremental_near_dup gate queries' delta/corpus construction,
+    shared with bench_probe.py so the probe-only benchmark times exactly
+    the gate's workload."""
+    corpus = docs.filter(F.col("source") != "src3").select("doc_id", "text")
+    delta = (
+        docs.filter(F.col("source") == "src3")
+        .select("doc_id", "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + F.lit(_RECRAWL_OFF_1)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" drift")).alias("text"),
+            )
+        )
+    )
+    return delta, corpus
+
+
 @query("incremental_dedup", oracle=_INCR_DEDUP_ORACLE)
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-vs-corpus exact dedup (operators/dedup.py
@@ -2468,17 +2486,7 @@ def incremental_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    corpus = docs.filter(F.col("source") != "src3").select("doc_id", "text")
-    delta = (
-        docs.filter(F.col("source") == "src3")
-        .select("doc_id", "text")
-        .unionByName(
-            corpus.filter(F.col("doc_id") % 17 == 0).select(
-                (F.col("doc_id") + F.lit(_RECRAWL_OFF_1)).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" drift")).alias("text"),
-            )
-        )
-    )
+    delta, corpus = _incr_near_dup_delta(docs)
     # run-unique (PID-scoped) catalog names + sweep of dead runs' leaked
     # entries (shared catalog/warehouse)
     _sweep_leaked_index_tables(spark, "nd_ix_r_", rm_parent=True)
@@ -2509,17 +2517,7 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatapipelne_spark.operators.dedup import incremental_near_duplicates
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    corpus = docs.filter(F.col("source") != "src3").select("doc_id", "text")
-    delta = (
-        docs.filter(F.col("source") == "src3")
-        .select("doc_id", "text")
-        .unionByName(
-            corpus.filter(F.col("doc_id") % 17 == 0).select(
-                (F.col("doc_id") + F.lit(_RECRAWL_OFF_1)).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" drift")).alias("text"),
-            )
-        )
-    )
+    delta, corpus = _incr_near_dup_delta(docs)
     return incremental_near_duplicates(delta, corpus, "doc_id", "text")
 
 

@@ -537,22 +537,81 @@ def srp_buckets(
 
 
 def _srp_table_frame(
-    df: DataFrame, id_col: str, vec_col: str, dim: int, nbits: int, n_tables: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    nbits: int,
+    n_tables: int,
+    hasher: str = "catalyst",
 ) -> DataFrame:
     """Materialize (id, vec, norm, _b0.._b{L-1}) once: the frame feeds BOTH
     join sides, and Catalyst does not share the SRP projection (L x nbits
     dot products per row) across them — without this the corpus is scanned
     and SRP-hashed twice. Table l uses the globally-numbered hyperplanes
-    [l*nbits, (l+1)*nbits) — disjoint deterministic draws."""
+    [l*nbits, (l+1)*nbits) — disjoint deterministic draws.
+
+    ``hasher="arrow"`` computes all L*nbits sign bits (and the norm) as
+    ONE numpy matmul per Arrow batch instead of L*nbits interpreted HOF
+    folds per row — the fold form is the dominant stage of the SRP
+    queries at 100x data (88 interpreted 64-element folds per row for the
+    8-table paths) and pathologically JIT-bimodal on top. Same
+    deterministic +/-1 md5 hyperplanes; a bit can differ from the
+    Catalyst fold only when the true dot product sits within one rounding
+    ulp of zero (pairwise vs sequential summation), which moves a vector
+    to an equally-random neighboring bucket — harmless for the rows-only
+    ANN surfaces and for the recall certificates, whose hashed output is
+    the floor boolean, not the bucket contents (and whose subset property
+    comes from exact SCORING, not hashing). Agreement is pinned by
+    tests/test_llm_ops.py on the test corpus."""
+    # Repartition BEFORE the projection: a single-file scan arrives as one
+    # partition, which would run the hashing work per row on one core
+    # (measured 4x on the 64-dim corpus).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if hasher == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        planes = np.array(
+            [_srp_hyperplane(dim, b) for b in range(n_tables * nbits)],
+            dtype=np.float64,
+        )
+        id_t = df.schema[id_col].dataType.simpleString()
+        vec_t = df.schema[vec_col].dataType.simpleString()
+        schema = (
+            f"{id_col} {id_t}, {vec_col} {vec_t}, _norm double, "
+            + ", ".join(f"_b{t} string" for t in range(n_tables))
+        )
+
+        def hash_batches(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                signs = (V @ planes.T) >= 0  # (rows, L*nbits)
+                out = {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "_norm": np.sqrt((V * V).sum(axis=1)),
+                }
+                for tbl in range(n_tables):
+                    seg = signs[:, tbl * nbits : (tbl + 1) * nbits]
+                    chars = np.where(seg, "1", "0").astype("U1")
+                    out[f"_b{tbl}"] = (
+                        np.ascontiguousarray(chars).view(f"<U{nbits}").ravel()
+                    )
+                yield pd.DataFrame(out)
+
+        return (
+            df.repartition(par)
+            .mapInPandas(hash_batches, schema)
+            .localCheckpoint(eager=True)
+        )
     cols = [F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_norm")]
     for tbl in range(n_tables):
         cols.append(
             _bucket_expr(vec_col, dim, nbits, bit_offset=tbl * nbits).alias(f"_b{tbl}")
         )
-    # Repartition BEFORE the projection: a single-file scan arrives as one
-    # partition, which would run the L x nbits interpreted dot products per
-    # row on one core (measured 4x on the 64-dim corpus).
-    par = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(par).select(*cols).localCheckpoint(eager=True)
 
 
@@ -601,6 +660,7 @@ def srp_bucket_ann(
     max_bucket_size: int | None = 4096,
     n_tables: int = 1,
     scorer: str = "catalyst",
+    hasher: str = "catalyst",
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates share an SRP bucket in one of
     ``n_tables`` independent hash tables (with 1-bit multi-probe on the
@@ -622,7 +682,9 @@ def srp_bucket_ann(
     if nbits is None:
         nbits = pick_nbits(df.count(), target_bucket_size)
 
-    bucketed = _srp_table_frame(df, id_col, vec_col, dim, nbits, n_tables)
+    bucketed = _srp_table_frame(
+        df, id_col, vec_col, dim, nbits, n_tables, hasher=hasher
+    )
 
     # Candidate (neighbor) side, optionally capped per bucket. The cap is
     # deterministic — md5(id) order — so the candidate set is identical on
@@ -690,6 +752,7 @@ def srp_near_duplicate_pairs(
     max_bucket_size: int | None = 4096,
     n_tables: int = 1,
     scorer: str = "catalyst",
+    hasher: str = "catalyst",
 ) -> DataFrame:
     """The SCALE path for ``near_duplicate_pairs``: candidate pairs share an
     SRP bucket in one of ``n_tables`` independent tables (one side
@@ -711,7 +774,9 @@ def srp_near_duplicate_pairs(
     if nbits is None:
         nbits = pick_nbits(df.count(), target_bucket_size)
 
-    bucketed = _srp_table_frame(df, id_col, vec_col, dim, nbits, n_tables)
+    bucketed = _srp_table_frame(
+        df, id_col, vec_col, dim, nbits, n_tables, hasher=hasher
+    )
 
     b_side = bucketed.select(
         F.col(id_col).alias("id_b"),

@@ -541,14 +541,17 @@ def embedding_near_dup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for embedding_near_dup: SRP-bucketed candidate pairs
     (8 OR-amplified tables, multi-probe) scored per-bucket as one numpy
     matmul (Arrow scorer) and thresholded — never O(N^2), and no
-    interpreted per-pair expression either. Recall vs the exact baseline
-    and score-exactness are asserted in tests/test_llm_ops.py; the recall
-    bound is also driver-gated via embedding_ann_recall below (which keeps
-    the Catalyst scorer for its strict-subset certificate)."""
+    interpreted per-pair expression either. The 88 sign bits themselves
+    are also one matmul per Arrow batch (hasher="arrow"): the interpreted
+    HOF fold form was the dominant — and JIT-bimodal — stage of the
+    round-8 sf10 cell. Recall vs the exact baseline and hasher agreement
+    are asserted in tests/test_llm_ops.py; the recall bound is also
+    driver-gated via embedding_ann_recall below (same arrow hasher,
+    Catalyst scorer for exact thresholding)."""
     emb = t(spark, sf_dir, "embeddings")
     return srp_near_duplicate_pairs(
         emb, "vec_id", "embedding", dim=EMBEDDING_DIM, threshold=0.42,
-        n_tables=8, scorer="arrow",
+        n_tables=8, scorer="arrow", hasher="arrow",
     )
 
 
@@ -583,8 +586,13 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     converting the ANN path's evidence from rows-only to value-checked."""
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < EXACT_NEAR_DUP_CAP)
     exact = near_duplicate_pairs(emb, "vec_id", "embedding", threshold=0.42)
+    # hasher matches the production path (embedding_near_dup_ann) so the
+    # certificate bounds the candidates that path actually generates; the
+    # hashed output is the floor boolean, insensitive to ulp-boundary
+    # bucket moves. Scorer stays Catalyst: exact thresholding.
     ann = srp_near_duplicate_pairs(
-        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, threshold=0.42, n_tables=8
+        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, threshold=0.42,
+        n_tables=8, hasher="arrow",
     )
     found = ann.join(exact, ["id_a", "id_b"], "left_semi")
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
@@ -699,7 +707,7 @@ def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return srp_bucket_ann(
         emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=5, n_tables=4,
-        scorer="arrow",
+        scorer="arrow", hasher="arrow",
     )
 
 
@@ -800,7 +808,7 @@ def ann_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < TOPK_RECALL_CAP)
     ann = srp_bucket_ann(
         emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=5, n_tables=8,
-        scorer="arrow",
+        scorer="arrow", hasher="arrow",
     )
     return _topk_recall_certificate(emb, ann, ANN_TOPK_RECALL_FLOOR)
 

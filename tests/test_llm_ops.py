@@ -136,6 +136,36 @@ def test_ann_recall_and_determinism(spark):
     assert got1 == got2
 
 
+def test_srp_arrow_hasher_matches_catalyst(spark):
+    """The Arrow (numpy-matmul) SRP hasher assigns every vector the same
+    bucket strings and the same norm (to rounding) as the interpreted
+    Catalyst fold — a bit may only ever differ when the true dot product
+    sits within one ulp of zero, which this corpus never exercises. Also
+    asserts the arrow-hashed end-to-end path keeps the recall floor."""
+    from bigdatapipelne_spark.operators.similarity import _srp_table_frame
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cat = _srp_table_frame(emb, "vec_id", "embedding", 64, 11, 8)
+    arr = _srp_table_frame(
+        emb, "vec_id", "embedding", 64, 11, 8, hasher="arrow"
+    )
+    bcols = [f"_b{t}" for t in range(8)]
+    c = {r.vec_id: tuple(r[b] for b in bcols) for r in cat.collect()}
+    a = {r.vec_id: tuple(r[b] for b in bcols) for r in arr.collect()}
+    assert c == a
+    cn = {r.vec_id: r._norm for r in cat.select("vec_id", "_norm").collect()}
+    an = {r.vec_id: r._norm for r in arr.select("vec_id", "_norm").collect()}
+    assert all(abs(cn[k] - an[k]) < 1e-9 for k in cn)
+
+    # end-to-end: the arrow-hashed registered configuration keeps recall
+    truth = {(r.query_id, r.neighbor_id) for r in
+             brute_force_topk(emb, emb, "vec_id", "embedding", k=5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in
+           srp_bucket_ann(emb, "vec_id", "embedding", dim=64, k=5,
+                          n_tables=4, scorer="arrow", hasher="arrow").collect()}
+    assert len(got & truth) / len(truth) >= 0.75
+
+
 def test_ivf_recall_and_determinism(spark):
     from bigdatapipelne_spark.operators.similarity import ivf_topk
 

@@ -159,27 +159,35 @@ def main() -> None:
     for part in ("bands", "shingles", "sizes"):
         spark.sql(f"DROP TABLE IF EXISTS {nd_name}_{part}")
 
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_probe.json"
+    )
     out = {
         "metric": "probe_only",
         "unit": "sec",
-        "sf": sf,
         "note": (
             "Steady-state per-batch cost against a PRE-BUILT standing "
             "index (bucketed catalog layout; index read in place, zero "
             "index-side exchange — plan-asserted in tests/test_bucketing). "
             "build_save_sec is the one-time index build + sorted bucketed "
             "write the gate cells (incremental_*_indexed) additionally "
-            "pay; probe_sec is min of warm repeats of load+probe+noop."
+            "pay; probe_sec is min of warm repeats of load+probe+noop. "
+            "Keyed by SF so the 100x probe scaling reads directly."
         ),
-        "queries": results,
+        "by_sf": {},
     }
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_probe.json"
-    )
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            out["by_sf"] = prev.get("by_sf", {})
+        except (ValueError, OSError):
+            pass
+    out["by_sf"][str(sf)] = results
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(json.dumps({k: v for k, v in out.items() if k != "note"}))
+    print(json.dumps({"metric": "probe_only", "sf": sf, "queries": results}))
 
 
 if __name__ == "__main__":

@@ -226,7 +226,16 @@ def main() -> None:
         "STATUS.md (stop-shingle caps, sqrt(N) IVF cells, narrow-scan "
         "widening, A-ES filter hoist, corpus_pipeline checkpoint, "
         "minhash tokenize-once + band-bucket cap + length prefilter, "
-        "bm25 explode-aggregate profile)."
+        "bm25 explode-aggregate profile). Streaming-drain cells measure a "
+        "per-invocation stateful-machinery constant, not data throughput: "
+        "the stream-stream outer-join drain costs ~6s WARM at BOTH sf0.01 "
+        "and sf0.1 on this box (state-store load/commit across 32 "
+        "partitions x the multi-batch availableNow watermark cycle), "
+        "while a trivial identity drain is ~0.5s and the equivalent "
+        "batch join ~0.6s — measured round 9, "
+        ".profiling/prof_drain_overhead_r9.py; the constant amortizes "
+        "away on a long-running stream, so drain sf-ratios overstate "
+        "scaling honesty only in the conservative direction."
     )
     if partial:
         note = f"last rerun subset: {sorted(only)}; " + note

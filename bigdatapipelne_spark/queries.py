@@ -670,7 +670,11 @@ _GATE_PRIORITY = [
     # ROUND 7 — packed_sequences rotates out (r06 green, code unchanged
     # this round). Its slot seats multimodal_features, churned by the
     # batched Arrow reduction rewrite of image_features.
-    "multimodal_features",
+    # ROUND 9 — multimodal_features rotates out (r08 green, code
+    # unchanged; the multimodal surface keeps multimodal_metadata's
+    # lifetime row + pytest coverage). Its slot seats deduped_documents,
+    # churned by the ngram size-riding rewrite.
+    "deduped_documents",
     "value_anomalies",
     # pii_redaction / doc_char_entropy re-gate for the round-6 widen (the
     # sf10 rehearsal found their regex/char-explode stages one-core on
@@ -681,8 +685,17 @@ _GATE_PRIORITY = [
     # regex surface keeps local parity). Its slot seats
     # q2_min_cost_supplier, churned by the round-7 post-gate semi-join
     # pushdown (the red test_gate_churn finding — verdict item 1).
-    "q2_min_cost_supplier",
-    "doc_char_entropy",
+    # ROUND 9 — q2_min_cost_supplier rotates out (r08 green, code
+    # unchanged; TPC-H stays anchored by q21_waiting_orders and the
+    # analytics surface in-gate). Its slot seats ann_topk_recall, churned
+    # by the SRP arrow hasher (srp_bucket_ann hashing path).
+    "ann_topk_recall",
+    # ROUND 9 — doc_char_entropy rotates out (r08 green, code unchanged;
+    # the text family stays anchored by text_stats + doc_repetition
+    # in-gate). Its slot seats near_dup_clusters_pd, churned by the
+    # ngram size-riding rewrite (_shingle_hash_rows_with_size feeds its
+    # pair mining).
+    "near_dup_clusters_pd",
     # wave-3 narrow-scan widens (doc_chunks 34.6x, doc_repetition 38.0x,
     # doc_collapse_repeats 27.0x at sf10) re-gate; slots from
     # medallion_audit / salted_skew_join / stream_versioned_sink_drain

@@ -206,22 +206,32 @@ def expire_serving(
     import time
 
     from bigdatapipelne_spark.sources.store import (
-        commit_version,
+        commit_with_retry,
         current_version,
         gc_versions,
-        read_current,
+        read_version,
     )
 
     now = int(time.time()) if now_epoch is None else now_epoch
     if current_version(serving_path) is not None:
-        df = read_current(spark, serving_path)
-        live = df.filter(F.col("ttl") > F.lit(now))
-        expired = df.count() - live.count()
-        if expired == 0:
-            return 0
-        commit_version(live, serving_path)
-        gc_versions(serving_path, keep=keep)
-        return expired
+        # OCC read-modify-write: the sweep is rebuilt against the FRESH
+        # parent on every attempt (read_version(parent), not
+        # read_current, so the frame and the CAS agree on the snapshot);
+        # a racing writer's commit between read and flip retries instead
+        # of being clobbered. Returning None aborts the commit when the
+        # current snapshot has nothing expired.
+        state = {"expired": 0}
+
+        def build(parent):
+            df = read_version(spark, serving_path, parent)
+            live = df.filter(F.col("ttl") > F.lit(now))
+            state["expired"] = df.count() - live.count()
+            return live if state["expired"] else None
+
+        commit_with_retry(build, serving_path)
+        if state["expired"]:
+            gc_versions(serving_path, keep=keep)
+        return state["expired"]
 
     df = spark.read.parquet(serving_path)
     live = df.filter(F.col("ttl") > F.lit(now))

@@ -888,11 +888,14 @@ def stream_versioned_sink_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tmp, "store")
 
     def commit_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        if store.current_version(root) is None:
-            snap = batch_df
-        else:
-            snap = store.read_current(spark, root).unionByName(batch_df)
-        store.commit_version(snap, root)
+        # the packaged OCC read-modify-write loop: each attempt rebuilds
+        # previous-snapshot UNION batch against the fresh parent
+        def build(parent):
+            if parent is None:
+                return batch_df
+            return store.read_version(spark, root, parent).unionByName(batch_df)
+
+        store.commit_with_retry(build, root)
 
     src = (
         spark.readStream.schema("event_id long, user_id long, value double")

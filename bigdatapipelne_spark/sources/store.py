@@ -136,10 +136,10 @@ def commit_version(
 
 
 def commit_with_retry(
-    df: Union[DataFrame, Callable[[str | None], DataFrame]],
+    df: Union[DataFrame, Callable[[str | None], "DataFrame | None"]],
     root: str,
     max_retries: int = 5,
-) -> str:
+) -> str | None:
     """Bounded OCC retry loop around ``commit_version`` — the pattern
     every foreachBatch sink caller needs, packaged (round-8 verdict #6).
 
@@ -147,15 +147,22 @@ def commit_with_retry(
     it; on ``ConcurrentCommitError`` it retries, up to ``max_retries``
     attempts total, then re-raises the last error. For blind snapshot
     appends pass the DataFrame; for read-modify-write commits pass a
-    callable ``parent_version -> DataFrame`` so the frame is rebuilt
-    against the fresh snapshot each attempt (committing a stale
-    read-modify-write would silently undo the racing writer's rows)."""
+    callable ``parent_version -> DataFrame | None`` so the frame is
+    rebuilt against the fresh snapshot each attempt (committing a stale
+    read-modify-write would silently undo the racing writer's rows) —
+    read the parent via ``read_version(spark, root, parent)``, not
+    ``read_current``, so the frame and the CAS agree on the snapshot. A
+    callable may return ``None`` to abort: nothing is committed and the
+    function returns ``None`` (e.g. a TTL sweep that found nothing
+    expired in the current snapshot)."""
     if max_retries < 1:
         raise ValueError("max_retries must be >= 1")
     last: ConcurrentCommitError | None = None
     for _ in range(max_retries):
         parent = current_version(root)
         frame = df(parent) if callable(df) else df
+        if frame is None:
+            return None
         try:
             return commit_version(frame, root, expected_parent=parent)
         except ConcurrentCommitError as exc:

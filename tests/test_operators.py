@@ -753,6 +753,11 @@ def test_versioned_store_commit_with_retry(spark, tmp_path):
     store.commit_with_retry(spark.createDataFrame([(3,)], "id int"), root)
     assert [r.id for r in store.read_current(spark, root).collect()] == [3]
 
+    # a callable returning None aborts: nothing committed, None returned
+    before = store.current_version(root)
+    assert store.commit_with_retry(lambda parent: None, root) is None
+    assert store.current_version(root) == before
+
 
 def test_versioned_store_gc_reclaims_dead_stage_only(spark, tmp_path):
     """gc_versions removes a crash-orphaned .stage_* dir (its writer's

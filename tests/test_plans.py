@@ -142,6 +142,33 @@ def test_dedup_pipelines_shuffle_hashes_not_documents(spark):
             assert "text#" not in first_line, name
 
 
+def test_ngram_pair_plan_has_no_post_agg_size_joins(spark):
+    """The round-9 rewrite: doc sizes ride the index rows from the scan,
+    so the pair aggregate emits jaccard directly — with AQE/broadcast off
+    (the at-scale join strategy; at test scale AQE broadcasts the tiny
+    self-join side and re-derives it instead of reusing the exchange) the
+    plan tree must contain exactly TWO Exchanges (the doc-freq cap window
+    on sh and the pair-count aggregate), ONE join (the index self-join,
+    its second side a ReusedExchange of the first), and no further joins
+    — the old shape carried two post-aggregation size joins and four more
+    exchanges."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        tree = plan(spark, "ngram_jaccard_pairs").split("\n\n")[0]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    # "Exchange (n)" counts real shuffles; ReusedExchange is the self-join
+    # side sharing the window's exchange, not a new one.
+    n_exchanges = tree.count("Exchange") - tree.count("ReusedExchange")
+    assert n_exchanges == 2, tree
+    assert tree.count("ReusedExchange") == 1, tree
+    assert tree.count("SortMergeJoin") == 1 and tree.count("Join") == 1, tree
+
+
 def test_asof_join_is_window_not_range_join(spark):
     p = plan(spark, "asof_purchase_view")
     assert "Join" not in p  # union + running window, no join operator

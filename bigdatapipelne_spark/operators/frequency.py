@@ -38,27 +38,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _misra_gries_update(counters: dict[str, int], item: str, capacity: int) -> None:
-    """One MG step: count if tracked or roomy, else decrement-all.
-
-    The decrement-all sweep costs O(capacity) but fires at most once per
-    capacity+1 arrivals (each sweep retires capacity+1 units of count), so
-    a partition of n tokens does O(n) total work.
-    """
-    if item in counters:
-        counters[item] += 1
-    elif len(counters) < capacity:
-        counters[item] = 1
-    else:
-        dead = []
-        for k in counters:
-            counters[k] -= 1
-            if counters[k] == 0:
-                dead.append(k)
-        for k in dead:
-            del counters[k]
-
-
 def misra_gries_candidates(
     tokens_df: DataFrame, tokens_col: str, capacity: int
 ) -> DataFrame:
@@ -68,15 +47,36 @@ def misra_gries_candidates(
     its arrays through one MG summary of at most ``capacity`` counters and
     emits just the surviving token strings — at most ``capacity`` rows per
     partition, whatever the partition's size.
-    """
+
+    Vectorized as MERGEABLE summaries (Agarwal/Cormode et al.): each Arrow
+    batch is counted in one C-speed ``value_counts``, merged into the
+    running summary pointwise, then shrunk by subtracting the
+    (capacity+1)-th largest count and dropping non-positives. Each shrink
+    of ``s`` removes >= s*(capacity+1) count mass (the top capacity+1
+    counters all hold >= s), so the cumulative deficit of any token stays
+    <= n/(capacity+1) < n/capacity — every true-frequent token survives
+    as a candidate, exactly the per-token MG guarantee, without the
+    per-token Python loop (~30M dict ops at the 100x corpus). Candidates
+    are a SUPERSET-noise-tolerant intermediate: ``frequent_items``
+    re-counts them exactly, so the final output is loop-form-identical."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     def summarize(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
         counters: dict[str, int] = {}
         for pdf in batches:
-            for arr in pdf[tokens_col]:
-                for item in arr:
-                    _misra_gries_update(counters, item, capacity)
+            arrays = [a for a in pdf[tokens_col] if a is not None and len(a)]
+            if not arrays:
+                continue
+            flat = np.concatenate([np.asarray(a, dtype=object) for a in arrays])
+            for tok, c in pd.Series(flat).value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > capacity:
+                sub = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    t: c - sub for t, c in counters.items() if c > sub
+                }
         yield pd.DataFrame({"token": list(counters)})
 
     return (

@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import datetime
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -76,10 +75,6 @@ SESSION_STATE_SCHEMA = StructType(
 _US = 1_000_000
 
 
-def _ts_to_us(ts: Any) -> int:
-    return int(pd.Timestamp(ts).value // 1000)
-
-
 def _us_to_ts(us: int) -> datetime.datetime:
     return pd.Timestamp(us * 1000).to_pydatetime()
 
@@ -112,8 +107,26 @@ def _session_fn(gap_us: int):
             cur = list(state.get) if state.exists else None
             events: list[tuple[int, int]] = []
             for pdf in pdfs:
-                for ts, value in zip(pdf["ts"], pdf["value"]):
-                    events.append((_ts_to_us(ts), int(round(float(value) * 100))))
+                if len(pdf) == 0:
+                    continue
+                # vectorized per batch: a pd.Timestamp + Python round() per
+                # EVENT was ~2/3 of the per-group cost at the 100x corpus
+                # (150k tiny groups x ~200us of scalar conversions). Same
+                # semantics: ns->us floor division; .round() is half-even,
+                # as Python round() was.
+                us = (
+                    pd.to_datetime(pdf["ts"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1000
+                ).to_numpy()
+                cents_v = (
+                    (pdf["value"].astype("float64") * 100)
+                    .round()
+                    .astype("int64")
+                    .to_numpy()
+                )
+                events.extend(zip(us.tolist(), cents_v.tolist()))
             events.sort()
             for ev_us, ev_cents in events:
                 if cur is None:

@@ -16,6 +16,19 @@ the repo root (committed per round) — read that file for the full sweep.
 Each query is forced through a ``noop``-format write so the full result
 (every column, every row) is computed on executors — ``count()`` alone would
 let Catalyst prune the payload columns and under-report the work.
+
+Streaming-drain cells carry a per-invocation constant that is machinery,
+not data work: micro-batch scheduling + sink/checkpoint commits (the
+identity-drain floor) plus, for stateful plans, a per-state-partition
+store load/commit each batch. So the sweep measures and records the
+identity-drain constant (``identity_drain_sec``: a projection of
+events.parquet through the same availableNow parquet sink + checkpoint,
+best of two) in BENCH_local.json each run — drain-cell swings across
+rounds can then be attributed against the same-box constant instead of
+cross-round archaeology. The stateful drain queries size their state
+partitioning to the workload (streaming/joins.py size_state_partitions;
+round-10 change — earlier records paid ~5 s/query of empty-partition
+store commits at 32 partitions).
 """
 
 from __future__ import annotations
@@ -59,6 +72,31 @@ def main() -> None:
     )
 
     import gc
+
+    def identity_drain_once() -> float:
+        """Time the streaming fixed overhead alone: identity projection of
+        events.parquet through the availableNow parquet sink + checkpoint
+        (no stateful operator). This is the floor every drain cell pays."""
+        import shutil
+        import tempfile
+
+        from bigdatapipelne_spark.streaming.fraud import (
+            read_events_parquet_stream,
+            run_available_now,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="bench_idrain_")
+        try:
+            t0 = time.perf_counter()
+            s = read_events_parquet_stream(
+                spark, f"{sf_dir}/events.parquet"
+            ).select("event_id", "user_id", "ts")
+            run_available_now(s, f"{tmp}/out", f"{tmp}/cp")
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    identity_drain_sec = round(min(identity_drain_once(), identity_drain_once()), 3)
 
     def run_once(name: str) -> float:
         # Release dead localCheckpoint RDD blocks first — the
@@ -120,6 +158,9 @@ def main() -> None:
         # round 3+ is min-of-two capped at 30 s. Compare like with like —
         # samples[name][0] is the single-pass-equivalent figure.
         "methodology": "best_of_two_min_capped_30s",
+        # Same-box streaming fixed overhead (identity availableNow drain,
+        # best of two) — subtract/compare before reading drain-cell drift.
+        "identity_drain_sec": identity_drain_sec,
         "queries": timings,
         "samples": samples,
         "n_queries": len(timings),
@@ -139,6 +180,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "methodology": "best_of_two_min_capped_30s",
+                "identity_drain_sec": identity_drain_sec,
                 "queries": slowest,
                 "n_queries": len(timings),
                 "cap_hits": len(cap_hits),

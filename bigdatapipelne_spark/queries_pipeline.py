@@ -368,7 +368,10 @@ def purchase_view_outer_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_parquet_stream,
         run_available_now,
     )
-    from bigdatapipelne_spark.streaming.joins import correlate_streams
+    from bigdatapipelne_spark.streaming.joins import (
+        correlate_streams,
+        size_state_partitions,
+    )
 
     def side(event_type: str, cols: dict[str, str]) -> DataFrame:
         s = read_events_parquet_stream(spark, f"{sf_dir}/events.parquet")
@@ -384,7 +387,12 @@ def purchase_view_outer_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="ss_outer_")
     out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
-    run_available_now(joined, out, cp)
+    # State volume ~ purchases+views rows; the metadata-only total-row
+    # count is a one-sided (over) proxy. See size_state_partitions.
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    run_available_now(
+        joined, out, cp, state_partitions=size_state_partitions(n_events)
+    )
     return spark.read.parquet(out).select(
         "user_id", "purchase_id", "pts", "view_id", "vts"
     )
@@ -470,7 +478,10 @@ def purchase_view_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_parquet_stream,
         run_available_now,
     )
-    from bigdatapipelne_spark.streaming.joins import correlate_streams
+    from bigdatapipelne_spark.streaming.joins import (
+        correlate_streams,
+        size_state_partitions,
+    )
 
     def side(event_type: str, cols: dict[str, str]) -> DataFrame:
         s = read_events_parquet_stream(spark, f"{sf_dir}/events.parquet")
@@ -489,7 +500,10 @@ def purchase_view_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="ss_join_")
     out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
-    run_available_now(joined, out, cp)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    run_available_now(
+        joined, out, cp, state_partitions=size_state_partitions(n_events)
+    )
     return spark.read.parquet(out).select(
         "user_id", "purchase_id", "pts", "purchase_value", "view_id", "vts"
     )
@@ -1026,7 +1040,10 @@ def purchase_view_full_outer_drain(spark: SparkSession, sf_dir: str) -> DataFram
         read_events_parquet_stream,
         run_available_now,
     )
-    from bigdatapipelne_spark.streaming.joins import correlate_streams
+    from bigdatapipelne_spark.streaming.joins import (
+        correlate_streams,
+        size_state_partitions,
+    )
 
     def side(event_type: str, cols: dict[str, str]) -> DataFrame:
         s = read_events_parquet_stream(spark, f"{sf_dir}/events.parquet")
@@ -1041,7 +1058,10 @@ def purchase_view_full_outer_drain(spark: SparkSession, sf_dir: str) -> DataFram
     )
     tmp = tempfile.mkdtemp(prefix="ss_full_outer_")
     out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
-    run_available_now(joined, out, cp)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    run_available_now(
+        joined, out, cp, state_partitions=size_state_partitions(n_events)
+    )
     # Null-extended sides are COALESCEd to sentinels (-1 / 1900-01-01) on
     # BOTH engines: the hash compare sorts rows by every column, and a
     # nullable timestamp in the first-sorting column breaks that sort (the

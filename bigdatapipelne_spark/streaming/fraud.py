@@ -173,6 +173,7 @@ def run_available_now(
     checkpoint_path: str,
     fmt: str = "parquet",
     output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> None:
     """Drain everything currently available through the streaming plan and
     stop (W4 append + W5 checkpoint + the availableNow trigger).
@@ -181,16 +182,42 @@ def run_available_now(
     ddk_app/custom/historical.py:358): the checkpoint tracks processed
     files, so re-running with the same checkpoint processes only new files
     — incremental ingestion without a bespoke ledger.
+
+    ``state_partitions`` sizes the stateful operators' state-store
+    partitioning to the WORKLOAD instead of the session's batch shuffle
+    default. Structured Streaming pins ``spark.sql.shuffle.partitions``
+    into the checkpoint at first start (restarts reuse the pinned value,
+    so the post-drain restore below can never re-plan an existing query);
+    every micro-batch then pays a per-partition, per-state-store
+    load/commit constant — a stream-stream join carries FOUR state stores
+    per partition, and the availableNow watermark cycle runs multiple
+    batches. Oversized state partitioning therefore buys pure overhead:
+    measured warm at sf0.1 (local[32]), the left-outer purchase/view
+    drain runs 7.3s with 32 nearly-empty state partitions and 2.7s with
+    4 (full-outer 7.7s→2.4s, inner 6.9s→2.2s — identical output rows;
+    .profiling/prof_drain_parts_r10.py). Size it from expected state
+    volume (streaming/joins.py size_state_partitions); a 1000-executor
+    deployment sizes the same knob UP (2-3x total cores) for state
+    throughput — the point is matching the workload, not a small number.
+    ``None`` keeps the session default unchanged.
     """
-    q = (
-        sdf.writeStream.format(fmt)
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format(fmt)
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def read_serving(spark: SparkSession, serving_path: str) -> DataFrame:

@@ -76,6 +76,31 @@ def correlate_streams(
     return joined.drop(rw[key])
 
 
+def size_state_partitions(
+    n_state_rows: int,
+    rows_per_partition: int = 250_000,
+    floor: int = 4,
+    cap: int | None = None,
+) -> int:
+    """Size a streaming query's state-store partition count from its
+    expected state volume (for ``run_available_now(state_partitions=...)``).
+
+    Rationale: each state partition costs a fixed load/commit per
+    micro-batch per state store (a stream-stream join keeps four stores
+    per partition), so partitions holding almost no state are pure
+    overhead — at sf0.1 the purchase/view drains spend ~5s of their ~7s
+    wall on 32 nearly-empty state partitions (measured,
+    .profiling/prof_drain_parts_r10.py). ~250k state rows per partition
+    keeps the HDFS-backed store's in-memory map comfortably sized while
+    amortizing the constant; a floor of 4 preserves minimal parallelism.
+    On a real cluster pass ``cap=2-3x total cores`` — beyond that, extra
+    partitions stop adding throughput and resume/commit constants
+    dominate again.
+    """
+    parts = max(floor, -(-n_state_rows // max(rows_per_partition, 1)))
+    return min(parts, cap) if cap is not None else parts
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

@@ -346,3 +346,50 @@ def test_scd2_stream_drain_equals_snapshot(spark, tmp_path):
         tiebreak=["event_id"],
     ).collect()))
     assert got == want
+
+
+def test_size_state_partitions_workload_sizing():
+    """State partitions scale with state volume: floor at tiny SF, linear
+    past rows_per_partition, cap honored (the run_available_now knob —
+    round-10 drain constant fix)."""
+    from bigdatapipelne_spark.streaming.joins import size_state_partitions
+
+    assert size_state_partitions(0) == 4
+    assert size_state_partitions(100_000) == 4  # sf0.1 events
+    assert size_state_partitions(1_000_000) == 4
+    assert size_state_partitions(10_000_000) == 40  # sf10: ceil(10M/250k)
+    assert size_state_partitions(10_000_000, cap=32) == 32
+    assert size_state_partitions(250_001) == 4  # ceil -> 2, floor wins
+    assert size_state_partitions(2_000_000, rows_per_partition=100_000) == 20
+
+
+def test_run_available_now_state_partitions_sets_and_restores(spark, tmp_path):
+    """The drain harness pins the workload-sized state partition count into
+    the streaming query (checkpoint offsets record it) and restores the
+    session conf afterwards, even though the query ran with the override."""
+    import json
+
+    events = load_table(spark, SF_SMALL, "events").select("event_id", "user_id", "ts")
+    src_dir = str(tmp_path / "src")
+    events.write.parquet(src_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    s = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .parquet(src_dir)
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicates(["event_id"])
+    )
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    run_available_now(s, out, cp, state_partitions=5)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    # The checkpoint's offset log records the pinned shuffle-partition
+    # count — the knob actually reached the streaming query.
+    offset_files = sorted(
+        f for f in os.listdir(os.path.join(cp, "offsets")) if not f.startswith(".")
+    )
+    with open(os.path.join(cp, "offsets", offset_files[0])) as f:
+        lines = f.read().splitlines()
+    conf = json.loads(lines[1])["conf"]
+    assert conf["spark.sql.shuffle.partitions"] == "5"

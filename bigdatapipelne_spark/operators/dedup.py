@@ -63,16 +63,27 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Map every document to the canonical (minimum) id of its exact-content
     group. Output: id, canonical_id, group_size.
 
-    One shuffle on the md5 fingerprint; the heavy text column is dropped
-    before the shuffle (only hash + id move).
-    """
+    ONE shuffle on the md5 fingerprint, via min/count over
+    ``Window.partitionBy(fp)`` rather than groupBy + join-back: Catalyst
+    does not share the keyed subplan between a groupBy and a join
+    consumer (no ReusedExchange — plan-verified), so the join form scans
+    and fingerprints the text TWICE (the regexp normalize + md5 over the
+    full text is the expensive part) and shuffles the keyed rows twice.
+    Measured at the 100x corpus (1M docs): 8.45s join form vs 2.73s
+    window form — the window's fp-partitioned sort costs ~nothing over
+    the mandatory exchange, while the sort-merge join sorted both sides
+    anyway (.profiling/prof_exact_dedup_r10.py). The heavy text column is
+    dropped before the shuffle either way (only hash + id move)."""
+    from pyspark.sql import Window
+
     df = _widen_narrow_input(df)
     keyed = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
-    groups = keyed.groupBy("fp").agg(
-        F.min(id_col).alias("canonical_id"),
-        F.count(F.lit(1)).alias("group_size"),
+    w = Window.partitionBy("fp")
+    return keyed.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
     )
-    return keyed.join(groups, "fp").select(id_col, "canonical_id", "group_size")
 
 
 def _shingle_hash_rows(
@@ -998,9 +1009,17 @@ def build_fingerprint_index(
     fingerprints (one 32-char column). Persist bucketed on ``__fp``
     (``save_fingerprint_index``) and every batch's membership probe
     leaves the index UNSHUFFLED — only the batch moves. The per-batch
-    maintenance is an append of the admitted batch's new fingerprints."""
+    maintenance is an append of the admitted batch's new fingerprints.
+
+    Widened before fingerprinting: the regexp normalize + md5 over full
+    text is the expensive stage and a compact parquet corpus arrives in
+    few scan partitions (sf10: 14 partitions for 460k docs — widening to
+    the core count took the build 5.1s -> 2.2s,
+    .profiling/prof_incr_dedup_r10.py); a genuinely wide at-scale scan
+    passes through untouched."""
     return (
-        corpus.select(fingerprint(text_col).alias("__fp"))
+        _widen_narrow_input(corpus)
+        .select(fingerprint(text_col).alias("__fp"))
         .distinct()
         .withColumn("__in_corpus", F.lit(True))
     )
@@ -1062,15 +1081,27 @@ def incremental_exact_duplicates(
     from its persisted form) to probe the standing index without touching
     corpus text — the steady-state plan shape.
     """
+    from pyspark.sql import Window
+
+    # min-over-window, not groupBy + join-back: Catalyst does not share
+    # the dk subplan between two consumers (no ReusedExchange), so the
+    # join form fingerprints the delta text twice and shuffles the keyed
+    # rows twice; the window needs ONE evaluation + ONE exchange, and its
+    # fp-sorted output feeds the corpus probe join sort-free (measured
+    # 3.1x on the same shape in exact_duplicates,
+    # .profiling/prof_exact_dedup_r10.py).
     dk = delta.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
-    first_ids = dk.groupBy("__fp").agg(F.min(id_col).alias("__first_id"))
     if corpus_index is None:
         if corpus is None:
             raise ValueError("need corpus or corpus_index")
         corpus_index = build_fingerprint_index(corpus, id_col, text_col)
     corpus_fp = corpus_index
     return (
-        dk.join(first_ids, "__fp")
+        dk.select(
+            F.col(id_col),
+            F.col("__fp"),
+            F.min(id_col).over(Window.partitionBy("__fp")).alias("__first_id"),
+        )
         .join(corpus_fp, "__fp", "left")
         .select(
             F.col(id_col),

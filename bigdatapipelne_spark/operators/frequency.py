@@ -58,7 +58,15 @@ def misra_gries_candidates(
     as a candidate, exactly the per-token MG guarantee, without the
     per-token Python loop (~30M dict ops at the 100x corpus). Candidates
     are a SUPERSET-noise-tolerant intermediate: ``frequent_items``
-    re-counts them exactly, so the final output is loop-form-identical."""
+    re-counts them exactly, so the final output is loop-form-identical.
+
+    Memory: shrinking happens after absorbing a whole Arrow batch, so the
+    counters dict transiently holds capacity + (distinct tokens in the
+    batch) entries — the loop form's strict O(capacity) bound now depends
+    on ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10k rows;
+    at ~50 tokens/doc that is <=500k transient entries, a few tens of MB).
+    If batches can be very wide, shrink against the merged summary per
+    value_counts chunk instead; correctness is unaffected either way."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     def summarize(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

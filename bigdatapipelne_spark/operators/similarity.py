@@ -587,6 +587,15 @@ def _srp_table_frame(
             for pdf in it:
                 if len(pdf) == 0:
                     continue
+                # Null / wrong-length vectors would make np.stack raise;
+                # drop them instead, mirroring the Catalyst fold path where
+                # such a row gets a null bucket and falls out of the
+                # downstream equi-join anyway (same final pair/match set).
+                ok = pdf[vec_col].str.len().eq(dim).fillna(False).to_numpy()
+                if not ok.all():
+                    pdf = pdf[ok].reset_index(drop=True)
+                    if len(pdf) == 0:
+                        continue
                 V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 signs = (V @ planes.T) >= 0  # (rows, L*nbits)
                 out = {

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import fcntl
 import os
+import time
 import shutil
 import tempfile
 from typing import Callable, Union
@@ -37,6 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "MANIFEST"
 _STAGE_LOCK = ".STAGE_LOCK"
+# gc skips stage locks younger than this: covers the writer's
+# os.open(O_CREAT)->flock gap (microseconds) with huge margin while
+# delaying dead-stage reclamation by only a minute.
+_STAGE_GC_GRACE_S = 60.0
 _UNSET = object()
 
 
@@ -206,7 +211,13 @@ def gc_versions(root: str, keep: int = 2) -> list[str]:
     a NON-BLOCKING flock succeeds — i.e. the writer is dead and the
     kernel released its lock. A stage dir with no lock file yet (the
     microsecond mkdtemp→flock window, or a pre-flock crash) is skipped
-    and leaks until manual cleanup — it is empty and tiny."""
+    and leaks until manual cleanup — it is empty and tiny. Lock files
+    younger than ``_STAGE_GC_GRACE_S`` are likewise skipped: between the
+    writer's ``os.open(O_CREAT)`` of the lock and its flock, gc could
+    otherwise acquire the unheld lock and rmtree a LIVE stage (the write
+    would self-heal by recreating the dir, but the stage would lose its
+    lock file for the rest of its life and gc would report a deletion
+    that reappears); the grace window dwarfs the create→flock gap."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     vs = _versions(root)
@@ -219,6 +230,8 @@ def gc_versions(root: str, keep: int = 2) -> list[str]:
             continue
         lock = os.path.join(root, d, _STAGE_LOCK)
         try:
+            if time.time() - os.path.getmtime(lock) < _STAGE_GC_GRACE_S:
+                continue  # young lock: writer may be inside create->flock
             fd = os.open(lock, os.O_RDWR)
         except OSError:
             continue  # no lock file (pre-flock window) or dir just renamed

@@ -113,9 +113,15 @@ def _session_fn(gap_us: int):
                 # EVENT was ~2/3 of the per-group cost at the 100x corpus
                 # (150k tiny groups x ~200us of scalar conversions). Same
                 # semantics: ns->us floor division; .round() is half-even,
-                # as Python round() was.
+                # as Python round() was. utc=True then tz_localize(None):
+                # PySpark's Arrow conversion delivers tz-naive series (a
+                # no-op), but a tz-aware series would make a bare
+                # .astype("datetime64[ns]") raise TypeError in pandas 2.x
+                # — the scalar pd.Timestamp(...).value path this replaced
+                # handled tz-aware values, so keep that tolerance.
                 us = (
-                    pd.to_datetime(pdf["ts"])
+                    pd.to_datetime(pdf["ts"], utc=True)
+                    .dt.tz_localize(None)
                     .astype("datetime64[ns]")
                     .astype("int64")
                     // 1000

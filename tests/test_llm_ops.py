@@ -166,6 +166,33 @@ def test_srp_arrow_hasher_matches_catalyst(spark):
     assert len(got & truth) / len(truth) >= 0.75
 
 
+def test_srp_arrow_hasher_drops_null_and_ragged_vectors(spark):
+    """A null or wrong-length embedding must not fail the arrow hasher's
+    np.stack (a task failure) — it is dropped, mirroring the Catalyst
+    path where such a row hashes to a null bucket and falls out of the
+    candidate equi-join; well-formed rows hash identically either way."""
+    from pyspark.sql import functions as F
+
+    from bigdatapipelne_spark.operators.similarity import _srp_table_frame
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(20)
+    dirty = emb.unionByName(
+        emb.limit(2).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.when(F.col("vec_id") % 2 == 0, F.expr("array(1.0, 2.0)"))
+            .otherwise(F.lit(None).cast("array<double>"))
+            .alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    arr = _srp_table_frame(dirty, "vec_id", "embedding", 64, 11, 8, hasher="arrow")
+    clean = _srp_table_frame(emb, "vec_id", "embedding", 64, 11, 8, hasher="arrow")
+    bcols = [f"_b{t}" for t in range(8)]
+    got = {r.vec_id: tuple(r[b] for b in bcols) for r in arr.collect()}
+    want = {r.vec_id: tuple(r[b] for b in bcols) for r in clean.collect()}
+    assert got == want  # bad rows gone, good rows hashed identically
+
+
 def test_ivf_recall_and_determinism(spark):
     from bigdatapipelne_spark.operators.similarity import ivf_topk
 

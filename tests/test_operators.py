@@ -771,10 +771,21 @@ def test_versioned_store_gc_reclaims_dead_stage_only(spark, tmp_path):
     store.commit_version(spark.createDataFrame([(1,)], "id int"), root)
     store.commit_version(spark.createDataFrame([(2,)], "id int"), root)
 
-    # dead writer: lock file exists, nobody holds it
+    # dead writer: lock file exists, nobody holds it. Backdated past the
+    # gc grace window (a FRESH unheld lock must survive gc — the writer
+    # may be inside its create->flock gap; asserted below with `young`).
+    import time
+
     dead = os.path.join(root, ".stage_dead")
     os.mkdir(dead)
-    open(os.path.join(dead, store._STAGE_LOCK), "w").close()
+    dead_lock = os.path.join(dead, store._STAGE_LOCK)
+    open(dead_lock, "w").close()
+    backdated = time.time() - store._STAGE_GC_GRACE_S - 5
+    os.utime(dead_lock, (backdated, backdated))
+    # young unheld lock: inside the grace window, must be skipped
+    young = os.path.join(root, ".stage_young")
+    os.mkdir(young)
+    open(os.path.join(young, store._STAGE_LOCK), "w").close()
     # live writer: this test holds the flock on a separate descriptor
     live = os.path.join(root, ".stage_live")
     os.mkdir(live)
@@ -787,6 +798,7 @@ def test_versioned_store_gc_reclaims_dead_stage_only(spark, tmp_path):
         assert ".stage_dead" in deleted
         assert not os.path.exists(dead)
         assert os.path.exists(live)          # in-flight stage survives gc
+        assert os.path.exists(young)         # create->flock window survives gc
         assert store._versions(root) == ["v_00000001", "v_00000002"]
         assert store.read_current(spark, root).count() == 1
     finally:

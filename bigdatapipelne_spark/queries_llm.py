@@ -2323,6 +2323,147 @@ def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("incremental_dedup_stream_drain", oracle=_INCR_DEDUP_ORACLE)
+def incremental_dedup_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of standing-index dedup for a crawl pipeline
+    (round-10 verdict #3): the batch probe of incremental_dedup_indexed
+    run INSIDE a streaming consumer — foreachBatch over an arriving
+    document stream (three ordered micro-batches via staged files +
+    maxFilesPerTrigger=1), each batch probed against the standing
+    BUCKETED fingerprint index (read in place — the zero-index-shuffle
+    plan property is asserted per batch, the stream aborts if the index
+    ever re-exchanges) plus a run-scoped admitted-fingerprint ledger that
+    the batch appends to after classification (the per-batch index
+    maintenance a real pipeline does), classified rows appended to a
+    parquet sink.
+
+    Stream == batch equivalence, certified by the SAME oracle as
+    incremental_dedup: the micro-batches ascend by doc_id (originals,
+    then +2^40 corpus re-crawls, then +2^41 delta re-crawls), so the
+    first batch containing a fingerprint also holds its global-minimum
+    id; a later batch's hit on the ledger is then exactly the one-shot
+    dup_in_delta, a corpus-index hit exactly dup_in_corpus, and the
+    within-batch window min equals the global min — statuses match the
+    one-shot classification row-for-row."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        load_fingerprint_index,
+        save_fingerprint_index,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    delta, corpus = _incr_dedup_delta(docs)
+
+    _sweep_leaked_index_tables(spark, "fp_ixs_r_")
+    path = tempfile.mkdtemp(prefix="fp_sindex_")
+    name = (
+        f"fp_ixs_r_{os.getpid()}_"
+        f"{os.path.basename(path).removeprefix('fp_sindex_')}"
+    )
+    save_fingerprint_index(
+        build_fingerprint_index(corpus, "doc_id", "text"), name, path
+    )
+    idx = load_fingerprint_index(spark, name)
+
+    tmp = tempfile.mkdtemp(prefix="incr_stream_")
+    staging = os.path.join(tmp, "staging")
+    stage_ordered_files(
+        [
+            delta.filter(F.col("doc_id") < _RECRAWL_OFF_1),
+            delta.filter(
+                (F.col("doc_id") >= _RECRAWL_OFF_1)
+                & (F.col("doc_id") < _RECRAWL_OFF_2)
+            ),
+            delta.filter(F.col("doc_id") >= _RECRAWL_OFF_2),
+        ],
+        staging,
+    )
+    sink = os.path.join(tmp, "out")
+    seen_dir = os.path.join(tmp, "seen")
+
+    def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        bk = batch_df.select("doc_id", fingerprint("text").alias("__fp"))
+        bk = bk.select(
+            "doc_id",
+            "__fp",
+            F.min("doc_id").over(Window.partitionBy("__fp")).alias("__first_id"),
+        )
+        probed = bk.join(idx, "__fp", "left")
+        if os.path.isdir(seen_dir):
+            # The ledger holds one row per fingerprint by construction
+            # (only status='new' rows are appended, and a fingerprint
+            # classifies 'new' at most once across the run), so the read
+            # needs no distinct — the probe stays broadcast-only.
+            seen = spark.read.parquet(seen_dir).withColumn(
+                "__seen_delta", F.lit(True)
+            )
+            probed = probed.join(F.broadcast(seen), "__fp", "left")
+        else:
+            probed = probed.withColumn(
+                "__seen_delta", F.lit(None).cast("boolean")
+            )
+        classified = probed.select(
+            "doc_id",
+            "__fp",
+            F.when(F.col("__in_corpus"), F.lit("dup_in_corpus"))
+            .when(F.col("__seen_delta"), F.lit("dup_in_delta"))
+            .when(F.col("doc_id") != F.col("__first_id"), F.lit("dup_in_delta"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+        # Zero-index-shuffle property, per batch: the standing index is
+        # never re-exchanged — the only hash exchange allowed in the probe
+        # plan is the batch side's __fp window. At real scale the planner
+        # takes the bucketed in-place sort-merge join (that layout contract
+        # is plan-asserted in tests/test_bucketing.py); at toy SF its
+        # size stats flip the same join to broadcasting the small index —
+        # either way the index side contributes no hashpartitioning
+        # exchange, which is what this pins. The static plan suffices:
+        # AQE can coalesce exchanges but never adds one above the scan.
+        plan = classified._jdf.queryExecution().executedPlan().toString()
+        if name not in plan:
+            raise AssertionError(
+                "probe plan does not read the standing index table:\n" + plan
+            )
+        n_ex = plan.count("Exchange hashpartitioning")
+        if n_ex > 1:
+            raise AssertionError(
+                f"expected <=1 hash exchange (batch-side window), got {n_ex} "
+                "— the standing index re-shuffled:\n" + plan
+            )
+        # One evaluation feeds both writes (sink + ledger maintenance).
+        classified = classified.localCheckpoint(eager=True)
+        try:
+            classified.select("doc_id", "status").write.mode("append").parquet(
+                sink
+            )
+            # ledger maintenance: a fingerprint enters the ledger exactly
+            # when it first classifies 'new' — one row per fp for the run.
+            classified.filter(F.col("status") == "new").select("__fp").write.mode(
+                "append"
+            ).parquet(seen_dir)
+        finally:
+            classified.unpersist()
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    (
+        src.writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", os.path.join(tmp, "cp"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(sink).select("doc_id", "status")
+
+
 @query(
     "weighted_docs_sample",
     oracle=f"""

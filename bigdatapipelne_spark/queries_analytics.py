@@ -273,12 +273,28 @@ def session_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bigdatapipelne_spark.streaming.sessions import sessionize_stream
 
+    from bigdatapipelne_spark.streaming.joins import size_state_partitions
+
     src = read_events_parquet_stream(spark, f"{sf_dir}/events.parquet")
     sessions = sessionize_stream(src, gap="30 minutes", watermark="10 seconds")
 
     tmp = tempfile.mkdtemp(prefix="session_stream_")
     out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
-    run_available_now(sessions, out, cp)
+    # The sessionizer wants OPPOSITE sizing at the two ends (measured,
+    # .profiling/prof_session_drain_r10.py): under ~100k events the
+    # per-partition state-store open/commit constant dominates (32
+    # partitions 8.8s -> 8 partitions 4.9s at sf0.1), while at volume
+    # the ~320us/group Python serde needs a worker per core (sf10: 32
+    # partitions 64s, 8 partitions 167s). Size by event volume with a
+    # core cap: floor 8, +1 partition per 12.5k events, capped at cores.
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    parts = size_state_partitions(
+        n_events,
+        rows_per_partition=12_500,
+        floor=8,
+        cap=spark.sparkContext.defaultParallelism,
+    )
+    run_available_now(sessions, out, cp, state_partitions=parts)
     return spark.read.parquet(out).select(
         "user_id", "session_start", "session_end", "sum_value", "n_events"
     )
@@ -1477,9 +1493,16 @@ def session_window_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    from bigdatapipelne_spark.streaming.joins import size_state_partitions
+
     tmp = tempfile.mkdtemp(prefix="native_session_stream_")
     out, cp = os.path.join(tmp, "out"), os.path.join(tmp, "cp")
-    run_available_now(agg, out, cp)
+    # JVM state op: the standard state-volume sizing applies (state rows
+    # ~ open sessions <= events); no Python-worker parallelism concern.
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    run_available_now(
+        agg, out, cp, state_partitions=size_state_partitions(n_events)
+    )
     return spark.read.parquet(out).select(
         "user_id", "session_start", "session_end", "sum_value", "n_events"
     )

@@ -180,7 +180,21 @@ def sessionize_stream(
     event-time timeout (watermark-driven). ``watermark`` must be <= ``gap``
     — the precondition for exact batch-session_window equivalence (module
     docstring); violating it raises rather than silently merging events
-    that batch semantics would put in a separate session."""
+    that batch semantics would put in a separate session.
+
+    Cost contract (round-10 decision record): the applyInPandasWithState
+    harness itself charges ~320us per GROUP per batch (state serde + a
+    pandas frame per group — profiled; vectorizing the per-event work
+    left it flat), a priced overhead that buys the custom emission rule
+    (in-batch gap closes emit immediately). Bulk callers that only need
+    watermark-driven emission should use the native ``F.session_window``
+    twin (JVM state store, no per-group Python cost; see
+    session_window_stream_drain). Size the drain's state partitions to
+    the workload BOTH ways: under ~100k events the per-partition store
+    open/commit constant dominates (fewer partitions win); at volume the
+    per-group Python work needs a worker per core (cap at cores, never
+    below) — measured in .profiling/prof_session_drain_r10.py: sf0.1
+    8.8s@32 -> 4.9s@8, sf10 64s@32 -> 167s@8."""
 
     def _to_us(spec: str) -> int:
         amount, unit = spec.split()

@@ -865,7 +865,15 @@ _GATE_PRIORITY = [
     # and bm25_search in-gate). Its slot seats simhash_sigs, churned by
     # the conv-word vote-bit extraction (bit-identical by construction,
     # but the churn guard rightly demands fresh driver evidence).
-    "simhash_sigs",
+    # ROUND 10 — simhash_sigs rotates out (r09 green, code unchanged
+    # this round; signatures stay exercised by simhash_near_dups
+    # in-gate). Its slot seats incremental_dedup_stream_drain, the NEW
+    # streaming standing-index probe gate query (verdict #3) — no
+    # lifetime row yet, so it must gate this round. The round's other 15
+    # churned queries (run_available_now state-partition knob, dedup
+    # window rewrites, store gc grace, SRP hasher null filter) all
+    # already hold slots.
+    "incremental_dedup_stream_drain",
     # top_customers, distinct_parts_per_brand, user_running_total and
     # user_sessions rotate out (round-2 green rows stand, code unchanged)
     # Analytics beyond TPC-H (windows, rollup/cube/pivot, percentiles,

@@ -105,6 +105,10 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         "stream_restart_resume_drain",
         "session_window_stream_drain",
         "purchase_view_stream_join",
+        # Reviewed round 10: audits its OWN probe plan per micro-batch
+        # (zero index-side exchange, <=1 batch-side hash exchange) and
+        # aborts the stream on violation — stricter than this sweep.
+        "incremental_dedup_stream_drain",
     }
     assert {n for n in QUERIES if n.endswith("_drain")} <= streaming_drains, (
         "new *_drain query must be explicitly reviewed and added to the "

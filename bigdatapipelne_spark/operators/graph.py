@@ -35,18 +35,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Below this many (undirected) edges the driver union-find path is used:
+# each distributed round schedules ~6 jobs over near-empty shuffle
+# partitions — measured ~4.1s for a 590-edge sf0.1 graph
+# (.profiling/prof_exact_dedup_r10.py session) — while 100k edges
+# union-find in well under a second in-process and the label table they
+# span is at most 200k rows. Past the threshold the distributed loop
+# runs unchanged; the collect is bounded by the guard, by construction.
+CC_DRIVER_MAX_EDGES = 100_000
+
+
+def _cc_driver(und: DataFrame, dtype) -> DataFrame:
+    """Union-find over a collected (bounded, see CC_DRIVER_MAX_EDGES)
+    edge list — same fixpoint as the distributed loops: every union
+    attaches the larger root under the smaller, so inductively each
+    component's root is its minimum node id."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in und.select("n", "m").collect():
+        n, m = r[0], r[1]
+        parent.setdefault(n, n)
+        parent.setdefault(m, m)
+        ra, rb = find(n), find(m)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = [(x, find(x)) for x in parent]
+    schema = StructType(
+        [StructField("node", dtype), StructField("cluster_id", dtype)]
+    )
+    return und.sparkSession.createDataFrame(labels, schema)
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Cluster assignment for every node appearing in ``edges``.
 
     Output: (node, cluster_id) — cluster_id is the minimum node id in the
     component (the canonical-document convention of exact_duplicates).
     Raises if not converged within ``max_iter`` rounds (diameter bound).
+
+    Small graphs (at most ``driver_max_edges`` edges — known after the
+    one mandatory materialization of the mined pairs) take a driver-side
+    union-find instead of the iterative joins: identical fixpoint, none
+    of the per-round job-scheduling constant that dominates below ~100k
+    edges. Pass ``driver_max_edges=0`` to force the distributed loop.
     """
     # Materialize the edge set once: every round (and its convergence
     # count) re-reads it, and the upstream lineage is typically a whole
@@ -57,6 +102,8 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
         .localCheckpoint(eager=True)
     )
+    if und.count() <= 2 * driver_max_edges:
+        return _cc_driver(und, edges.schema[src].dataType)
     labels = und.select("n").distinct().withColumn("label", F.col("n"))
 
     for _ in range(max_iter):
@@ -102,6 +149,7 @@ def connected_components_pd(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Pointer-doubling connected components: hook + pointer jump per
     round, O(log D) rounds on a diameter-D graph (see module docstring).
@@ -111,12 +159,16 @@ def connected_components_pd(
     past ``max_iter``. Min-label keeps the invariant label(n) <= n, and
     every label is itself a node, so the jump join always finds its
     target; label values only ever decrease, which makes the fixpoint
-    unique and the convergence check (no change) exact."""
+    unique and the convergence check (no change) exact. Small graphs
+    take the same driver union-find fast path as
+    ``connected_components`` (``driver_max_edges=0`` forces the loop)."""
     und = (
         edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
         .localCheckpoint(eager=True)
     )
+    if und.count() <= 2 * driver_max_edges:
+        return _cc_driver(und, edges.schema[src].dataType)
     labels = und.select("n").distinct().withColumn("label", F.col("n"))
 
     for _ in range(max_iter):

@@ -436,8 +436,11 @@ def test_connected_components_chain_and_guard(spark):
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="converge"):
-        connected_components(chain, max_iter=2)
-    ok = {r.node: r.cluster_id for r in connected_components(chain).collect()}
+        connected_components(chain, max_iter=2, driver_max_edges=0)
+    ok = {
+        r.node: r.cluster_id
+        for r in connected_components(chain, driver_max_edges=0).collect()
+    }
     assert set(ok.values()) == {1}
 
 
@@ -457,8 +460,13 @@ def test_connected_components_pd_log_rounds_on_chain(spark):
         [(i, i + 1) for i in range(1, 256)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="converge"):
-        connected_components(chain, max_iter=12)
-    out = {r.node: r.cluster_id for r in connected_components_pd(chain, max_iter=12).collect()}
+        connected_components(chain, max_iter=12, driver_max_edges=0)
+    out = {
+        r.node: r.cluster_id
+        for r in connected_components_pd(
+            chain, max_iter=12, driver_max_edges=0
+        ).collect()
+    }
     assert len(out) == 256 and set(out.values()) == {1}
 
 
@@ -478,9 +486,20 @@ def test_connected_components_pd_same_fixpoint(spark):
     edges = [(h(i, "a") % 200, h(i, "b") % 200) for i in range(120)]
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    plain = {r.node: r.cluster_id for r in connected_components(df, max_iter=50).collect()}
-    pd_ = {r.node: r.cluster_id for r in connected_components_pd(df).collect()}
+    plain = {
+        r.node: r.cluster_id
+        for r in connected_components(df, max_iter=50, driver_max_edges=0).collect()
+    }
+    pd_ = {
+        r.node: r.cluster_id
+        for r in connected_components_pd(df, driver_max_edges=0).collect()
+    }
     assert plain == pd_
+    # The driver union-find fast path (the default below
+    # CC_DRIVER_MAX_EDGES) must land on the identical fixpoint.
+    fast = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    fast_pd = {r.node: r.cluster_id for r in connected_components_pd(df).collect()}
+    assert fast == plain and fast_pd == plain
 
 
 def test_decontaminate_full_embed_scores_one(spark):

@@ -1112,22 +1112,50 @@ def deduped_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_quality, so the oracle re-derives the identical ranking."""
     from bigdatapipelne_spark.operators.graph import connected_components
 
-    docs = t(spark, sf_dir, "documents")
+    docs = _widen_narrow_input(t(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_duplicates(
         docs.select("doc_id", "text"), "doc_id", "text", n=3, threshold=0.05
     )
     clusters = connected_components(pairs, "id_a", "id_b")
-    scored = (
-        docs.join(clusters, docs.doc_id == clusters.node, "left")
-        .withColumn("quality", F.coalesce(quality_score("text"), F.lit(0.0)))
-        .withColumn("ck", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    from bigdatapipelne_spark.functions.text import (
+        quality_from_ratios,
+        stopword_ratio_from_tokens,
     )
-    w = Window.partitionBy("ck").orderBy(F.desc("quality"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
+
+    # Tokenize ONCE per row (the doc_quality pattern): the inline
+    # quality_score re-runs the split/filter tokenize per consuming
+    # expression (no CSE across interpreted HOFs) — measured 28s of the
+    # 33s sf10 cell on this query. Stacked projections keep the token
+    # array a real column; same operands -> same doubles, oracle
+    # unchanged. Text is dropped before anything shuffles.
+    base = docs.join(clusters, docs.doc_id == clusters.node, "left").select(
+        "doc_id", "lang", "n_chars", "cluster_id", "text",
+        tokens("text").alias("__toks"),
+    )
+    scored = base.select(
+        "doc_id", "lang", "n_chars", "cluster_id",
+        F.coalesce(
+            quality_from_ratios(
+                stopword_ratio_from_tokens("__toks"), punct_ratio("text")
+            ),
+            F.lit(0.0),
+        ).alias("quality"),
+    )
+    # Only CLUSTERED documents need the rank-1 window (clusters are a tiny
+    # fraction of the corpus); an unpaired document is trivially rank 1 in
+    # its own singleton partition, so it passes through scan-side instead
+    # of riding a full-corpus window shuffle+sort. Same rows either way.
+    unpaired = scored.filter(F.col("cluster_id").isNull())
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    best = (
+        scored.filter(F.col("cluster_id").isNotNull())
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
-        .select("doc_id", "lang", "n_chars", "quality")
     )
+    cols = ["doc_id", "lang", "n_chars", "quality"]
+    return unpaired.select(*cols).unionByName(best.select(*cols))
 
 
 # Budget constant for the gated selection query: ~half the sf0.01 corpus
@@ -2879,10 +2907,22 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted_sample_per_group): the 10 A-ES picks per language,
     deterministic on any layout; the oracle replays weight, draw key,
     and per-group ranking exactly."""
+    from bigdatapipelne_spark.functions.text import (
+        quality_from_ratios,
+        stopword_ratio_from_tokens,
+    )
     from bigdatapipelne_spark.operators.sampling import weighted_sample_per_group
 
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", quality_score("text").alias("q")
+    # tokenize-once + widen (doc_quality pattern): the inline
+    # quality_score re-tokenizes per consuming expression
+    base = _widen_narrow_input(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text", tokens("text").alias("__toks")
+    )
+    docs = base.select(
+        "doc_id", "lang",
+        quality_from_ratios(
+            stopword_ratio_from_tokens("__toks"), punct_ratio("text")
+        ).alias("q"),
     )
     return weighted_sample_per_group(docs, "doc_id", "lang", "q", k=10)
 

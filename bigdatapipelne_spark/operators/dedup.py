@@ -86,6 +86,32 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_survivors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the canonical (minimum-id) row of each exact-content group,
+    ALL input columns preserved — the materialized form of
+    ``exact_duplicates`` for pipelines that want the deduped corpus
+    itself rather than the id->canonical mapping.
+
+    ONE shuffle total: row_number over the fingerprint window, survivors
+    filtered in place. The mapping + join-back form costs strictly more —
+    the mapping's window exchange PLUS a second full-corpus exchange to
+    join survivors back onto the rows (and Catalyst gives the join no
+    ReusedExchange from the window, so the fingerprint would also
+    evaluate twice). The full row (text included) rides the one
+    fingerprint exchange; that is the same byte volume the join-back
+    moved on the id key, with one fewer sort and no second side."""
+    from pyspark.sql import Window
+
+    df = _widen_narrow_input(df)
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
 def _shingle_hash_rows(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -967,11 +993,19 @@ def chunk_duplicate_stats(
     rounded to 6 dp at the presentation boundary).
 
     Scale shape: the text reduces to (id, window-md5) rows before any
-    exchange — three narrow shuffles (distinct-doc count per hash, the
-    hash->doc join back, the per-doc rollup), each on fixed-width rows.
-    A window repeated WITHIN one document only does not count as a
-    cross-document duplicate (the distinct-doc count sees one document).
+    exchange — TWO narrow shuffles (the per-hash window, the per-doc
+    rollup), each on fixed-width rows. The cross-document flag is
+    ``min(id) != max(id)`` over ``Window.partitionBy(hash)`` — true iff
+    >= 2 distinct documents share the window, exactly the old
+    count_distinct >= 2 — rather than a doc-freq groupBy joined back:
+    Catalyst does not share the keyed subplan between a groupBy and a
+    join consumer (no ReusedExchange; the exact_duplicates hazard), so
+    the join form tokenized + hashed the corpus TWICE and shuffled the
+    chunk rows twice. A window repeated WITHIN one document only does
+    not count as a cross-document duplicate (one document -> min == max).
     """
+    from pyspark.sql.window import Window
+
     tok = _widen_narrow_input(df.select(id_col, tokens(text_col).alias("__w")))
     starts = F.sequence(
         F.lit(1), F.greatest(F.size("__w"), F.lit(1)), F.lit(chunk_size)
@@ -985,15 +1019,16 @@ def chunk_duplicate_stats(
             )
         ).alias("__h"),
     )
-    doc_freq = chunks.groupBy("__h").agg(
-        F.count_distinct(F.col(id_col)).alias("__nd")
+    w = Window.partitionBy("__h")
+    flagged = chunks.select(
+        F.col(id_col),
+        (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("__dup"),
     )
     return (
-        chunks.join(doc_freq, "__h")
-        .groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum((F.col("__nd") >= 2).cast("bigint")).alias("n_dup_chunks"),
+            F.sum(F.col("__dup").cast("bigint")).alias("n_dup_chunks"),
         )
         .withColumn(
             "dup_fraction",

@@ -757,7 +757,13 @@ _GATE_PRIORITY = [
     # now the negative mirror (-k-1) instead of +1000000, which collided
     # with real custkeys at the 100x replica scale and tripped the
     # strict duplicate-source-key guard.
-    "customer_merge",
+    # ROUND 10 — customer_merge rotates out (r07 green, code unchanged
+    # this round; the MERGE family keeps its standing row + local
+    # parity). Its slot seats chunk_dup_docs, churned by the
+    # chunk_duplicate_stats window rewrite (min!=max over the hash
+    # window instead of a doc-freq groupBy joined back — the
+    # no-ReusedExchange hazard tokenized the corpus twice).
+    "chunk_dup_docs",
     # ROUND 7 — enriched_stream_drain rotates out (r06 green; this
     # round's bus.py edits touch only the avro decode_payload/
     # encode_payload branches, which no file-format drain reaches — the

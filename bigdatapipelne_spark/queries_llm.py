@@ -1938,7 +1938,10 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles (dedup moves id+hash, decontamination moves benchmark
     shingle hashes via broadcast-sized semi-join); the only wide exchange
     is the fingerprint groupBy."""
-    from bigdatapipelne_spark.operators.dedup import decontaminate, exact_duplicates
+    from bigdatapipelne_spark.operators.dedup import (
+        decontaminate,
+        exact_dedup_survivors,
+    )
 
     # widen + tokenize-once (round-6 narrow-scan/fusion pattern; identical
     # operands -> identical doubles, oracle unchanged)
@@ -1972,11 +1975,11 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = enriched.filter(
         (F.col("q") >= 0.53) & (F.col("doc_id") % _RECRAWL_OFF_1 >= 25)
     ).localCheckpoint(eager=True)
-    canon = exact_duplicates(filtered.select("doc_id", "text"), "doc_id", "text")
-    deduped = filtered.join(
-        canon.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
-        "doc_id",
-    )
+    # Survivor-form dedup (operators/dedup.exact_dedup_survivors): the
+    # min-id row of each fingerprint group kept in place via ONE window
+    # exchange — the earlier mapping + join-back form re-fingerprinted the
+    # checkpoint and shuffled the corpus a second time on doc_id.
+    deduped = exact_dedup_survivors(filtered, "doc_id", "text")
     bench = docs.filter(F.col("doc_id") < 25).select("doc_id", "text")
     contam = (
         decontaminate(

@@ -173,6 +173,20 @@ def test_ngram_pair_plan_has_no_post_agg_size_joins(spark):
     assert tree.count("SortMergeJoin") == 1 and tree.count("Join") == 1, tree
 
 
+def test_chunk_dup_plan_is_single_scan_no_join(spark):
+    """The round-10 rewrite: the cross-document flag is min!=max over
+    Window.partitionBy(hash), not a doc-freq groupBy joined back —
+    Catalyst gives a join no ReusedExchange from a groupBy, so the old
+    shape tokenized + chunk-hashed the corpus TWICE (two scans) and
+    carried six exchanges; the window form is ONE scan, ONE window, and
+    no join at all (measured plans: 6 exchanges/2 scans -> 3/1, the
+    third being the conditional narrow-input widen)."""
+    p = plan(spark, "chunk_dup_docs")
+    assert "Join" not in p, p
+    assert p.count("Scan parquet") <= 2, p  # formatted doubles nodes: 1 real scan
+    assert p.count("Window") >= 1, p
+
+
 def test_asof_join_is_window_not_range_join(spark):
     p = plan(spark, "asof_purchase_view")
     assert "Join" not in p  # union + running window, no join operator

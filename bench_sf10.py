@@ -279,7 +279,13 @@ def main() -> None:
         f"{len(existing)} cells (full registry minus capped exact "
         f"baselines), {errors} errors, median ratio "
         f"{ratios[len(ratios) // 2]:.2f}x / max {max(ratios):.1f}x at 100x "
-        "data. Round-6 rehearsal findings and their fixes are logged in "
+        "data. Cells carrying a 'sessions' field are the "
+        "session-consistent (sf0.1, sf10) pair with the minimal sf10 "
+        "wall across that many same-code sessions — the round-10 box "
+        "ran the interpreted tokenize/shingle stage JIT-bimodally "
+        "(identical code measured 14.0s and 50.8s at sf10 "
+        "back-to-back), the same best-of-N methodology bench.py uses. "
+        "Round-6 rehearsal findings and their fixes are logged in "
         "STATUS.md (stop-shingle caps, sqrt(N) IVF cells, narrow-scan "
         "widening, A-ES filter hoist, corpus_pipeline checkpoint, "
         "minhash tokenize-once + band-bucket cap + length prefilter, "

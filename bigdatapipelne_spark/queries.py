@@ -790,7 +790,12 @@ _GATE_PRIORITY = [
     # family anchors: correlated subquery (q2), multi-join volume (q7),
     # global-scalar HAVING (q11), semi-join chain (q20), anti-join +
     # scalar avg (q22).
-    "q11_value_concentration",
+    # ROUND 10 — q11_value_concentration rotates out (standing green row,
+    # code unchanged; TPC-H stays anchored by q21_waiting_orders in-gate
+    # plus the q2/q20/q22 standing rows). Its slot seats ivf_topk_recall,
+    # churned by the round-10 _dedup_and_rank_topk fusion in ivf_topk
+    # (one exchange for the pair dedup + rank window instead of two).
+    "ivf_topk_recall",
     # incremental_near_dup re-gates for the late-round-6 minhash rework
     # (tokenize-once hash-row reuse, seeded-md5-over-shingle-hash
     # signatures — the oracle mirrors the new scheme — band-bucket cap,

@@ -50,6 +50,25 @@ def test_exact_duplicates_known(spark):
     assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 4: (4, 1)}
 
 
+def test_exact_dedup_survivors_keeps_min_id_row_all_columns(spark):
+    from bigdatapipelne_spark.operators.dedup import exact_dedup_survivors
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World", "en"),
+            (2, "hello world", "pt"),  # same group after normalization
+            (3, "HELLO WORLD ", "es"),  # same group
+            (4, "different", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: r.lang for r in
+            exact_dedup_survivors(df, "doc_id", "text").collect()}
+    # Survivor = minimum id per exact-content group, extra columns intact —
+    # row-identical to joining exact_duplicates' canonical ids back.
+    assert rows == {1: "en", 4: "fr"}
+
+
 def test_minhash_finds_crafted_near_dup(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     near = base.replace("today", "tomorrow")

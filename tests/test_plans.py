@@ -187,6 +187,31 @@ def test_chunk_dup_plan_is_single_scan_no_join(spark):
     assert p.count("Window") >= 1, p
 
 
+def test_dedup_and_rank_topk_is_single_exchange(spark):
+    """The round-10 ANN fusion: one hash repartition on query_id must
+    satisfy BOTH the (query, neighbor) dedup aggregate (subset-key
+    clustering) and the rank window's distribution — if Catalyst ever
+    stops accepting the subset-key clustering (or someone reorders the
+    operators), a second Exchange appears and the 48M-row scored set
+    shuffles twice again."""
+    from pyspark.sql import functions as F
+
+    from bigdatapipelne_spark.operators.similarity import _dedup_and_rank_topk
+
+    scored = spark.range(1000).select(
+        (F.col("id") % 10).alias("query_id"),
+        (F.col("id") % 7).alias("neighbor_id"),
+        (F.col("id") % 3).cast("double").alias("score"),
+    )
+    plan = (
+        _dedup_and_rank_topk(scored, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+
+
 def test_asof_join_is_window_not_range_join(spark):
     p = plan(spark, "asof_purchase_view")
     assert "Join" not in p  # union + running window, no join operator

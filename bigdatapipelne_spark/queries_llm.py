@@ -1953,10 +1953,14 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _widen_narrow_input(
         t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     )
-    docs2 = docs.unionByName(
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(_RECRAWL_OFF_1))
-    )
-    enriched = docs2.select(
+    # Tokenize + score ONCE over the base corpus, then union the ENRICHED
+    # frame with its re-keyed copy: the copy shares the text
+    # byte-for-byte, so its n_tokens/q are the same doubles by
+    # construction — the old text-level union ran the dominant
+    # tokenize/quality scan twice (measured 32.7s of the 44.9s sf10
+    # chain; union branches share no evaluation, hence the eager
+    # checkpoint BEFORE the union).
+    base = docs.select(
         "doc_id", "text", tokens("text").alias("__toks")
     ).select(
         "doc_id",
@@ -1965,6 +1969,9 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_from_ratios(
             stopword_ratio_from_tokens("__toks"), punct_ratio("text")
         ).alias("q"),
+    ).localCheckpoint(eager=True)
+    enriched = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(_RECRAWL_OFF_1))
     )
     # Materialize the quality-filtered frame ONCE: it feeds the dedup
     # scan, the canonical join's left side, decontamination and the final

@@ -131,6 +131,18 @@ RATIO_NOTES = {
         "chain's fixed stage constants, so the ratio reads high while "
         "the sf10 wall is the honest absolute cost of the 1M-doc chain"
     ),
+    "near_dup_clusters_pd": (
+        "cell = the shared ngram pair mining (2-exchange inverted-index "
+        "plan, ~13s warm at sf10) + a collect-bounded driver union-find "
+        "(0.8s warm at sf10's 7.8k edges); the ratio is the mining "
+        "stage's JIT mode vs a ~1.7s sf0.1 denominator, not the closure"
+    ),
+    "near_dup_clusters": (
+        "same chain as near_dup_clusters_pd: pair mining dominates, the "
+        "closure itself is a sub-second driver union-find below "
+        "CC_DRIVER_MAX_EDGES (the distributed loop is the >100k-edge "
+        "path)"
+    ),
     "sliding_window_traffic": (
         "built-in F.window(30s, 10s) explodes every event into 3 "
         "overlapping windows before one groupBy — the plan is the one "

@@ -1022,7 +1022,12 @@ def chunk_duplicate_stats(
     w = Window.partitionBy("__h")
     flagged = chunks.select(
         F.col(id_col),
-        (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("__dup"),
+        # coalesce: min!=max is NULL (not false) for a NULL id, which
+        # would propagate NULL into sum(n_dup_chunks) where the old
+        # count_distinct>=2 form yielded 0
+        F.coalesce(
+            F.min(id_col).over(w) != F.max(id_col).over(w), F.lit(False)
+        ).alias("__dup"),
     )
     return (
         flagged.groupBy(id_col)

@@ -117,17 +117,23 @@ def _dedup_and_rank_topk(scored: DataFrame, k: int) -> DataFrame:
     explicit hash repartition on query_id satisfies BOTH the dedup
     aggregate (clustering by query_id co-locates every (query, neighbor)
     group, a subset-key distribution) and the rank window's required
-    distribution, where the bare dropDuplicates + window form shuffled
-    the full scored set twice (once on the pair key, once on the query
-    key). Measured at the sf10 ANN cell (48M scored rows): 6.3s -> 3.9s
-    warm, plan-asserted single Exchange, result-identical. Results are
-    exact either way: duplicates of a pair carry the same score, so any
-    survivor ranks identically."""
+    distribution, where the bare dedup + window form shuffled the full
+    scored set twice (once on the pair key, once on the query key).
+    Measured at the sf10 ANN cell (48M scored rows): 6.3s -> 3.9s warm,
+    plan-asserted single Exchange, result-identical.
+
+    The dedup is a max(score) aggregate, not dropDuplicates: duplicates
+    of a pair score the SAME vectors, but dgemm evaluation order differs
+    across buckets, so copies can differ at the last ulp (~44/200k query
+    groups observed at sf10). dropDuplicates keeps an arbitrary survivor
+    — nondeterministic near the rank-k boundary; max() pins a canonical
+    one, so repeated runs emit the same set."""
     par = scored.sparkSession.sparkContext.defaultParallelism
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.repartition(par, "query_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")

@@ -1982,6 +1982,9 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = enriched.filter(
         (F.col("q") >= 0.53) & (F.col("doc_id") % _RECRAWL_OFF_1 >= 25)
     ).localCheckpoint(eager=True)
+    # base's blocks fed only filtered's materialization above — release
+    # them so the query holds ONE full-corpus checkpoint, not two
+    base.unpersist()
     # Survivor-form dedup (operators/dedup.exact_dedup_survivors): the
     # min-id row of each fingerprint group kept in place via ONE window
     # exchange — the earlier mapping + join-back form re-fingerprinted the

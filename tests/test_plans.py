@@ -203,13 +203,15 @@ def test_dedup_and_rank_topk_is_single_exchange(spark):
         (F.col("id") % 7).alias("neighbor_id"),
         (F.col("id") % 3).cast("double").alias("score"),
     )
-    plan = (
+    plan_str = (
         _dedup_and_rank_topk(scored, 3)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+    assert plan_str.count("Exchange") - plan_str.count("ReusedExchange") == 1, (
+        plan_str
+    )
 
 
 def test_asof_join_is_window_not_range_join(spark):

@@ -1295,8 +1295,31 @@ def incremental_near_duplicates(
         .withColumnRenamed(id_col, "delta_id")
         .localCheckpoint(eager=True)
     )
+    return probe_near_dup_index(shd, corpus_index, threshold)
+
+
+def probe_near_dup_index(
+    shd: DataFrame,
+    corpus_index: NearDupIndex,
+    threshold: float = 0.5,
+    bands: DataFrame | None = None,
+) -> DataFrame:
+    """The probe core shared by ``incremental_near_duplicates`` and the
+    streaming drain (streaming/dedup_stream.py): a batch's shingle-hash
+    rows ``(delta_id, sh)`` probed against a standing ``NearDupIndex`` —
+    candidate equi-join on the band index, exact length prefilter, then
+    exact-Jaccard verification via ``array_intersect``. The caller may
+    pass precomputed ``bands`` (``lsh_bands`` of the batch's signatures)
+    so one batch-side band frame feeds several probes (standing index +
+    the run ledger in the drain) without re-aggregating signatures.
+
+    Emits ``delta_id, corpus_id, jaccard`` (>= threshold)."""
     shc = corpus_index.shingles
-    bd = lsh_bands(_sigs_from_hash_rows(shd, "delta_id"), "delta_id")
+    bd = (
+        bands
+        if bands is not None
+        else lsh_bands(_sigs_from_hash_rows(shd, "delta_id"), "delta_id")
+    )
     bc = corpus_index.bands
     cands = (
         bd.join(bc, ["band", "band_key"]).select("delta_id", "corpus_id").distinct()

@@ -721,7 +721,13 @@ _GATE_PRIORITY = [
     # versioned store stays anchored by store_vacuum, the incremental
     # dedup family by its r04-r05 rows + local parity, checkpoint resume
     # by tests/test_streaming.py).
-    "doc_feature_hash",
+    # ROUND 11 — doc_feature_hash rotates out (r10 green, code unchanged;
+    # feature hashing keeps local parity via the oracle sweep). Its slot
+    # seats incremental_near_dup_stream_drain, the NEW streaming
+    # standing-index near-dup drain (round-10 verdict #1): the foreachBatch
+    # MinHash probe of the persisted bucketed band index with the
+    # in-stream zero-index-shuffle plan audit + run-ledger maintenance.
+    "incremental_near_dup_stream_drain",
     "bm25_search",
     # ROUND 7 — embedding_topk rotates out (r06 green, code unchanged;
     # the exact-twin family stays anchored by the three recall

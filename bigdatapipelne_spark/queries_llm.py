@@ -2711,6 +2711,70 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_near_duplicates(delta, corpus, "doc_id", "text")
 
 
+@query("incremental_near_dup_stream_drain", oracle=_incremental_minhash_oracle())
+def incremental_near_dup_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of standing-index NEAR-dup for a crawl
+    pipeline — the MinHash twin of incremental_dedup_stream_drain
+    (round-10 verdict #1): the probe of incremental_near_dup_indexed run
+    INSIDE a streaming consumer (streaming/dedup_stream.py
+    run_near_dup_probe_stream) — foreachBatch over three ordered
+    micro-batches (staged files + maxFilesPerTrigger=1), each batch
+    MinHash-probed against the standing BUCKETED NearDupIndex (read in
+    place — the zero-index-shuffle plan property is asserted per batch and
+    the stream aborts on violation), then probed against and ADMITTED
+    into a run-scoped band/shingle/size ledger (the per-batch index
+    maintenance; cross-batch stream-internal pairs land in a side sink
+    certified in tests/test_streaming.py).
+
+    Stream == batch equivalence, certified by the SAME oracle as
+    incremental_near_dup: a document's standing-index pairs are a pure
+    function of its own shingles and the index, independent of which
+    micro-batch carries it, so the per-batch union over any partition of
+    the delta equals the one-shot probe row-for-row."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.operators.dedup import (
+        build_near_dup_index,
+        save_near_dup_index,
+    )
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        run_near_dup_probe_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    delta, corpus = _incr_near_dup_delta(docs)
+
+    _sweep_leaked_index_tables(spark, "nd_ixs_r_", rm_parent=True)
+    root = tempfile.mkdtemp(prefix="nd_sindex_")
+    name = (
+        f"nd_ixs_r_{os.getpid()}_"
+        f"{os.path.basename(root).removeprefix('nd_sindex_')}"
+    )
+    save_near_dup_index(
+        build_near_dup_index(corpus, "doc_id", "text"), name, root
+    )
+
+    tmp = tempfile.mkdtemp(prefix="incr_nd_stream_")
+    staging = os.path.join(tmp, "staging")
+    stage_ordered_files(
+        [
+            delta.filter(
+                (F.col("doc_id") < _RECRAWL_OFF_1) & (F.col("doc_id") % 2 == 0)
+            ),
+            delta.filter(
+                (F.col("doc_id") < _RECRAWL_OFF_1) & (F.col("doc_id") % 2 == 1)
+            ),
+            delta.filter(F.col("doc_id") >= _RECRAWL_OFF_1),
+        ],
+        staging,
+    )
+    return run_near_dup_probe_stream(
+        spark, staging, name, os.path.join(tmp, "out")
+    )
+
+
 @query(
     "quality_deciles",
     oracle=f"""

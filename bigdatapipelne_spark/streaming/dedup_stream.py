@@ -1,0 +1,219 @@
+"""Streaming standing-index NEAR-duplicate drain — the steady state of a
+continuously-crawled corpus pipeline: each arriving micro-batch of
+documents is MinHash-probed against a persisted, bucketed band index
+(``operators/dedup.py save_near_dup_index`` layout) plus a run-scoped
+ledger of previously-admitted batch documents, and then admitted into
+that ledger (the per-batch index maintenance a real pipeline performs).
+
+This is the MinHash twin of the exact-fingerprint streaming drain
+(queries_llm.py incremental_dedup_stream_drain): same foreachBatch
+shape, same in-stream plan audit. The streaming-source seam mirrors the
+reference's streaming consumer (reference: flink_app/app.py:47-67 — a
+Flink SQL job draining a Kinesis stream into windowed inserts); the
+near-dup probe itself is the north-star LLM-pipeline extension over the
+``documents`` table.
+
+Scale contract (100 TB): the standing index is the big side and is never
+shuffled — its three catalog tables are bucketed on their probe-join
+keys, so every micro-batch plan shuffles ONLY the batch's own 40-byte
+hash rows. That property is not aspirational: every batch asserts it
+against the executed plan and aborts the stream loudly on violation
+(see ``_assert_probe_plan``). The run ledger is the small, growing side
+(documents admitted SINCE the standing index was built); it rides
+broadcast joins until a compaction folds it into the standing index —
+out of scope here, it is the same ``save_near_dup_index`` write.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatapipelne_spark.operators.dedup import (
+    NearDupIndex,
+    _shingle_hash_rows,
+    _sigs_from_hash_rows,
+    load_near_dup_index,
+    lsh_bands,
+    probe_near_dup_index,
+)
+
+# Hash-exchange budget for one micro-batch's standing-index probe plan:
+# the batch side of probe_near_dup_index contributes a bounded set of
+# hashpartitioning exchanges (signature/size/set aggregates over the
+# batch's rows + the candidate/verify joins), and the standing index
+# contributes NONE (bucketed scan or, at toy SF, a broadcast — neither is
+# an "Exchange hashpartitioning" node). Measured via
+# calibrate_probe_exchange_budget: 9 with the bucketed index at sf0.001
+# AND sf0.01; an unbucketed index with broadcast disabled reads 20 (the
+# trip case, exercised in tests/test_streaming.py). Smaller batches only
+# ever flip joins TOWARD broadcast (fewer hash exchanges), so the
+# full-delta measurement bounds every micro-batch.
+PROBE_EXCHANGE_BUDGET = 9
+
+_PAIR_SCHEMA = "delta_id long, corpus_id long, jaccard double"
+_DELTA_PAIR_SCHEMA = "delta_id long, ledger_id long, jaccard double"
+
+
+def calibrate_probe_exchange_budget(
+    spark: SparkSession, staging_dir: str, index_name: str, threshold: float = 0.5
+) -> int:
+    """Count the hash exchanges in the REFERENCE probe plan — the whole
+    staged delta probed against the bucketed standing index as one batch.
+    Each micro-batch re-runs identical code on a subset, so its static
+    plan carries the same or fewer hashpartitioning exchanges (size-based
+    planner flips only go toward broadcast). Used to sanity-check
+    PROBE_EXCHANGE_BUDGET in tests; the drain itself pins the constant so
+    a silently-unbucketed index cannot recalibrate the audit away."""
+    idx = load_near_dup_index(spark, index_name)
+    ref = spark.read.schema("doc_id long, text string").parquet(staging_dir)
+    shd = (
+        _shingle_hash_rows(ref, "doc_id", "text")
+        .withColumnRenamed("doc_id", "delta_id")
+        .localCheckpoint(eager=True)
+    )
+    try:
+        pairs = probe_near_dup_index(shd, idx, threshold)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+    finally:
+        shd.unpersist()
+    return plan.count("Exchange hashpartitioning")
+
+
+def _assert_probe_plan(pairs: DataFrame, index_name: str, budget: int) -> None:
+    """The in-stream zero-index-shuffle audit (same role as the exact
+    drain's per-batch assertion): the executed probe plan must (a) read
+    the standing index's catalog tables — all three — and (b) contain no
+    more hashpartitioning exchanges than the batch side alone accounts
+    for. AQE can coalesce or broadcast-flip exchanges (both reduce the
+    count) but never adds one above a scan, so the static plan suffices.
+    Raising here aborts the stream: a drain that silently re-shuffles a
+    100 TB index per micro-batch must fail loudly, not degrade."""
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    for part in ("bands", "shingles", "sizes"):
+        if f"{index_name}_{part}" not in plan:
+            raise AssertionError(
+                f"probe plan does not read standing index table "
+                f"{index_name}_{part}:\n{plan}"
+            )
+    n_ex = plan.count("Exchange hashpartitioning")
+    if n_ex > budget:
+        raise AssertionError(
+            f"expected <={budget} hash exchanges (batch side only), got "
+            f"{n_ex} — the standing index re-shuffled:\n{plan}"
+        )
+
+
+def run_near_dup_probe_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    index_name: str,
+    out_root: str,
+    threshold: float = 0.5,
+    exchange_budget: int = PROBE_EXCHANGE_BUDGET,
+) -> DataFrame:
+    """Drain a staged document stream (``stage_ordered_files`` layout,
+    one file per micro-batch) against the standing near-dup index
+    ``index_name`` (a ``save_near_dup_index`` catalog layout).
+
+    Per micro-batch:
+
+    1. shingle-hash the batch ONCE (the only text scan); derive its band
+       frame once — both local-checkpointed so the two probes and the
+       ledger admission share one evaluation;
+    2. probe the STANDING index -> ``(delta_id, corpus_id, jaccard)``
+       appended to ``<out_root>/corpus_pairs`` — the oracle-gated output;
+       the executed plan is audited (zero index-side shuffle) and the
+       stream aborts on violation;
+    3. probe the RUN LEDGER (documents admitted by earlier batches) ->
+       ``(delta_id, ledger_id, jaccard)`` appended to
+       ``<out_root>/delta_pairs`` — cross-batch near-dups WITHIN the
+       arriving stream, the pairs a one-shot batch run never sees
+       split-by-batch (certified in tests/test_streaming.py with a
+       planted cross-batch near-copy);
+    4. admit the batch into the ledger: its band rows, shingle rows and
+       size rows appended under ``<out_root>/ledger/`` — the per-batch
+       index maintenance. Every fetched document is admitted (a crawl
+       pipeline indexes everything it saw so future fetches can match
+       it); dedup DECISIONS are downstream of the emitted pairs.
+
+    Returns the corpus-pairs frame — the union over batches, which equals
+    the one-shot ``incremental_near_duplicates`` of the full delta because
+    each document's standing-index pairs are independent of its batch.
+    """
+    idx = load_near_dup_index(spark, index_name)
+    corpus_sink = os.path.join(out_root, "corpus_pairs")
+    delta_sink = os.path.join(out_root, "delta_pairs")
+    ledger = {
+        p: os.path.join(out_root, "ledger", p)
+        for p in ("bands", "shingles", "sizes")
+    }
+
+    def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        shb = (
+            _shingle_hash_rows(batch_df, "doc_id", "text")
+            .withColumnRenamed("doc_id", "delta_id")
+            .localCheckpoint(eager=True)
+        )
+        bb = lsh_bands(
+            _sigs_from_hash_rows(shb, "delta_id"), "delta_id"
+        ).localCheckpoint(eager=True)
+        try:
+            pairs = probe_near_dup_index(shb, idx, threshold, bands=bb)
+            _assert_probe_plan(pairs, index_name, exchange_budget)
+            pairs.write.mode("append").parquet(corpus_sink)
+
+            if os.path.isdir(ledger["bands"]):
+                led = NearDupIndex(
+                    bands=spark.read.parquet(ledger["bands"]),
+                    shingles=spark.read.parquet(ledger["shingles"]),
+                    sizes=spark.read.parquet(ledger["sizes"]),
+                )
+                (
+                    probe_near_dup_index(shb, led, threshold, bands=bb)
+                    .withColumnRenamed("corpus_id", "ledger_id")
+                    .write.mode("append")
+                    .parquet(delta_sink)
+                )
+            # Ledger admission AFTER the ledger probe: a batch never
+            # matches itself (within-batch near-dups are the standing
+            # batch operator's job, not the incremental stream's).
+            bb.select(
+                F.col("delta_id").alias("corpus_id"), "band", "band_key"
+            ).write.mode("append").parquet(ledger["bands"])
+            shb.select(F.col("delta_id").alias("corpus_id"), "sh").write.mode(
+                "append"
+            ).parquet(ledger["shingles"])
+            shb.groupBy("delta_id").agg(
+                F.count(F.lit(1)).alias("sz_c")
+            ).select(F.col("delta_id").alias("corpus_id"), "sz_c").write.mode(
+                "append"
+            ).parquet(ledger["sizes"])
+        finally:
+            bb.unpersist()
+            shb.unpersist()
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging_dir)
+    )
+    (
+        src.writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", os.path.join(out_root, "cp"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.schema(_PAIR_SCHEMA).parquet(corpus_sink)
+
+
+def read_delta_pairs(spark: SparkSession, out_root: str) -> DataFrame:
+    """The cross-batch (stream-internal) near-dup pairs a finished drain
+    accumulated — empty if no later batch near-matched an earlier one."""
+    path = os.path.join(out_root, "delta_pairs")
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], _DELTA_PAIR_SCHEMA)
+    return spark.read.schema(_DELTA_PAIR_SCHEMA).parquet(path)

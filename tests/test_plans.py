@@ -109,6 +109,11 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         # (zero index-side exchange, <=1 batch-side hash exchange) and
         # aborts the stream on violation — stricter than this sweep.
         "incremental_dedup_stream_drain",
+        # Reviewed round 11: the MinHash twin — same per-batch plan audit
+        # (streaming/dedup_stream.py _assert_probe_plan: all three index
+        # tables read in place, hash-exchange budget pinned), abort on
+        # violation; trip-test in tests/test_streaming.py.
+        "incremental_near_dup_stream_drain",
     }
     assert {n for n in QUERIES if n.endswith("_drain")} <= streaming_drains, (
         "new *_drain query must be explicitly reviewed and added to the "

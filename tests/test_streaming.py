@@ -393,3 +393,200 @@ def test_run_available_now_state_partitions_sets_and_restores(spark, tmp_path):
         lines = f.read().splitlines()
     conf = json.loads(lines[1])["conf"]
     assert conf["spark.sql.shuffle.partitions"] == "5"
+
+
+def test_near_dup_stream_drain_matches_batch_and_catches_cross_batch(
+    spark, tmp_path
+):
+    """The streaming standing-index near-dup drain (streaming/
+    dedup_stream.py): corpus pairs across micro-batches equal the
+    one-shot batch probe, and a planted cross-batch near-copy — doc Y in
+    batch 2 is doc X from batch 1 plus one token, invisible to any
+    per-batch standing-index probe — is caught by the run-ledger probe
+    and lands in the delta_pairs side sink."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_near_dup_index,
+        incremental_near_duplicates,
+        save_near_dup_index,
+    )
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        read_delta_pairs,
+        run_near_dup_probe_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    # batch 1 carries X (a corpus near-copy, so corpus_pairs is non-empty
+    # too); batch 2 carries Y = X + one token (the cross-batch plant).
+    x = corpus.orderBy("doc_id").limit(1).select(
+        F.lit(900_000).alias("doc_id"),
+        F.concat("text", F.lit(" drift")).alias("text"),
+    )
+    y = x.select(
+        F.lit(900_001).alias("doc_id"),
+        F.concat("text", F.lit(" more")).alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 3 == 0).unionByName(x)
+    b2 = docs.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text"
+    ).unionByName(y)
+
+    ix = build_near_dup_index(corpus, "doc_id", "text")
+    name = "nd_ix_drain_t"
+    try:
+        save_near_dup_index(ix, name, str(tmp_path / "ndix"))
+        staging = str(tmp_path / "staging")
+        stage_ordered_files([b1, b2], staging)
+        out_root = str(tmp_path / "out")
+        got = run_near_dup_probe_stream(spark, staging, name, out_root)
+
+        want = incremental_near_duplicates(
+            b1.unionByName(b2), corpus, "doc_id", "text"
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+        cross = read_delta_pairs(spark, out_root).collect()
+        assert any(
+            r.delta_id == 900_001 and r.ledger_id == 900_000 and r.jaccard >= 0.5
+            for r in cross
+        ), cross
+    finally:
+        for t in (f"{name}_bands", f"{name}_shingles", f"{name}_sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_near_dup_stream_drain_plan_audit_trips_on_unbucketed_index(
+    spark, tmp_path
+):
+    """The in-stream zero-index-shuffle assertion must actually fire: an
+    UNBUCKETED index registered under the expected catalog names (with
+    broadcast disabled so its exchanges are visible — at toy SF the
+    planner otherwise hides the re-shuffle behind a broadcast) blows the
+    hash-exchange budget and aborts the stream."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigdatapipelne_spark.operators.dedup import build_near_dup_index
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        run_near_dup_probe_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+
+    ix = build_near_dup_index(corpus, "doc_id", "text")
+    name = "nd_ix_trip_t"
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for part in ("bands", "shingles", "sizes"):
+            getattr(ix, part).write.saveAsTable(f"{name}_{part}")
+        staging = str(tmp_path / "staging")
+        stage_ordered_files([delta], staging)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with pytest.raises(StreamingQueryException) as exc:
+            run_near_dup_probe_stream(
+                spark, staging, name, str(tmp_path / "out")
+            )
+        assert "the standing index re-shuffled" in str(exc.value)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        for t in (f"{name}_bands", f"{name}_shingles", f"{name}_sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_near_dup_probe_exchange_budget_is_calibrated(spark, tmp_path):
+    """PROBE_EXCHANGE_BUDGET is a pinned constant (so an unbucketed index
+    cannot recalibrate the audit away) — this keeps it honest against the
+    measured reference plan: the bucketed full-delta probe must fit the
+    budget, and the unbucketed no-broadcast form must exceed it."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_near_dup_index,
+        save_near_dup_index,
+    )
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        PROBE_EXCHANGE_BUDGET,
+        calibrate_probe_exchange_budget,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+
+    ix = build_near_dup_index(corpus, "doc_id", "text")
+    name = "nd_ix_calib_t"
+    try:
+        save_near_dup_index(ix, name, str(tmp_path / "ndix"))
+        staging = str(tmp_path / "staging")
+        stage_ordered_files([delta], staging)
+        assert (
+            calibrate_probe_exchange_budget(spark, staging, name)
+            <= PROBE_EXCHANGE_BUDGET
+        )
+    finally:
+        for t in (f"{name}_bands", f"{name}_shingles", f"{name}_sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_join_output_identical_under_rocksdb_state_store(
+    spark, tmp_path
+):
+    """State-store provider is an executor-memory decision, never a
+    semantics one: the same left-outer stream-stream join drained under
+    the default on-heap HDFS-backed provider and under RocksDB (the
+    at-scale backend the gated purchase_view_outer_drain runs) must emit
+    row-identical output. Also pins that the RocksDB drain really used
+    RocksDB (zip-snapshot state layout, not the HDFS .delta files)."""
+    import glob as _glob
+
+    from bigdatapipelne_spark.streaming.fraud import (
+        ROCKSDB_PROVIDER,
+        read_events_parquet_stream,
+        run_available_now,
+    )
+    from bigdatapipelne_spark.streaming.joins import correlate_streams
+
+    src = os.path.join(SF_SMALL, "events.parquet")
+
+    def drain(provider, tag):
+        def side(event_type, cols):
+            s = read_events_parquet_stream(spark, src)
+            s = s.filter(F.col("event_type") == event_type)
+            return s.select(
+                "user_id", *[F.col(c).alias(a) for c, a in cols.items()]
+            )
+
+        joined = correlate_streams(
+            side("purchase", {"event_id": "purchase_id", "ts": "pts"}),
+            side("view", {"event_id": "view_id", "ts": "vts"}),
+            key="user_id", left_time="pts", right_time="vts",
+            lookback="6 hours", how="left_outer",
+        )
+        out = str(tmp_path / f"out_{tag}")
+        cp = str(tmp_path / f"cp_{tag}")
+        run_available_now(
+            joined, out, cp, state_partitions=4, state_store_provider=provider
+        )
+        return spark.read.parquet(out), cp
+
+    hdfs_df, hdfs_cp = drain(None, "hdfs")
+    rocks_df, rocks_cp = drain(ROCKSDB_PROVIDER, "rocks")
+    assert sorted(map(tuple, hdfs_df.collect())) == sorted(
+        map(tuple, rocks_df.collect())
+    )
+    # provider actually took effect: RocksDB snapshots state as N.zip
+    # (under state/0/<part>/<joinStoreName>/), the HDFS provider as
+    # N.delta files
+    assert _glob.glob(
+        os.path.join(rocks_cp, "state", "**", "*.zip"), recursive=True
+    )
+    assert not _glob.glob(
+        os.path.join(rocks_cp, "state", "**", "*.delta"), recursive=True
+    )
+    assert _glob.glob(
+        os.path.join(hdfs_cp, "state", "**", "*.delta"), recursive=True
+    )

@@ -361,10 +361,20 @@ def purchase_view_outer_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     vts <= pts. Purchases at or inside the watermark stay unemitted (the
     append-tail rule; boundary behavior probed: pts == wm holds back).
     The oracle reproduces the inner part AND the eviction rule, so the
-    outer emission semantics are hash-checked."""
+    outer emission semantics are hash-checked.
+
+    Runs under the ROCKSDB state store (round-10 verdict #3): at 100 TB
+    the default on-heap HDFSBackedStateStoreProvider is the stream-stream
+    join's real scale risk (four state stores per partition held in
+    executor heap), so the at-scale provider is certified end-to-end HERE
+    — this gate hash-checks RocksDB-backed output against the same oracle
+    every round, while the inner/full-outer twins stay on the default
+    provider (both backends stay driver-certified). Provider A/B output
+    identity is additionally pinned in tests/test_streaming.py."""
     import os
 
     from bigdatapipelne_spark.streaming.fraud import (
+        ROCKSDB_PROVIDER,
         read_events_parquet_stream,
         run_available_now,
     )
@@ -391,7 +401,9 @@ def purchase_view_outer_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count is a one-sided (over) proxy. See size_state_partitions.
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     run_available_now(
-        joined, out, cp, state_partitions=size_state_partitions(n_events)
+        joined, out, cp,
+        state_partitions=size_state_partitions(n_events),
+        state_store_provider=ROCKSDB_PROVIDER,
     )
     return spark.read.parquet(out).select(
         "user_id", "purchase_id", "pts", "view_id", "vts"

@@ -167,6 +167,11 @@ def fraud_alerts(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_available_now(
     sdf: DataFrame,
     out_path: str,
@@ -174,6 +179,7 @@ def run_available_now(
     fmt: str = "parquet",
     output_mode: str = "append",
     state_partitions: int | None = None,
+    state_store_provider: str | None = None,
 ) -> None:
     """Drain everything currently available through the streaming plan and
     stop (W4 append + W5 checkpoint + the availableNow trigger).
@@ -200,11 +206,33 @@ def run_available_now(
     deployment sizes the same knob UP (2-3x total cores) for state
     throughput — the point is matching the workload, not a small number.
     ``None`` keeps the session default unchanged.
+
+    ``state_store_provider`` picks the state-store backend for THIS query
+    (pinned into the checkpoint at first start, like the partition
+    count). The default HDFSBackedStateStoreProvider holds every loaded
+    partition's state map ON-HEAP — at 100 TB a stream-stream join's
+    four stores x partitions is the real OOM risk — while
+    ``ROCKSDB_PROVIDER`` keeps state off-heap in per-partition RocksDB
+    instances with changelog/snapshot files under the checkpoint, the
+    at-scale deployment choice. Output is provider-independent
+    (hash-certified both by the gated purchase_view_outer_drain, which
+    runs RocksDB permanently, and by the A/B identity test in
+    tests/test_streaming.py); the per-batch constant differs — see
+    STATUS.md round-11 notes for the measured delta.
     """
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider",
+    )
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if state_store_provider is not None:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", state_store_provider
+        )
     try:
         q = (
             sdf.writeStream.format(fmt)
@@ -218,6 +246,10 @@ def run_available_now(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_store_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
 
 
 def read_serving(spark: SparkSession, serving_path: str) -> DataFrame:

@@ -910,14 +910,80 @@ def simhash_near_duplicates(
     )
 
 
+class BenchmarkIndex:
+    """The standing state of a production decontamination pipeline: the
+    (static) benchmark suite's shingle index, built once and probed by
+    every arriving corpus batch — the decontamination member of the
+    standing-index family (``build_fingerprint_index`` /
+    ``build_near_dup_index`` are the dedup twins).
+
+    - ``shingles``: ``(bench_id, sh)`` distinct trigram-md5 rows. Persist
+      bucketed on ``sh`` (the probe equi-join key); at corpus x benchmark
+      scale the whole index still broadcasts, so the bucket layout is a
+      fallback for pathological benchmark suites, not the hot path.
+    - ``sizes``: ``(bench_id, bsz)`` distinct-shingle counts — the
+      containment denominator. Tiny; always broadcast."""
+
+    def __init__(self, shingles: DataFrame, sizes: DataFrame):
+        self.shingles = shingles
+        self.sizes = sizes
+
+
+def build_benchmark_index(
+    benchmark: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> BenchmarkIndex:
+    """One benchmark pass -> the persistent ``BenchmarkIndex``. The
+    shingle rows are checkpointed so the two consumers (probe join +
+    size counts) share a single tokenize/shingle evaluation — the
+    per-run rebuild the standing form exists to avoid."""
+    sh = (
+        _shingle_hash_rows(benchmark, id_col, text_col, n)
+        .withColumnRenamed(id_col, "bench_id")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
+    return BenchmarkIndex(shingles=sh, sizes=sizes)
+
+
+def save_benchmark_index(
+    index: BenchmarkIndex, name: str, path: str, n_buckets: int = 8
+) -> None:
+    """Persist a ``BenchmarkIndex`` as two catalog tables:
+    ``<name>_shingles`` bucketed+sorted on ``sh`` (the probe join key),
+    ``<name>_sizes`` bucketed on ``bench_id``."""
+    import os
+
+    from bigdatapipelne_spark.sources.io import write_bucketed_table
+
+    spark = index.shingles.sparkSession
+    write_bucketed_table(
+        spark, index.shingles, f"{name}_shingles", ["sh"], n_buckets,
+        os.path.join(path, "shingles"), sort_cols=["sh"],
+    )
+    write_bucketed_table(
+        spark, index.sizes, f"{name}_sizes", ["bench_id"], n_buckets,
+        os.path.join(path, "sizes"),
+    )
+
+
+def load_benchmark_index(spark, name: str) -> BenchmarkIndex:
+    """Reload a ``save_benchmark_index`` layout; pass as
+    ``benchmark_index`` to ``decontaminate``."""
+    return BenchmarkIndex(
+        shingles=spark.table(f"{name}_shingles"),
+        sizes=spark.table(f"{name}_sizes"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    benchmark_index: BenchmarkIndex | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: find corpus documents that CONTAIN a
     benchmark document's n-grams — the asymmetric companion to
@@ -934,8 +1000,20 @@ def decontaminate(
     semi-join, not a pairwise comparison, and the benchmark index is small
     enough for AQE to broadcast. ``max_doc_freq`` (applied to the corpus
     index) caps boilerplate shingles as in ngram_jaccard_duplicates.
+
+    Pass ``benchmark_index`` (a ``BenchmarkIndex``, usually reloaded from
+    its persisted form) and the benchmark side is PROBED, not recomputed —
+    the per-batch plan reads no benchmark text, the steady-state shape of
+    a production pipeline decontaminating every arriving corpus batch
+    against a static eval suite. Without it, the index is derived inline
+    from ``benchmark`` (the self-contained gate form); the two paths are
+    result-identical by construction (tests/test_llm_ops.py).
     """
     corpus = _widen_narrow_input(corpus)
+    if benchmark_index is None:
+        if benchmark is None:
+            raise ValueError("need benchmark or benchmark_index")
+        benchmark_index = build_benchmark_index(benchmark, id_col, text_col, n)
     def index(df: DataFrame, out_id: str) -> DataFrame:
         return (
             df.select(F.col(id_col).alias(out_id), tokens(text_col).alias("__toks"))
@@ -963,8 +1041,8 @@ def decontaminate(
             .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
         )
-    bench = index(benchmark, "bench_id")
-    bench_sz = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
+    bench = benchmark_index.shingles
+    bench_sz = benchmark_index.sizes
     inter = (
         corp.join(bench, "sh")
         .groupBy("corpus_id", "bench_id")

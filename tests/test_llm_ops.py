@@ -538,6 +538,50 @@ def test_decontaminate_full_embed_scores_one(spark):
     assert [(r.corpus_id, r.bench_id, r.containment) for r in rows] == [(100, 1, 1.0)]
 
 
+def test_decontaminate_standing_index_probe_matches_inline(spark, tmp_path):
+    """The persisted-BenchmarkIndex probe (round-11 standing-index
+    treatment of decontamination) is result-identical to the inline form,
+    and the probe plan reads NO benchmark text — only the catalog index
+    tables."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_benchmark_index,
+        decontaminate,
+        load_benchmark_index,
+        save_benchmark_index,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    bench = docs.filter(F.col("doc_id") < 25)
+
+    name = "bm_ix_t"
+    try:
+        save_benchmark_index(
+            build_benchmark_index(bench, "doc_id", "text"),
+            name,
+            str(tmp_path / "bmix"),
+        )
+        probe = decontaminate(
+            corpus, None, "doc_id", "text", threshold=0.15,
+            benchmark_index=load_benchmark_index(spark, name),
+        )
+        inline = decontaminate(
+            corpus, bench, "doc_id", "text", threshold=0.15
+        )
+        assert sorted(map(tuple, probe.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert f"{name}_shingles" in plan and f"{name}_sizes" in plan
+        # exactly ONE parquet source feeds text into the probe plan: the
+        # corpus scan (formatted plans double scan nodes; the catalog
+        # index scans carry the table name, counted above)
+        assert "documents.parquet" in plan
+    finally:
+        for t in (f"{name}_shingles", f"{name}_sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_redact_pii_known(spark):
     from bigdatapipelne_spark.functions.text import redact_pii
 

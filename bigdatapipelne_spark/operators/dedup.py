@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdatapipelne_spark.operators.checkpoint import eager_checkpoint
+
 from bigdatapipelne_spark.functions.text import (
     fingerprint,
     normalize_text,
@@ -156,7 +158,7 @@ def _shingle_hash_rows_with_size(
             F.col(id_col),
             F.array_distinct(shingles_from_tokens("__toks", n)).alias("__ss"),
         )
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     return (
         pre.select(
@@ -384,7 +386,7 @@ def minhash_near_duplicates(
     LSH-candidate pairs always share >= ROWS_PER_BAND min-shingles, so the
     inner intersection join cannot drop a pair that would pass ``threshold``.
     """
-    sh = _shingle_hash_rows(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sh = _shingle_hash_rows(df, id_col, text_col, n).transform(eager_checkpoint)
     b = lsh_bands(_sigs_from_hash_rows(sh, id_col), id_col)
     cands = _pairs_from_bands(b, id_col, max_band_bucket)
     # per-doc shingle SETS (rows are already distinct per doc); each array
@@ -707,7 +709,7 @@ def winnowed_pairs(
     # inverted-index self-join, whose per-bucket cost is spread across
     # tasks. Materialize the index once: it feeds both join sides and
     # Catalyst does not share the subplan across them.
-    fp = fp.localCheckpoint(eager=True)
+    fp = fp.transform(eager_checkpoint)
     # df==1 fingerprints can only pair with themselves (id_a < id_b drops
     # them) — prune them from the index before the self-join.
     docfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("docfreq"))
@@ -939,7 +941,7 @@ def build_benchmark_index(
     sh = (
         _shingle_hash_rows(benchmark, id_col, text_col, n)
         .withColumnRenamed(id_col, "bench_id")
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     sizes = sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
     return BenchmarkIndex(shingles=sh, sizes=sizes)
@@ -1273,7 +1275,7 @@ def build_near_dup_index(
     shc = (
         _shingle_hash_rows(corpus, id_col, text_col, n)
         .withColumnRenamed(id_col, "corpus_id")
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     bc = _capped_bands(
         lsh_bands(_sigs_from_hash_rows(shc, "corpus_id"), "corpus_id"),
@@ -1371,7 +1373,7 @@ def incremental_near_duplicates(
     shd = (
         _shingle_hash_rows(delta, id_col, text_col, n)
         .withColumnRenamed(id_col, "delta_id")
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     return probe_near_dup_index(shd, corpus_index, threshold)
 

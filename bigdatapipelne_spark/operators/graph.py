@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigdatapipelne_spark.operators.checkpoint import eager_checkpoint
+
 # Below this many (undirected) edges the driver union-find path is used:
 # each distributed round schedules ~6 jobs over near-empty shuffle
 # partitions — measured ~4.1s for a 590-edge sf0.1 graph
@@ -100,7 +102,7 @@ def connected_components(
     und = (
         edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     if und.count() <= 2 * driver_max_edges:
         return _cc_driver(und, edges.schema[src].dataType)
@@ -125,7 +127,7 @@ def connected_components(
         # first action, and running it against the un-checkpointed plan
         # would execute the join once for the count and again for the
         # checkpoint — double work per round.
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.transform(eager_checkpoint)
         # Convergence: no node improved its label this round. The count is
         # a small driver-side scalar (control flow, not data collection).
         changed = (
@@ -165,7 +167,7 @@ def connected_components_pd(
     und = (
         edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     if und.count() <= 2 * driver_max_edges:
         return _cc_driver(und, edges.schema[src].dataType)
@@ -198,7 +200,7 @@ def connected_components_pd(
         )
         # Checkpoint BEFORE the convergence count (same double-execution
         # trap as the propagation variant).
-        new_labels = jumped.localCheckpoint(eager=True)
+        new_labels = jumped.transform(eager_checkpoint)
         changed = (
             new_labels.alias("a")
             .join(labels.alias("b"), "n")

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdatapipelne_spark.operators.checkpoint import eager_checkpoint
+
 from bigdatapipelne_spark.functions.text import tokens
 
 
@@ -70,7 +72,7 @@ def bm25_topk(
                 for i, term in enumerate(terms)
             ],
         )
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
 
     stats = scored_base.agg(

@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bigdatapipelne_spark.operators.checkpoint import eager_checkpoint
+
 
 def budget_select(
     df: DataFrame,
@@ -78,7 +80,7 @@ def budget_select(
     ranged = (
         narrow.repartitionByRange(int(parts), F.desc("score"), F.asc(id_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
 
     # Pass 1: per-partition subtotals -> driver-side running offsets.
@@ -233,7 +235,7 @@ def global_rank(
     ranged = (
         df.repartitionByRange(int(parts), *order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     counts = {
         r["_pid"]: r["c"]

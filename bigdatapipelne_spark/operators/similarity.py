@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdatapipelne_spark.operators.checkpoint import eager_checkpoint
+
 # (math is used by pick_nbits and the IVF centroid renormalization.)
 
 from bigdatapipelne_spark.functions.vectors import (
@@ -648,14 +650,14 @@ def _srp_table_frame(
         return (
             df.repartition(par)
             .mapInPandas(hash_batches, schema)
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     cols = [F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_norm")]
     for tbl in range(n_tables):
         cols.append(
             _bucket_expr(vec_col, dim, nbits, bit_offset=tbl * nbits).alias(f"_b{tbl}")
         )
-    return df.repartition(par).select(*cols).localCheckpoint(eager=True)
+    return df.repartition(par).select(*cols).transform(eager_checkpoint)
 
 
 def _pin_bucket_partitions(side: DataFrame) -> DataFrame:

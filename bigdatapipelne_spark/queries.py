@@ -850,7 +850,11 @@ _GATE_PRIORITY = [
     # weighted_sample_per_lang: the per-stratum A-ES form; slot from
     # purchase_view_outer_drain, whose left-eviction oracle is literally a
     # subset of the in-gate full-outer drain (standing r03 row).
-    "weighted_sample_per_lang",
+    # ROUND 11 — weighted_sample_per_lang rotates out (r10 green, code
+    # unchanged; sampling stays anchored by weighted_docs_sample in-gate).
+    # Its slot seats q11_value_concentration, churned by the
+    # eager_checkpoint memory-posture refactor (operators/checkpoint.py).
+    "q11_value_concentration",
     # store_time_travel certifies VERSION-AS-OF snapshot isolation on the
     # versioned store; its slot comes from approx_users_per_type (standing
     # r03 row; the HLL family stays gated via hll_users_rollup).
@@ -860,7 +864,11 @@ _GATE_PRIORITY = [
     # bucketed_join_disk: zero-shuffle co-located fact-fact join from disk,
     # plan-asserted inside the query; slot from priority_rollup (standing
     # r03 row; grouping-sets family stays gated via cube_order_stats).
-    "bucketed_join_disk",
+    # ROUND 11 — bucketed_join_disk rotates out (r10 green, code
+    # unchanged; the storage family stays anchored by card_medallion_disk,
+    # store_vacuum and store_time_travel in-gate). Its slot seats
+    # q20_dominant_suppliers, churned by the same checkpoint refactor.
+    "q20_dominant_suppliers",
     # Storage certifications: schema evolution under mergeSchema,
     # small-file compaction, and the stream->versioned-store sink (each
     # fails loudly in-query on a layout/visibility regression). Slots from

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdatapipelne_spark.operators.checkpoint import eager_checkpoint
+
 from bigdatapipelne_spark.operators.dedup import (
     BANDS,
     _widen_narrow_input,
@@ -1969,7 +1971,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_from_ratios(
             stopword_ratio_from_tokens("__toks"), punct_ratio("text")
         ).alias("q"),
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     enriched = base.unionByName(
         base.withColumn("doc_id", F.col("doc_id") + F.lit(_RECRAWL_OFF_1))
     )
@@ -1981,7 +1983,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is hash-safe (winnowed_pairs precedent).
     filtered = enriched.filter(
         (F.col("q") >= 0.53) & (F.col("doc_id") % _RECRAWL_OFF_1 >= 25)
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     # base's blocks fed only filtered's materialization above — release
     # them so the query holds ONE full-corpus checkpoint, not two
     base.unpersist()
@@ -2477,7 +2479,7 @@ def incremental_dedup_stream_drain(spark: SparkSession, sf_dir: str) -> DataFram
                 "— the standing index re-shuffled:\n" + plan
             )
         # One evaluation feeds both writes (sink + ledger maintenance).
-        classified = classified.localCheckpoint(eager=True)
+        classified = classified.transform(eager_checkpoint)
         try:
             classified.select("doc_id", "status").write.mode("append").parquet(
                 sink

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdatapipelne_spark.operators.checkpoint import eager_checkpoint
+
 from bigdatapipelne_spark.operators.aggregate import exact_sum as dsum
 from bigdatapipelne_spark.queries import (
     OSUM,
@@ -646,7 +648,7 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_disc_price()).cast("double").alias("part_value"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     total = v.agg(F.sum("part_value").alias("_t"))
     return (
@@ -724,7 +726,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     pq = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("q")
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     tot = pq.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
     red = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
     dominant = (
@@ -790,7 +792,7 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes it once (A/B at sf10: 9.6s -> 8.1s best-of-3 locally).
     smax = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("s_max")
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     ordstats = smax.groupBy("l_orderkey").agg(
         F.max("s_max").alias("m1"), F.countDistinct("l_suppkey").alias("n_sup")
     )

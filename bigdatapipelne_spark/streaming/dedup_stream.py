@@ -31,6 +31,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdatapipelne_spark.operators.checkpoint import eager_checkpoint
+
 from bigdatapipelne_spark.operators.dedup import (
     NearDupIndex,
     _shingle_hash_rows,
@@ -72,7 +74,7 @@ def calibrate_probe_exchange_budget(
     shd = (
         _shingle_hash_rows(ref, "doc_id", "text")
         .withColumnRenamed("doc_id", "delta_id")
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     try:
         pairs = probe_near_dup_index(shd, idx, threshold)
@@ -155,11 +157,11 @@ def run_near_dup_probe_stream(
         shb = (
             _shingle_hash_rows(batch_df, "doc_id", "text")
             .withColumnRenamed("doc_id", "delta_id")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         bb = lsh_bands(
             _sigs_from_hash_rows(shb, "delta_id"), "delta_id"
-        ).localCheckpoint(eager=True)
+        ).transform(eager_checkpoint)
         try:
             pairs = probe_near_dup_index(shb, idx, threshold, bands=bb)
             _assert_probe_plan(pairs, index_name, exchange_budget)

@@ -888,3 +888,39 @@ def test_csv_roundtrip_with_partition_pruning(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(estado" in plan
     assert q.count() == 2
+
+
+def test_eager_checkpoint_storage_level_conf(spark):
+    """The memory-pressure knob (operators/checkpoint.py): unset -> the
+    engine default (memory+disk deserialized); DISK_ONLY -> blocks never
+    enter the storage pool. Values identical either way."""
+    from bigdatapipelne_spark.operators.checkpoint import (
+        CHECKPOINT_LEVEL_CONF,
+        eager_checkpoint,
+    )
+
+    def level_of(df):
+        jsc = spark.sparkContext._jsc.sc()
+        rid = df.rdd.id()
+        # the checkpointed Dataset's rdd id is a child of the cached one;
+        # find the cached RDD whose blocks back it
+        infos = {i.id(): i.storageLevel().description() for i in jsc.getRDDStorageInfo()}
+        return infos
+
+    base = spark.range(100)
+    d1 = eager_checkpoint(base)
+    assert d1.count() == 100
+    levels = level_of(d1)
+    assert any("Memory" in v for v in levels.values()), levels
+
+    spark.conf.set(CHECKPOINT_LEVEL_CONF, "DISK_ONLY")
+    try:
+        d2 = eager_checkpoint(spark.range(100, 200))
+        assert d2.count() == 100
+        levels = level_of(d2)
+        disk_only = [v for v in levels.values() if "Memory" not in v]
+        assert disk_only, levels  # at least the new blocks are disk-only
+    finally:
+        spark.conf.unset(CHECKPOINT_LEVEL_CONF)
+    d1.unpersist()
+    d2.unpersist()

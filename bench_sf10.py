@@ -175,6 +175,41 @@ RATIO_NOTES = {
         "by design; the computed file budget and DECIMAL-exact "
         "aggregate are the certified part"
     ),
+    "embedding_near_dup_ann": (
+        "SRP candidate growth: multi-probe bucket populations grow with "
+        "corpus density at fixed nbits, so verified-pair volume rises "
+        "faster than N — bounded by max_bucket_size; the exact-verify "
+        "cosine over candidates is the cell's cost, the documented "
+        "approximate-path trade (round-9 attribution, standing)"
+    ),
+    "decontaminated_overlap": (
+        "remaining cost is the corpus tokenize/shingle scan probed "
+        "against a 25-doc benchmark index — at 100 TB the corpus scan "
+        "IS the data being checked, an irreducible single pass; the "
+        "round-11 standing BenchmarkIndex probe path removes the "
+        "per-run benchmark rebuild (negligible at this benchmark size, "
+        "the point at real eval-suite sizes)"
+    ),
+    "purchase_view_outer_drain": (
+        "runs the ROCKSDB state store permanently (round-11 "
+        "certification): the cell is a per-invocation stateful "
+        "constant, not data throughput, and includes the off-heap "
+        "provider's ~0.7s premium over the HDFS store at toy state "
+        "(BENCH_drains.json provider constants)"
+    ),
+    "incremental_dedup_stream_drain": (
+        "per-invocation streaming-cell constant: stages micro-batch "
+        "files, builds+saves the standing bucketed index, then drains "
+        "3 audited micro-batches; the steady-state per-batch probe "
+        "cost is certified separately (BENCH_probe.json, "
+        "BENCH_drains.json amortization curves)"
+    ),
+    "incremental_near_dup_stream_drain": (
+        "same shape as incremental_dedup_stream_drain for the MinHash "
+        "index: index build+save + 3 audited micro-batch probes + "
+        "ledger maintenance inside one cell; steady-state probe cost "
+        "lives in BENCH_probe.json"
+    ),
 }
 
 # Same exclusions (and reasons) as bench_sf1.py: these queries measure a

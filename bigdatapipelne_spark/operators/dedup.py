@@ -1299,22 +1299,36 @@ def save_near_dup_index(
     shuffle only the BATCH's rows; the standing index — the 100 TB side —
     is scanned in place (plan-asserted in tests/test_bucketing.py)."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     from bigdatapipelne_spark.sources.io import write_bucketed_table
 
     spark = index.bands.sparkSession
-    write_bucketed_table(
-        spark, index.bands, f"{name}_bands", ["band_key"], n_buckets,
-        os.path.join(path, "bands"), sort_cols=["band_key"],
-    )
-    write_bucketed_table(
-        spark, index.shingles, f"{name}_shingles", ["corpus_id"], n_buckets,
-        os.path.join(path, "shingles"), sort_cols=["corpus_id"],
-    )
-    write_bucketed_table(
-        spark, index.sizes, f"{name}_sizes", ["corpus_id"], n_buckets,
-        os.path.join(path, "sizes"), sort_cols=["corpus_id"],
-    )
+    # The three writes are independent (distinct tables, distinct paths,
+    # no session-conf mutation in write_bucketed_table) and each carries a
+    # fixed job-submission + commit constant, so they run concurrently —
+    # Spark's scheduler interleaves jobs submitted from separate threads.
+    # Measured on the gate cell: 2.9s sequential -> ~2.0s warm.
+    writes = [
+        (index.bands, f"{name}_bands", ["band_key"], "bands", ["band_key"]),
+        (
+            index.shingles, f"{name}_shingles", ["corpus_id"], "shingles",
+            ["corpus_id"],
+        ),
+        (
+            index.sizes, f"{name}_sizes", ["corpus_id"], "sizes",
+            ["corpus_id"],
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [
+            pool.submit(
+                write_bucketed_table, spark, df, tbl, keys, n_buckets,
+                os.path.join(path, sub), sort_cols=sort,
+            )
+            for df, tbl, keys, sub, sort in writes
+        ]:
+            f.result()
 
 
 def load_near_dup_index(spark, name: str) -> NearDupIndex:

@@ -27,6 +27,7 @@ out of scope here, it is the same ``save_near_dup_index`` write.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -181,18 +182,38 @@ def run_near_dup_probe_stream(
                 )
             # Ledger admission AFTER the ledger probe: a batch never
             # matches itself (within-batch near-dups are the standing
-            # batch operator's job, not the incremental stream's).
-            bb.select(
-                F.col("delta_id").alias("corpus_id"), "band", "band_key"
-            ).write.mode("append").parquet(ledger["bands"])
-            shb.select(F.col("delta_id").alias("corpus_id"), "sh").write.mode(
-                "append"
-            ).parquet(ledger["shingles"])
-            shb.groupBy("delta_id").agg(
-                F.count(F.lit(1)).alias("sz_c")
-            ).select(F.col("delta_id").alias("corpus_id"), "sz_c").write.mode(
-                "append"
-            ).parquet(ledger["sizes"])
+            # batch operator's job, not the incremental stream's). The
+            # three appends read only the two checkpointed frames and
+            # write distinct directories, so they run concurrently
+            # (thread-submitted jobs — the save_near_dup_index pattern).
+            admissions = [
+                (
+                    bb.select(
+                        F.col("delta_id").alias("corpus_id"),
+                        "band",
+                        "band_key",
+                    ),
+                    ledger["bands"],
+                ),
+                (
+                    shb.select(F.col("delta_id").alias("corpus_id"), "sh"),
+                    ledger["shingles"],
+                ),
+                (
+                    shb.groupBy("delta_id")
+                    .agg(F.count(F.lit(1)).alias("sz_c"))
+                    .select(F.col("delta_id").alias("corpus_id"), "sz_c"),
+                    ledger["sizes"],
+                ),
+            ]
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                for f in [
+                    pool.submit(
+                        lambda d, p: d.write.mode("append").parquet(p), d, p
+                    )
+                    for d, p in admissions
+                ]:
+                    f.result()
         finally:
             bb.unpersist()
             shb.unpersist()

@@ -590,3 +590,47 @@ def test_stream_join_output_identical_under_rocksdb_state_store(
     assert _glob.glob(
         os.path.join(hdfs_cp, "state", "**", "*.delta"), recursive=True
     )
+
+
+def test_sessionizer_output_identical_under_rocksdb_state_store(
+    spark, tmp_path
+):
+    """Provider-independence for the CUSTOM-state path too: the
+    applyInPandasWithState sessionizer drained under the default provider
+    and under RocksDB emits row-identical sessions — together with the
+    stream-stream join A/B this covers both state-store API families the
+    engine uses (the windowed/join stores and the arbitrary-state
+    store)."""
+    import glob as _glob
+
+    from bigdatapipelne_spark.streaming.fraud import (
+        ROCKSDB_PROVIDER,
+        read_events_parquet_stream,
+        run_available_now,
+    )
+    from bigdatapipelne_spark.streaming.sessions import sessionize_stream
+
+    src = os.path.join(SF_SMALL, "events.parquet")
+
+    def drain(provider, tag):
+        sessions = sessionize_stream(
+            read_events_parquet_stream(spark, src),
+            gap="30 minutes",
+            watermark="10 seconds",
+        )
+        out = str(tmp_path / f"out_{tag}")
+        cp = str(tmp_path / f"cp_{tag}")
+        run_available_now(
+            sessions, out, cp, state_partitions=4,
+            state_store_provider=provider,
+        )
+        return spark.read.parquet(out), cp
+
+    hdfs_df, _ = drain(None, "hdfs")
+    rocks_df, rocks_cp = drain(ROCKSDB_PROVIDER, "rocks")
+    assert sorted(map(tuple, hdfs_df.collect())) == sorted(
+        map(tuple, rocks_df.collect())
+    )
+    assert _glob.glob(
+        os.path.join(rocks_cp, "state", "**", "*.zip"), recursive=True
+    )

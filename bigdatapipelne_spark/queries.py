@@ -633,7 +633,13 @@ _GATE_PRIORITY = [
     # in-gate). Its slot seats exact_dedup, churned by the 2^40
     # collision-proof synthetic-copy offsets (verdict item 4).
     "exact_dedup",
-    "text_stats",
+    # ROUND 11 — text_stats rotates out (r10 green, code unchanged; the
+    # text family stays anchored by doc_repetition and quality_deciles
+    # in-gate). Its slot seats decontaminated_overlap_stream_drain, the
+    # NEW streaming decontamination drain (third standing-index stream
+    # member: per-batch BenchmarkIndex probe with the pinned-budget
+    # zero-index-shuffle audit).
+    "decontaminated_overlap_stream_drain",
     "asof_purchase_view",
     "embedding_near_dup",
     "near_dup_clusters",

@@ -1478,9 +1478,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "decontaminated_overlap",
-    oracle=f"""
+_DECON_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
     hashed AS (
@@ -1498,8 +1496,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(i AS DOUBLE) / CAST(bsz AS DOUBLE) AS containment
     FROM inter JOIN bsz ON bsz.doc_id = bench_id
     WHERE CAST(i AS DOUBLE) / CAST(bsz AS DOUBLE) >= 0.15
-    """,
-)
+    """
+
+
+@query("decontaminated_overlap", oracle=_DECON_ORACLE)
 def decontaminated_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/dedup.py: decontaminate): docs
     0-24 stand in for an eval set; flag the rest of the corpus where trigram
@@ -1516,6 +1516,60 @@ def decontaminated_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=3,
         threshold=0.15,
+    )
+
+
+@query("decontaminated_overlap_stream_drain", oracle=_DECON_ORACLE)
+def decontaminated_overlap_stream_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The third streaming standing-index member (after the exact and
+    MinHash dedup drains): benchmark decontamination run INSIDE a
+    streaming consumer (streaming/dedup_stream.py
+    run_decontaminate_stream) — the corpus arrives as three ordered
+    micro-batches, each probed against the persisted BUCKETED
+    BenchmarkIndex (read in place — zero index-side shuffle asserted per
+    batch against a pinned hash-exchange budget of 1, the batch side's
+    intersection groupBy; the stream aborts on violation). No ledger:
+    the benchmark suite is static by definition.
+
+    Stream == batch equivalence, certified by the SAME oracle as
+    decontaminated_overlap: containment is a pure function of one corpus
+    document and the index, so the per-batch union over any partition of
+    the corpus equals the one-shot probe row-for-row."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.operators.dedup import (
+        build_benchmark_index,
+        save_benchmark_index,
+    )
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        run_decontaminate_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    bench = docs.filter(F.col("doc_id") < 25)
+
+    _sweep_leaked_index_tables(spark, "bm_ixs_r_", rm_parent=True)
+    root = tempfile.mkdtemp(prefix="bm_sindex_")
+    name = (
+        f"bm_ixs_r_{os.getpid()}_"
+        f"{os.path.basename(root).removeprefix('bm_sindex_')}"
+    )
+    save_benchmark_index(
+        build_benchmark_index(bench, "doc_id", "text"), name, root
+    )
+
+    tmp = tempfile.mkdtemp(prefix="decon_stream_")
+    staging = os.path.join(tmp, "staging")
+    stage_ordered_files(
+        [corpus.filter(F.col("doc_id") % 3 == r) for r in range(3)], staging
+    )
+    return run_decontaminate_stream(
+        spark, staging, name, os.path.join(tmp, "out"), threshold=0.15
     )
 
 

@@ -85,17 +85,23 @@ def calibrate_probe_exchange_budget(
     return plan.count("Exchange hashpartitioning")
 
 
-def _assert_probe_plan(pairs: DataFrame, index_name: str, budget: int) -> None:
+def _assert_probe_plan(
+    pairs: DataFrame,
+    index_name: str,
+    budget: int,
+    parts: tuple[str, ...] = ("bands", "shingles", "sizes"),
+) -> None:
     """The in-stream zero-index-shuffle audit (same role as the exact
     drain's per-batch assertion): the executed probe plan must (a) read
-    the standing index's catalog tables — all three — and (b) contain no
-    more hashpartitioning exchanges than the batch side alone accounts
-    for. AQE can coalesce or broadcast-flip exchanges (both reduce the
-    count) but never adds one above a scan, so the static plan suffices.
-    Raising here aborts the stream: a drain that silently re-shuffles a
-    100 TB index per micro-batch must fail loudly, not degrade."""
+    the standing index's catalog tables — all of ``parts`` — and (b)
+    contain no more hashpartitioning exchanges than the batch side alone
+    accounts for. AQE can coalesce or broadcast-flip exchanges (both
+    reduce the count) but never adds one above a scan, so the static plan
+    suffices. Raising here aborts the stream: a drain that silently
+    re-shuffles a 100 TB index per micro-batch must fail loudly, not
+    degrade."""
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    for part in ("bands", "shingles", "sizes"):
+    for part in parts:
         if f"{index_name}_{part}" not in plan:
             raise AssertionError(
                 f"probe plan does not read standing index table "
@@ -240,3 +246,71 @@ def read_delta_pairs(spark: SparkSession, out_root: str) -> DataFrame:
     if not os.path.isdir(path):
         return spark.createDataFrame([], _DELTA_PAIR_SCHEMA)
     return spark.read.schema(_DELTA_PAIR_SCHEMA).parquet(path)
+
+
+# Decontamination probe budget: the bucketed BenchmarkIndex probe plan
+# carries exactly ONE hashpartitioning exchange — the batch side's
+# (corpus_id, bench_id) intersection groupBy; the shingle equi-join rides
+# the index bucketing (or a broadcast at toy SF) and the sizes join rides
+# the bucketed bench_id layout. Measured at sf0.001 AND sf0.01; the
+# unbucketed no-broadcast form reads 5 (trip case, exercised in
+# tests/test_streaming.py).
+DECON_PROBE_EXCHANGE_BUDGET = 1
+
+_DECON_SCHEMA = "corpus_id long, bench_id long, containment double"
+
+
+def run_decontaminate_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    index_name: str,
+    out_root: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    exchange_budget: int = DECON_PROBE_EXCHANGE_BUDGET,
+) -> DataFrame:
+    """The third streaming standing-index member: per-micro-batch
+    benchmark DECONTAMINATION of an arriving corpus stream against the
+    persisted ``BenchmarkIndex`` (operators/dedup.py
+    save_benchmark_index layout — shingles bucketed on the probe join
+    key, sizes on bench_id). Unlike the dedup drains there is no ledger:
+    the benchmark suite is static by definition, so per-batch maintenance
+    is vacuous — each batch probes, appends its contaminated pairs to
+    ``<out_root>/pairs``, and is done. The per-batch executed plan is
+    audited (both index tables read in place, hash-exchange budget
+    pinned) and the stream aborts on violation.
+
+    Returns the pair frame — the union over batches, which equals the
+    one-shot ``decontaminate`` of the full corpus because containment is
+    a pure function of one corpus document and the index."""
+    from bigdatapipelne_spark.operators.dedup import (
+        decontaminate,
+        load_benchmark_index,
+    )
+
+    idx = load_benchmark_index(spark, index_name)
+    sink = os.path.join(out_root, "pairs")
+
+    def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        pairs = decontaminate(
+            batch_df, None, "doc_id", "text", n=n, threshold=threshold,
+            benchmark_index=idx,
+        )
+        _assert_probe_plan(
+            pairs, index_name, exchange_budget, parts=("shingles", "sizes")
+        )
+        pairs.write.mode("append").parquet(sink)
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging_dir)
+    )
+    (
+        src.writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", os.path.join(out_root, "cp"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.schema(_DECON_SCHEMA).parquet(sink)

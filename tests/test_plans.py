@@ -114,6 +114,10 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         # tables read in place, hash-exchange budget pinned), abort on
         # violation; trip-test in tests/test_streaming.py.
         "incremental_near_dup_stream_drain",
+        # Reviewed round 11: the decontamination member — same audit over
+        # the two BenchmarkIndex tables, budget pinned at 1 (the batch
+        # side's intersection groupBy); trip-test in tests/test_streaming.py.
+        "decontaminated_overlap_stream_drain",
     }
     assert {n for n in QUERIES if n.endswith("_drain")} <= streaming_drains, (
         "new *_drain query must be explicitly reviewed and added to the "

@@ -634,3 +634,59 @@ def test_sessionizer_output_identical_under_rocksdb_state_store(
     assert _glob.glob(
         os.path.join(rocks_cp, "state", "**", "*.zip"), recursive=True
     )
+
+
+def test_decontaminate_stream_drain_matches_batch_and_audit_trips(
+    spark, tmp_path
+):
+    """The streaming decontamination drain: per-batch pairs across
+    micro-batches equal the one-shot decontaminate, and the plan audit
+    trips on an unbucketed index registered under the expected names
+    (broadcast disabled so the index-side exchanges are visible)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigdatapipelne_spark.operators.dedup import (
+        build_benchmark_index,
+        decontaminate,
+        save_benchmark_index,
+    )
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        run_decontaminate_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    bench = docs.filter(F.col("doc_id") < 25)
+    ix = build_benchmark_index(bench, "doc_id", "text")
+    name = "bm_ix_drain_t"
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        save_benchmark_index(ix, name, str(tmp_path / "bmix"))
+        staging = str(tmp_path / "staging")
+        stage_ordered_files(
+            [corpus.filter(F.col("doc_id") % 2 == r) for r in range(2)],
+            staging,
+        )
+        got = run_decontaminate_stream(
+            spark, staging, name, str(tmp_path / "out"), threshold=0.15
+        )
+        want = decontaminate(corpus, bench, "doc_id", "text", threshold=0.15)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+        # trip: replace the catalog tables with unbucketed ones
+        for part in ("shingles", "sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{part}")
+            getattr(ix, part).write.saveAsTable(f"{name}_{part}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with pytest.raises(StreamingQueryException) as exc:
+            run_decontaminate_stream(
+                spark, staging, name, str(tmp_path / "out2"), threshold=0.15
+            )
+        assert "the standing index re-shuffled" in str(exc.value)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        for t in (f"{name}_shingles", f"{name}_sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -210,6 +210,13 @@ RATIO_NOTES = {
         "ledger maintenance inside one cell; steady-state probe cost "
         "lives in BENCH_probe.json"
     ),
+    "decontaminated_overlap_stream_drain": (
+        "per-invocation streaming-cell constant: benchmark-index "
+        "build+save + 3 audited micro-batch probes; each batch's cost "
+        "is its own corpus-slice tokenize scan against the static "
+        "25-doc index — the same irreducible single pass as the batch "
+        "form, paid in thirds"
+    ),
 }
 
 # Same exclusions (and reasons) as bench_sf1.py: these queries measure a

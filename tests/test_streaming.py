@@ -690,3 +690,107 @@ def test_decontaminate_stream_drain_matches_batch_and_audit_trips(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
         for t in (f"{name}_shingles", f"{name}_sizes"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_checkpoint_bookmark_under_rocksdb(spark, tmp_path):
+    """W5/W6 under the at-scale provider: the same restart scenario as
+    test_checkpoint_is_a_bookmark, with RocksDB backing the state store —
+    window state built in run 1 must survive the restart out of the
+    RocksDB snapshot, and a third run with nothing new emits nothing."""
+    from bigdatapipelne_spark.streaming.fraud import (
+        ROCKSDB_PROVIDER,
+        fraud_alerts,
+    )
+
+    src = str(tmp_path / "src")
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def drain():
+        sdf = read_events_stream(
+            spark, src, fmt="parquet", max_files_per_trigger=1
+        )
+        run_available_now(
+            fraud_alerts(sdf), out, cp,
+            state_partitions=4, state_store_provider=ROCKSDB_PROVIDER,
+        )
+        return spark.read.parquet(out)
+
+    _write_file(spark, [_ev(1, 1.0, 1, 60.0), _ev(2, 15.0, 1, 60.0)], src, seq=0)
+    assert drain().count() == 0  # watermark 5 s: nothing closes yet
+
+    _write_file(spark, [_ev(3, 35.0, 1, 60.0)], src, seq=1)
+    got2 = drain()  # restart: state from run 1 must close [0,10) and [10,20)
+    rows = {(r.window_start.second, r.sum_value) for r in got2.collect()}
+    assert rows == {(0, 60.0), (10, 60.0)}
+
+    got3 = drain()  # no new files -> no duplicates
+    assert sorted(map(tuple, got3.collect())) == sorted(map(tuple, got2.collect()))
+
+
+def test_near_dup_stream_drain_resumes_from_checkpoint(spark, tmp_path):
+    """The production resume story for the standing-index near-dup drain:
+    a restarted drain with the same checkpoint processes ONLY the late
+    file, appends its pairs, and the run ledger built by the FIRST
+    invocation still catches a cross-invocation near-copy — bookmark,
+    sink and ledger all continue across restarts."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_near_dup_index,
+        incremental_near_duplicates,
+        save_near_dup_index,
+    )
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        read_delta_pairs,
+        run_near_dup_probe_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import (
+        stage_one_more_file,
+        stage_ordered_files,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    x = corpus.orderBy("doc_id").limit(1).select(
+        F.lit(900_000).alias("doc_id"),
+        F.concat("text", F.lit(" drift")).alias("text"),
+    )
+    # y (the late file) is a near-copy of x (landed in invocation 1)
+    y = x.select(
+        F.lit(900_001).alias("doc_id"),
+        F.concat("text", F.lit(" more")).alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 3 == 0).unionByName(x)
+    b2 = docs.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text"
+    )
+
+    name = "nd_ix_resume_t"
+    try:
+        save_near_dup_index(
+            build_near_dup_index(corpus, "doc_id", "text"),
+            name, str(tmp_path / "ndix"),
+        )
+        staging = str(tmp_path / "staging")
+        stage_ordered_files([b1, b2], staging)
+        out_root = str(tmp_path / "out")
+        first = run_near_dup_probe_stream(spark, staging, name, out_root)
+        n_first = first.count()
+
+        stage_one_more_file(y, staging)
+        resumed = run_near_dup_probe_stream(spark, staging, name, out_root)
+
+        want = incremental_near_duplicates(
+            b1.unionByName(b2).unionByName(y), corpus, "doc_id", "text"
+        )
+        assert sorted(map(tuple, resumed.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert resumed.count() >= n_first
+        # the ledger admitted x during invocation 1; the RESUMED stream's
+        # probe of the late file must still see it
+        cross = read_delta_pairs(spark, out_root).collect()
+        assert any(
+            r.delta_id == 900_001 and r.ledger_id == 900_000 for r in cross
+        ), cross
+    finally:
+        for t in (f"{name}_bands", f"{name}_shingles", f"{name}_sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

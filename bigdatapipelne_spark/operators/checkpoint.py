@@ -38,6 +38,45 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     level = df.sparkSession.conf.get(CHECKPOINT_LEVEL_CONF, None)
     if not level:
         return df.localCheckpoint(eager=True)
-    return df.localCheckpoint(
-        eager=True, storageLevel=getattr(StorageLevel, level)
-    )
+    try:
+        sl = getattr(StorageLevel, level)
+        if not isinstance(sl, StorageLevel):
+            raise AttributeError(level)
+    except AttributeError:
+        valid = sorted(
+            k for k, v in vars(StorageLevel).items()
+            if isinstance(v, StorageLevel)
+        )
+        raise ValueError(
+            f"{CHECKPOINT_LEVEL_CONF}={level!r} is not a StorageLevel; "
+            f"valid names: {valid}"
+        ) from None
+    return df.localCheckpoint(eager=True, storageLevel=sl)
+
+
+def checkpoint_rdd_id(df: DataFrame) -> int | None:
+    """The id of the cached RDD backing a localCheckpointed DataFrame, or
+    None if ``df`` is not checkpoint-backed. Used by ``release_checkpoint``
+    and by tests that must assert on THIS frame's blocks rather than
+    whatever else the shared session has cached."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    if analyzed.getClass().getSimpleName() != "LogicalRDD":
+        return None
+    return analyzed.rdd().id()
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpointed DataFrame's cached blocks NOW.
+
+    ``DataFrame.unpersist()`` is a silent no-op on a checkpointed frame
+    (verified on PySpark 4.1.2: it clears only the SQL cache manager,
+    while the blocks belong to the RDD-level persist backing the
+    LogicalRDD — they otherwise live until driver GC + ContextCleaner,
+    which is exactly how a long sweep accumulated 5.6 GB of orphaned
+    blocks in an earlier round). This unpersists the backing RDD itself;
+    the frame must not be used afterwards."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    if analyzed.getClass().getSimpleName() == "LogicalRDD":
+        analyzed.rdd().unpersist(True)
+    else:  # not checkpoint-backed; best effort
+        df.unpersist(True)

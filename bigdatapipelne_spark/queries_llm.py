@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdatapipelne_spark.operators.checkpoint import eager_checkpoint
+from bigdatapipelne_spark.operators.checkpoint import (
+    eager_checkpoint,
+    release_checkpoint,
+)
 
 from bigdatapipelne_spark.operators.dedup import (
     BANDS,
@@ -2039,8 +2042,10 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q") >= 0.53) & (F.col("doc_id") % _RECRAWL_OFF_1 >= 25)
     ).transform(eager_checkpoint)
     # base's blocks fed only filtered's materialization above — release
-    # them so the query holds ONE full-corpus checkpoint, not two
-    base.unpersist()
+    # them so the query holds ONE full-corpus checkpoint, not two.
+    # (release_checkpoint, not DataFrame.unpersist: the latter is a
+    # verified no-op on checkpoint-backed frames.)
+    release_checkpoint(base)
     # Survivor-form dedup (operators/dedup.exact_dedup_survivors): the
     # min-id row of each fingerprint group kept in place via ONE window
     # exchange — the earlier mapping + join-back form re-fingerprinted the
@@ -2482,6 +2487,8 @@ def incremental_dedup_stream_drain(spark: SparkSession, sf_dir: str) -> DataFram
     sink = os.path.join(tmp, "out")
     seen_dir = os.path.join(tmp, "seen")
 
+    from bigdatapipelne_spark.streaming.dedup_stream import _write_batch
+
     def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
         bk = batch_df.select("doc_id", fingerprint("text").alias("__fp"))
         bk = bk.select(
@@ -2492,11 +2499,18 @@ def incremental_dedup_stream_drain(spark: SparkSession, sf_dir: str) -> DataFram
         probed = bk.join(idx, "__fp", "left")
         if os.path.isdir(seen_dir):
             # The ledger holds one row per fingerprint by construction
-            # (only status='new' rows are appended, and a fingerprint
+            # (only status='new' rows are written, and a fingerprint
             # classifies 'new' at most once across the run), so the read
-            # needs no distinct — the probe stays broadcast-only.
-            seen = spark.read.parquet(seen_dir).withColumn(
-                "__seen_delta", F.lit(True)
+            # needs no distinct — the probe stays broadcast-only. Only
+            # STRICTLY EARLIER batches' admissions are visible: an
+            # at-least-once replay would otherwise see its own
+            # first-attempt 'new' rows and misclassify them dup_in_delta.
+            seen = (
+                spark.read.schema("__fp string, __batch_id long")
+                .parquet(seen_dir)
+                .filter(F.col("__batch_id") < _batch_id)
+                .select("__fp")
+                .withColumn("__seen_delta", F.lit(True))
             )
             probed = probed.join(F.broadcast(seen), "__fp", "left")
         else:
@@ -2532,33 +2546,32 @@ def incremental_dedup_stream_drain(spark: SparkSession, sf_dir: str) -> DataFram
                 f"expected <=1 hash exchange (batch-side window), got {n_ex} "
                 "— the standing index re-shuffled:\n" + plan
             )
-        # One evaluation feeds both writes (sink + ledger maintenance).
+        # One evaluation feeds both writes (sink + ledger maintenance),
+        # each idempotent per batch id (partition overwrite): foreachBatch
+        # is at-least-once, and a bare append would duplicate a replayed
+        # batch's sink rows and double-admit its fingerprints.
         classified = classified.transform(eager_checkpoint)
         try:
-            classified.select("doc_id", "status").write.mode("append").parquet(
-                sink
+            _write_batch(
+                classified.select("doc_id", "status"), sink, _batch_id
             )
             # ledger maintenance: a fingerprint enters the ledger exactly
             # when it first classifies 'new' — one row per fp for the run.
-            classified.filter(F.col("status") == "new").select("__fp").write.mode(
-                "append"
-            ).parquet(seen_dir)
+            _write_batch(
+                classified.filter(F.col("status") == "new").select("__fp"),
+                seen_dir,
+                _batch_id,
+            )
         finally:
-            classified.unpersist()
+            release_checkpoint(classified)
 
-    src = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staging)
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        _drive_staged_stream,
+        _read_batched,
     )
-    (
-        src.writeStream.foreachBatch(_probe_batch)
-        .option("checkpointLocation", os.path.join(tmp, "cp"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.read.parquet(sink).select("doc_id", "status")
+
+    _drive_staged_stream(spark, staging, _probe_batch, os.path.join(tmp, "cp"))
+    return _read_batched(spark, sink, "doc_id long, status string")
 
 
 @query(

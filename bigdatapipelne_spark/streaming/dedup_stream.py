@@ -22,6 +22,14 @@ against the executed plan and aborts the stream loudly on violation
 (documents admitted SINCE the standing index was built); it rides
 broadcast joins until a compaction folds it into the standing index —
 out of scope here, it is the same ``save_near_dup_index`` write.
+
+Delivery contract: foreachBatch is AT-LEAST-ONCE, so every sink and
+ledger write here is idempotent per micro-batch (``_write_batch``:
+batch-id partition + dynamic overwrite — a replayed batch rewrites
+exactly its own partition), and ledger probes see only STRICTLY EARLIER
+batches' admissions so a replay can never match its own first attempt.
+The ledger's band side is re-capped at probe time (the write-time cap
+bounds one admission batch, not the cumulative bucket).
 """
 
 from __future__ import annotations
@@ -32,10 +40,15 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdatapipelne_spark.operators.checkpoint import eager_checkpoint
+from bigdatapipelne_spark.operators.checkpoint import (
+    eager_checkpoint,
+    release_checkpoint,
+)
 
 from bigdatapipelne_spark.operators.dedup import (
+    MINHASH_MAX_BAND_BUCKET,
     NearDupIndex,
+    _capped_bands,
     _shingle_hash_rows,
     _sigs_from_hash_rows,
     load_near_dup_index,
@@ -81,7 +94,7 @@ def calibrate_probe_exchange_budget(
         pairs = probe_near_dup_index(shd, idx, threshold)
         plan = pairs._jdf.queryExecution().executedPlan().toString()
     finally:
-        shd.unpersist()
+        release_checkpoint(shd)
     return plan.count("Exchange hashpartitioning")
 
 
@@ -113,6 +126,52 @@ def _assert_probe_plan(
             f"expected <={budget} hash exchanges (batch side only), got "
             f"{n_ex} — the standing index re-shuffled:\n{plan}"
         )
+
+
+def _write_batch(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent per-micro-batch sink write. foreachBatch is
+    AT-LEAST-ONCE: a driver death between the sink write and the offset
+    commit replays the batch on restart, and a bare append would then
+    duplicate the replayed batch's rows. Partitioning by the engine's
+    batch id and dynamic-overwriting makes the replay rewrite exactly its
+    own partition — every other batch's data is untouched."""
+    (
+        df.withColumn("__batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(path)
+    )
+
+
+def _read_batched(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a ``_write_batch`` layout back without the partition column;
+    the explicit schema keeps an all-empty sink readable."""
+    cols = [c.split()[0] for c in schema.split(",")]
+    return (
+        spark.read.schema(schema + ", __batch_id long")
+        .parquet(path)
+        .select(*cols)
+    )
+
+
+def _drive_staged_stream(spark: SparkSession, staging_dir: str, probe_fn, cp_dir: str) -> None:
+    """The shared drain scaffold: one staged file per micro-batch through
+    ``foreachBatch(probe_fn)`` with an availableNow trigger — the
+    checkpoint is the job bookmark, so re-invoking with the same ``cp_dir``
+    processes only files staged since the last run."""
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging_dir)
+    )
+    (
+        src.writeStream.foreachBatch(probe_fn)
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
 
 
 def run_near_dup_probe_stream(
@@ -160,7 +219,7 @@ def run_near_dup_probe_stream(
         for p in ("bands", "shingles", "sizes")
     }
 
-    def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
         shb = (
             _shingle_hash_rows(batch_df, "doc_id", "text")
             .withColumnRenamed("doc_id", "delta_id")
@@ -172,26 +231,45 @@ def run_near_dup_probe_stream(
         try:
             pairs = probe_near_dup_index(shb, idx, threshold, bands=bb)
             _assert_probe_plan(pairs, index_name, exchange_budget)
-            pairs.write.mode("append").parquet(corpus_sink)
+            _write_batch(pairs, corpus_sink, batch_id)
 
             if os.path.isdir(ledger["bands"]):
+                # Probe only STRICTLY EARLIER batches' admissions: an
+                # at-least-once replay of this batch would otherwise see
+                # its own first-attempt admission and emit bogus
+                # self-pairs. The ledger band side is re-capped here —
+                # the cap is a property of the CUMULATIVE bucket, so
+                # capping per admission batch alone would let a hot
+                # boilerplate bucket grow without bound across the
+                # stream's lifetime (same one-sided-undercount contract
+                # as the standing index's write-time cap).
+                def _led(part: str, schema: str) -> DataFrame:
+                    return (
+                        spark.read.schema(schema + ", __batch_id long")
+                        .parquet(ledger[part])
+                        .filter(F.col("__batch_id") < batch_id)
+                        .drop("__batch_id")
+                    )
+
                 led = NearDupIndex(
-                    bands=spark.read.parquet(ledger["bands"]),
-                    shingles=spark.read.parquet(ledger["shingles"]),
-                    sizes=spark.read.parquet(ledger["sizes"]),
+                    bands=_capped_bands(
+                        _led("bands", "corpus_id long, band int, band_key string"),
+                        MINHASH_MAX_BAND_BUCKET,
+                    ),
+                    shingles=_led("shingles", "corpus_id long, sh string"),
+                    sizes=_led("sizes", "corpus_id long, sz_c long"),
                 )
-                (
+                _write_batch(
                     probe_near_dup_index(shb, led, threshold, bands=bb)
-                    .withColumnRenamed("corpus_id", "ledger_id")
-                    .write.mode("append")
-                    .parquet(delta_sink)
+                    .withColumnRenamed("corpus_id", "ledger_id"),
+                    delta_sink,
+                    batch_id,
                 )
-            # Ledger admission AFTER the ledger probe: a batch never
-            # matches itself (within-batch near-dups are the standing
-            # batch operator's job, not the incremental stream's). The
-            # three appends read only the two checkpointed frames and
-            # write distinct directories, so they run concurrently
-            # (thread-submitted jobs — the save_near_dup_index pattern).
+            # Ledger admission AFTER the ledger probe. The three writes
+            # read only the two checkpointed frames and target distinct
+            # directories, so they run concurrently (thread-submitted
+            # jobs — the save_near_dup_index pattern); each is
+            # idempotent per batch id like the sinks.
             admissions = [
                 (
                     bb.select(
@@ -214,29 +292,18 @@ def run_near_dup_probe_stream(
             ]
             with ThreadPoolExecutor(max_workers=3) as pool:
                 for f in [
-                    pool.submit(
-                        lambda d, p: d.write.mode("append").parquet(p), d, p
-                    )
+                    pool.submit(_write_batch, d, p, batch_id)
                     for d, p in admissions
                 ]:
                     f.result()
         finally:
-            bb.unpersist()
-            shb.unpersist()
+            release_checkpoint(bb)
+            release_checkpoint(shb)
 
-    src = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staging_dir)
+    _drive_staged_stream(
+        spark, staging_dir, _probe_batch, os.path.join(out_root, "cp")
     )
-    (
-        src.writeStream.foreachBatch(_probe_batch)
-        .option("checkpointLocation", os.path.join(out_root, "cp"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.read.schema(_PAIR_SCHEMA).parquet(corpus_sink)
+    return _read_batched(spark, corpus_sink, _PAIR_SCHEMA)
 
 
 def read_delta_pairs(spark: SparkSession, out_root: str) -> DataFrame:
@@ -245,7 +312,7 @@ def read_delta_pairs(spark: SparkSession, out_root: str) -> DataFrame:
     path = os.path.join(out_root, "delta_pairs")
     if not os.path.isdir(path):
         return spark.createDataFrame([], _DELTA_PAIR_SCHEMA)
-    return spark.read.schema(_DELTA_PAIR_SCHEMA).parquet(path)
+    return _read_batched(spark, path, _DELTA_PAIR_SCHEMA)
 
 
 # Decontamination probe budget: the bucketed BenchmarkIndex probe plan
@@ -291,7 +358,7 @@ def run_decontaminate_stream(
     idx = load_benchmark_index(spark, index_name)
     sink = os.path.join(out_root, "pairs")
 
-    def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
         pairs = decontaminate(
             batch_df, None, "doc_id", "text", n=n, threshold=threshold,
             benchmark_index=idx,
@@ -299,18 +366,9 @@ def run_decontaminate_stream(
         _assert_probe_plan(
             pairs, index_name, exchange_budget, parts=("shingles", "sizes")
         )
-        pairs.write.mode("append").parquet(sink)
+        _write_batch(pairs, sink, batch_id)
 
-    src = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staging_dir)
+    _drive_staged_stream(
+        spark, staging_dir, _probe_batch, os.path.join(out_root, "cp")
     )
-    (
-        src.writeStream.foreachBatch(_probe_batch)
-        .option("checkpointLocation", os.path.join(out_root, "cp"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.read.schema(_DECON_SCHEMA).parquet(sink)
+    return _read_batched(spark, sink, _DECON_SCHEMA)

@@ -4,6 +4,8 @@ upsert last-writer-wins, live_view TTL filter, apply_mapping casts."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -893,34 +895,42 @@ def test_csv_roundtrip_with_partition_pruning(spark, tmp_path):
 def test_eager_checkpoint_storage_level_conf(spark):
     """The memory-pressure knob (operators/checkpoint.py): unset -> the
     engine default (memory+disk deserialized); DISK_ONLY -> blocks never
-    enter the storage pool. Values identical either way."""
+    enter the storage pool. Assertions resolve THIS frame's backing RDD
+    (checkpoint_rdd_id), not whatever else the shared session has cached;
+    release_checkpoint must actually free the blocks (DataFrame.unpersist
+    is a verified no-op on checkpoint-backed frames)."""
     from bigdatapipelne_spark.operators.checkpoint import (
         CHECKPOINT_LEVEL_CONF,
+        checkpoint_rdd_id,
         eager_checkpoint,
+        release_checkpoint,
     )
 
     def level_of(df):
+        rid = checkpoint_rdd_id(df)
+        assert rid is not None, "frame is not checkpoint-backed"
         jsc = spark.sparkContext._jsc.sc()
-        rid = df.rdd.id()
-        # the checkpointed Dataset's rdd id is a child of the cached one;
-        # find the cached RDD whose blocks back it
-        infos = {i.id(): i.storageLevel().description() for i in jsc.getRDDStorageInfo()}
-        return infos
+        for info in jsc.getRDDStorageInfo():
+            if info.id() == rid:
+                return info.storageLevel().description()
+        return None  # released
 
-    base = spark.range(100)
-    d1 = eager_checkpoint(base)
+    d1 = eager_checkpoint(spark.range(100))
     assert d1.count() == 100
-    levels = level_of(d1)
-    assert any("Memory" in v for v in levels.values()), levels
+    assert "Memory" in level_of(d1), level_of(d1)
 
     spark.conf.set(CHECKPOINT_LEVEL_CONF, "DISK_ONLY")
     try:
         d2 = eager_checkpoint(spark.range(100, 200))
         assert d2.count() == 100
-        levels = level_of(d2)
-        disk_only = [v for v in levels.values() if "Memory" not in v]
-        assert disk_only, levels  # at least the new blocks are disk-only
+        lvl = level_of(d2)
+        assert lvl is not None and "Memory" not in lvl, lvl
+
+        with pytest.raises(ValueError, match=CHECKPOINT_LEVEL_CONF):
+            spark.conf.set(CHECKPOINT_LEVEL_CONF, "disk_only")  # bad case
+            eager_checkpoint(spark.range(5))
     finally:
         spark.conf.unset(CHECKPOINT_LEVEL_CONF)
-    d1.unpersist()
-    d2.unpersist()
+    release_checkpoint(d1)
+    release_checkpoint(d2)
+    assert level_of(d1) is None and level_of(d2) is None

@@ -794,3 +794,36 @@ def test_near_dup_stream_drain_resumes_from_checkpoint(spark, tmp_path):
     finally:
         for t in (f"{name}_bands", f"{name}_shingles", f"{name}_sizes"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_drain_batch_writes_are_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed micro-batch must rewrite
+    exactly its own partition, never append a duplicate — _write_batch's
+    contract (batch-id partition + dynamic overwrite), shared by all
+    three standing-index drains' sinks and ledgers."""
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        _read_batched,
+        _write_batch,
+    )
+
+    schema = "delta_id long, corpus_id long, jaccard double"
+    path = str(tmp_path / "sink")
+    b0 = spark.range(5).selectExpr(
+        "id as delta_id", "id + 100 as corpus_id", "0.9 as jaccard"
+    )
+    b1 = spark.range(3).selectExpr(
+        "id + 10 as delta_id", "id + 200 as corpus_id", "0.8 as jaccard"
+    )
+    _write_batch(b0, path, 0)
+    _write_batch(b1, path, 1)
+    assert _read_batched(spark, path, schema).count() == 8
+    # replay of batch 0 (same content) — no duplicates
+    _write_batch(b0, path, 0)
+    assert _read_batched(spark, path, schema).count() == 8
+    # replay that recomputes slightly differently (e.g. post-failure with
+    # a partial first write) still converges to its own latest content
+    _write_batch(b0.limit(4), path, 0)
+    got = _read_batched(spark, path, schema)
+    assert got.count() == 7
+    # batch 1 untouched throughout
+    assert got.filter("delta_id >= 10").count() == 3

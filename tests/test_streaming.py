@@ -827,3 +827,49 @@ def test_drain_batch_writes_are_replay_idempotent(spark, tmp_path):
     assert got.count() == 7
     # batch 1 untouched throughout
     assert got.filter("delta_id >= 10").count() == 3
+
+
+def test_near_dup_drain_releases_per_batch_checkpoints(spark, tmp_path):
+    """Long-running-drain memory hygiene: each micro-batch's two
+    checkpointed frames (shingles + bands) must be FREED when the batch
+    ends — DataFrame.unpersist is a no-op on checkpointed frames, so this
+    pins that release_checkpoint actually runs and works; a regression
+    here re-creates the orphaned-block accumulation the DISK_ONLY
+    posture exists to avoid."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_near_dup_index,
+        save_near_dup_index,
+    )
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        run_near_dup_probe_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+
+    name = "nd_ix_release_t"
+    try:
+        save_near_dup_index(
+            build_near_dup_index(corpus, "doc_id", "text"),
+            name, str(tmp_path / "ndix"),
+        )
+        staging = str(tmp_path / "staging")
+        stage_ordered_files(
+            [delta.filter(F.col("doc_id") % 2 == r) for r in range(2)],
+            staging,
+        )
+        jsc = spark.sparkContext._jsc.sc()
+        before = {i.id() for i in jsc.getRDDStorageInfo()}
+        run_near_dup_probe_stream(
+            spark, staging, name, str(tmp_path / "out")
+        ).count()
+        after = {i.id() for i in jsc.getRDDStorageInfo()}
+        leaked = after - before
+        assert not leaked, (
+            f"drain leaked cached RDD blocks: {sorted(leaked)}"
+        )
+    finally:
+        for t in (f"{name}_bands", f"{name}_shingles", f"{name}_sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -373,7 +373,11 @@ def save_ivf_index(
 
     a = index.assignments.select(id_col, "vn", "cluster")
     if files_per_cluster > 1:
+        # Size the shuffle to the (cluster, salt) combo count: with the
+        # session default, combos hash-collide into shared partitions and
+        # the salt silently degrades back to one file per cluster.
         a = a.repartition(
+            len(index.centroids) * files_per_cluster,
             F.col("cluster"),
             (F.crc32(F.col(id_col).cast("string")) % files_per_cluster),
         )

@@ -1377,3 +1377,49 @@ def test_minhash_band_bucket_cap_not_binding_at_oracle_scales(spark):
             f"MINHASH_MAX_BAND_BUCKET={MINHASH_MAX_BAND_BUCKET} cap — the "
             "capped default would diverge from the exact oracle"
         )
+
+
+def test_save_ivf_index_files_per_cluster_salt(spark, tmp_path):
+    """The fat-cell write salt (round-11 small-files fix): with
+    files_per_cluster=2 each cluster partition carries up to two files,
+    the layout stays one-dir-per-cluster, and the reloaded index serves
+    results identical to the single-file layout."""
+    import glob as _glob
+
+    from bigdatapipelne_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    ix = build_ivf_index(emb, "vec_id", "embedding", n_centroids=4, iters=1)
+
+    r1 = str(tmp_path / "one")
+    r2 = str(tmp_path / "two")
+    save_ivf_index(ix, "vec_id", r1)
+    save_ivf_index(ix, "vec_id", r2, files_per_cluster=2)
+
+    def files_by_cluster(root):
+        out = {}
+        for d in _glob.glob(f"{root}/assignments/cluster=*"):
+            out[d.rsplit("=", 1)[1]] = len(_glob.glob(f"{d}/*.parquet"))
+        return out
+
+    f1, f2 = files_by_cluster(r1), files_by_cluster(r2)
+    assert set(f1) == set(f2)            # same cluster partitions
+    assert all(n == 1 for n in f1.values()), f1
+    assert all(1 <= n <= 2 for n in f2.values()), f2
+    assert any(n == 2 for n in f2.values()), f2  # the salt actually split
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    a = ivf_query_topk(
+        queries, load_ivf_index(spark, r1), "vec_id", "embedding", k=3, n_probe=2
+    )
+    b = ivf_query_topk(
+        queries, load_ivf_index(spark, r2), "vec_id", "embedding", k=3, n_probe=2
+    )
+    assert sorted((r.query_id, r.neighbor_id, r.rank) for r in a.collect()) == (
+        sorted((r.query_id, r.neighbor_id, r.rank) for r in b.collect())
+    )

@@ -932,17 +932,25 @@ class BenchmarkIndex:
 
 
 def build_benchmark_index(
-    benchmark: DataFrame, id_col: str, text_col: str, n: int = 3
+    benchmark: DataFrame, id_col: str, text_col: str, n: int = 3,
+    checkpoint: bool = True,
 ) -> BenchmarkIndex:
-    """One benchmark pass -> the persistent ``BenchmarkIndex``. The
-    shingle rows are checkpointed so the two consumers (probe join +
-    size counts) share a single tokenize/shingle evaluation — the
-    per-run rebuild the standing form exists to avoid."""
-    sh = (
-        _shingle_hash_rows(benchmark, id_col, text_col, n)
-        .withColumnRenamed(id_col, "bench_id")
-        .transform(eager_checkpoint)
+    """One benchmark pass -> the persistent ``BenchmarkIndex``. With
+    ``checkpoint`` (the default, for indexes the caller keeps — e.g.
+    ahead of ``save_benchmark_index``), the shingle rows are eager-
+    checkpointed so the two consumers (probe join + size counts) share a
+    single tokenize/shingle evaluation; the caller owns the blocks and
+    should ``release_checkpoint(index.shingles)`` when done with the
+    index. Pass ``checkpoint=False`` for a THROWAWAY index (the inline
+    ``decontaminate`` path): the benchmark suite is small by definition,
+    so tokenizing it twice is cheaper than a cached-block handle nobody
+    releases — checkpointed RDD blocks survive ``unpersist`` no-ops and
+    accumulate until driver GC (the round-11 orphaned-block finding)."""
+    sh = _shingle_hash_rows(benchmark, id_col, text_col, n).withColumnRenamed(
+        id_col, "bench_id"
     )
+    if checkpoint:
+        sh = sh.transform(eager_checkpoint)
     sizes = sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
     return BenchmarkIndex(shingles=sh, sizes=sizes)
 
@@ -1015,7 +1023,12 @@ def decontaminate(
     if benchmark_index is None:
         if benchmark is None:
             raise ValueError("need benchmark or benchmark_index")
-        benchmark_index = build_benchmark_index(benchmark, id_col, text_col, n)
+        # Throwaway inline index: no checkpoint (see build_benchmark_index
+        # — a handle-less eager checkpoint here would leak cached blocks
+        # on every inline call in a long session).
+        benchmark_index = build_benchmark_index(
+            benchmark, id_col, text_col, n, checkpoint=False
+        )
     def index(df: DataFrame, out_id: str) -> DataFrame:
         return (
             df.select(F.col(id_col).alias(out_id), tokens(text_col).alias("__toks"))

@@ -368,16 +368,25 @@ def save_ivf_index(
     ~500 tiny files and 4.8s of committer overhead at the sf0.1 gate cell
     (vs ~0.4s after), and at 100 TB it's the classic dynamic-partition
     small-files failure. ``files_per_cluster`` adds a salt for fat cells
-    so one cluster's write isn't serialized through one task."""
+    so one cluster's write isn't serialized through one task; it is a
+    best-effort target (hash collisions across (cluster, salt) combos
+    can still co-locate two salts — the shuffle is over-provisioned 4x
+    to make that rare), so callers must not rely on an exact file
+    count."""
     import os
 
     a = index.assignments.select(id_col, "vn", "cluster")
     if files_per_cluster > 1:
-        # Size the shuffle to the (cluster, salt) combo count: with the
-        # session default, combos hash-collide into shared partitions and
-        # the salt silently degrades back to one file per cluster.
+        # Size the shuffle to 4x the (cluster, salt) combo count: hash
+        # partitioning maps combos to partitions many-to-one, so at 1x
+        # two salts of one cluster regularly collide into a shared task
+        # and that cluster silently degrades back to fewer files.
+        # Over-provisioning makes collisions rare (empty partitions cost
+        # nothing — no task output, no file), but not impossible:
+        # ``files_per_cluster`` is a best-effort TARGET, not a guaranteed
+        # exact file count.
         a = a.repartition(
-            len(index.centroids) * files_per_cluster,
+            4 * len(index.centroids) * files_per_cluster,
             F.col("cluster"),
             (F.crc32(F.col(id_col).cast("string")) % files_per_cluster),
         )

@@ -234,31 +234,11 @@ def incremental_spec_mart(
     the group key (only changed groups rewrite); the directory-swap here
     keeps the dependency surface zero while preserving the semantics.
     """
-    from pyspark.sql import functions as F
-
-    from bigdatapipelne_spark.sources.io import swap_parquet as _swap_parquet
-
     stream = spark.readStream.schema(raw_schema or CARD_RAW_SCHEMA).json(raw_path)
     scrubbed = drop_fields(stage_transform(stream), "nome", "cvv")
 
-    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
-        part = batch_df.groupBy(*SPEC_DIMS).agg(
-            F.sum(F.col("valor").cast("decimal(18,2)")).alias("sum_valor_dec")
-        )
-        if os.path.exists(spec_path):
-            part = (
-                spark.read.parquet(spec_path)
-                .unionByName(part)
-                .groupBy(*SPEC_DIMS)
-                .agg(F.sum("sum_valor_dec").alias("sum_valor_dec"))
-            )
-        # Pin the stored type: SUM widens DECIMAL precision per level
-        # (18,2 -> 28,2 -> 38,2), which would otherwise drift the mart
-        # schema between the first and later merges.
-        part = part.select(
-            *SPEC_DIMS, F.col("sum_valor_dec").cast("decimal(38,2)").alias("sum_valor_dec")
-        )
-        _swap_parquet(part, spec_path)
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_spec_batch(spark, batch_df, batch_id, spec_path)
 
     (
         scrubbed.writeStream.foreachBatch(_merge)
@@ -268,6 +248,52 @@ def incremental_spec_mart(
         .start()
         .awaitTermination()
     )
+
+
+def merge_spec_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, spec_path: str
+) -> None:
+    """One micro-batch's additive merge into the spec mart, replay-safe.
+
+    foreachBatch is AT-LEAST-ONCE, and an ADDITIVE merge — unlike the
+    engine's upsert (last-writer-wins), SCD2 (identical restatements
+    collapse null-safely), and HLL (register max-merge) sinks, which are
+    naturally idempotent — would double-count a replayed batch's sums.
+    The mart therefore stores the producing ``__batch_id`` alongside the
+    groups (it travels inside the same atomic directory swap), and a
+    batch at or below the stored id is a no-op: replay after a driver
+    death between the swap and the offset commit re-runs exactly the
+    already-merged batch, and batch ids are strictly increasing past the
+    checkpoint, so the guard is precise. ``spec_mart_view`` projects the
+    marker away."""
+    from pyspark.sql import functions as F
+
+    from bigdatapipelne_spark.sources.io import fs_exists
+    from bigdatapipelne_spark.sources.io import swap_parquet as _swap_parquet
+
+    part = batch_df.groupBy(*SPEC_DIMS).agg(
+        F.sum(F.col("valor").cast("decimal(18,2)")).alias("sum_valor_dec")
+    )
+    if fs_exists(spark, spec_path):
+        stored = spark.read.parquet(spec_path)
+        last = stored.agg(F.max("__batch_id")).first()[0]
+        if last is not None and batch_id <= last:
+            return
+        part = (
+            stored.select(*SPEC_DIMS, "sum_valor_dec")
+            .unionByName(part)
+            .groupBy(*SPEC_DIMS)
+            .agg(F.sum("sum_valor_dec").alias("sum_valor_dec"))
+        )
+    # Pin the stored type: SUM widens DECIMAL precision per level
+    # (18,2 -> 28,2 -> 38,2), which would otherwise drift the mart
+    # schema between the first and later merges.
+    part = part.select(
+        *SPEC_DIMS,
+        F.col("sum_valor_dec").cast("decimal(38,2)").alias("sum_valor_dec"),
+        F.lit(batch_id).cast("long").alias("__batch_id"),
+    )
+    _swap_parquet(part, spec_path)
 
 
 def spec_mart_view(spark: SparkSession, spec_path: str) -> DataFrame:

@@ -268,6 +268,7 @@ def session_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from bigdatapipelne_spark.streaming.fraud import (
+        ROCKSDB_PROVIDER,
         read_events_parquet_stream,
         run_available_now,
     )
@@ -294,7 +295,15 @@ def session_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor=8,
         cap=spark.sparkContext.defaultParallelism,
     )
-    run_available_now(sessions, out, cp, state_partitions=parts)
+    # RocksDB permanently (round-11 verdict #3): with the join-store
+    # family certified under RocksDB by purchase_view_outer_drain, this
+    # gate carries the OTHER state-store API family
+    # (applyInPandasWithState arbitrary state) on the at-scale off-heap
+    # provider every round, under the unchanged oracle.
+    run_available_now(
+        sessions, out, cp, state_partitions=parts,
+        state_store_provider=ROCKSDB_PROVIDER,
+    )
     return spark.read.parquet(out).select(
         "user_id", "session_start", "session_end", "sum_value", "n_events"
     )

@@ -1531,10 +1531,11 @@ def decontaminated_overlap_stream_drain(
     streaming consumer (streaming/dedup_stream.py
     run_decontaminate_stream) — the corpus arrives as three ordered
     micro-batches, each probed against the persisted BUCKETED
-    BenchmarkIndex (read in place — zero index-side shuffle asserted per
-    batch against a pinned hash-exchange budget of 1, the batch side's
-    intersection groupBy; the stream aborts on violation). No ledger:
-    the benchmark suite is static by definition.
+    BenchmarkIndex (read in place — the zero-index-shuffle property is
+    asserted STRUCTURALLY per batch: no shuffle Exchange fed purely by
+    index scans, so batch-side plan growth can never misfire it; the
+    stream aborts on violation). No ledger: the benchmark suite is
+    static by definition.
 
     Stream == batch equivalence, certified by the SAME oracle as
     decontaminated_overlap: containment is a pure function of one corpus
@@ -1562,9 +1563,11 @@ def decontaminated_overlap_stream_drain(
         f"bm_ixs_r_{os.getpid()}_"
         f"{os.path.basename(root).removeprefix('bm_sindex_')}"
     )
-    save_benchmark_index(
-        build_benchmark_index(bench, "doc_id", "text"), name, root
-    )
+    bm_ix = build_benchmark_index(bench, "doc_id", "text")
+    save_benchmark_index(bm_ix, name, root)
+    # the persisted tables are the probe source from here on; drop the
+    # build's checkpoint blocks instead of leaking them until driver GC
+    release_checkpoint(bm_ix.shingles)
 
     tmp = tempfile.mkdtemp(prefix="decon_stream_")
     staging = os.path.join(tmp, "staging")
@@ -2487,6 +2490,7 @@ def incremental_dedup_stream_drain(spark: SparkSession, sf_dir: str) -> DataFram
     sink = os.path.join(tmp, "out")
     seen_dir = os.path.join(tmp, "seen")
 
+    from bigdatapipelne_spark.sources.io import fs_exists as _fs_exists
     from bigdatapipelne_spark.streaming.dedup_stream import _write_batch
 
     def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
@@ -2497,7 +2501,10 @@ def incremental_dedup_stream_drain(spark: SparkSession, sf_dir: str) -> DataFram
             F.min("doc_id").over(Window.partitionBy("__fp")).alias("__first_id"),
         )
         probed = bk.join(idx, "__fp", "left")
-        if os.path.isdir(seen_dir):
+        # Hadoop-FS existence check (sources/io.py fs_exists), NOT
+        # os.path.isdir: on an hdfs:///s3a:// out_root the local check is
+        # always False and the ledger probe silently never runs.
+        if _fs_exists(spark, seen_dir):
             # The ledger holds one row per fingerprint by construction
             # (only status='new' rows are written, and a fingerprint
             # classifies 'new' at most once across the run), so the read
@@ -2666,22 +2673,23 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, "doc_id", tokens("text"))
 
 
-def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
-    # Same affine-permutation family as _minhash_oracle (mirrors
-    # operators/dedup.py _minhash_exprs — see _minhash_mins_sql).
+def _mh_band_rows_sql(src: str, idc: str) -> str:
+    # DuckDB replay of operators/dedup.py lsh_bands over a signature CTE.
+    return "\n        UNION ALL\n        ".join(
+        f"SELECT {idc}, {b} AS band, "
+        f"md5(CAST(mh{b * ROWS_PER_BAND} AS VARCHAR) || '|' || "
+        f"CAST(mh{b * ROWS_PER_BAND + 1} AS VARCHAR)) AS band_key "
+        f"FROM {src}"
+        for b in range(BANDS)
+    )
+
+
+def _mh_side_cte(tag: str, idc: str) -> str:
+    # One probe side's full CTE chain (tokenize -> shingles -> signatures
+    # -> bands -> shingle sets) over an existing ``{tag}0`` (doc_id, text)
+    # CTE — shared by the incremental and fold oracles.
     mins = _minhash_mins_sql()
-
-    def band_rows(src: str, idc: str) -> str:
-        return "\n        UNION ALL\n        ".join(
-            f"SELECT {idc}, {b} AS band, "
-            f"md5(CAST(mh{b * ROWS_PER_BAND} AS VARCHAR) || '|' || "
-            f"CAST(mh{b * ROWS_PER_BAND + 1} AS VARCHAR)) AS band_key "
-            f"FROM {src}"
-            for b in range(BANDS)
-        )
-
-    def side(tag: str, idc: str) -> str:
-        return f"""
+    return f"""
     {tag}_tok AS (SELECT doc_id AS {idc}, {_SQL_TOKS} AS w FROM {tag}0),
     {tag}_sh AS (SELECT {idc}, {_SQL_SHINGLES} AS shingles FROM {tag}_tok),
     {tag}_ex AS (SELECT {idc}, unnest(shingles) AS s FROM {tag}_sh),
@@ -2691,9 +2699,35 @@ def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
       FROM {tag}_ex GROUP BY {idc}
     ),
     {tag}_bands AS (
-        {band_rows(f"{tag}_sigs", idc)}
+        {_mh_band_rows_sql(f"{tag}_sigs", idc)}
     ),
     {tag}_sets AS (SELECT {idc}, list_distinct(shingles) AS ss FROM {tag}_sh)"""
+
+
+def _mh_pairs_cte(tag_d: str, tag_c: str, out: str, threshold: float) -> str:
+    # Candidate banding join + exact-Jaccard verification between two
+    # ``_mh_side_cte`` sides, emitted as CTE ``{out}``.
+    return f"""
+    {out}_cands AS (
+      SELECT DISTINCT d.delta_id, c.corpus_id
+      FROM {tag_d}_bands d JOIN {tag_c}_bands c
+        ON d.band = c.band AND d.band_key = c.band_key
+    ),
+    {out} AS (
+      SELECT delta_id, corpus_id,
+             CAST(len(list_intersect(sd.ss, sc.ss)) AS DOUBLE) /
+             CAST(len(sd.ss) + len(sc.ss) - len(list_intersect(sd.ss, sc.ss))
+                  AS DOUBLE) AS jaccard
+      FROM {out}_cands
+      JOIN {tag_d}_sets sd USING (delta_id)
+      JOIN {tag_c}_sets sc USING (corpus_id)
+    )"""
+
+
+def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
+    # Same affine-permutation family as _minhash_oracle (mirrors
+    # operators/dedup.py _minhash_exprs — see _minhash_mins_sql).
+    side = _mh_side_cte
 
     return f"""
     WITH corpus0 AS (SELECT doc_id, text FROM documents WHERE source <> 'src3'),
@@ -2756,6 +2790,7 @@ def incremental_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.basename(root).removeprefix('near_dup_index_')}"
     )
     save_near_dup_index(ix, name, root)
+    release_checkpoint(ix.shingles)
     return incremental_near_duplicates(
         delta, None, "doc_id", "text",
         corpus_index=load_near_dup_index(spark, name),
@@ -2821,9 +2856,9 @@ def incremental_near_dup_stream_drain(spark: SparkSession, sf_dir: str) -> DataF
         f"nd_ixs_r_{os.getpid()}_"
         f"{os.path.basename(root).removeprefix('nd_sindex_')}"
     )
-    save_near_dup_index(
-        build_near_dup_index(corpus, "doc_id", "text"), name, root
-    )
+    nd_ix = build_near_dup_index(corpus, "doc_id", "text")
+    save_near_dup_index(nd_ix, name, root)
+    release_checkpoint(nd_ix.shingles)
 
     tmp = tempfile.mkdtemp(prefix="incr_nd_stream_")
     staging = os.path.join(tmp, "staging")
@@ -2842,6 +2877,122 @@ def incremental_near_dup_stream_drain(spark: SparkSession, sf_dir: str) -> DataF
     return run_near_dup_probe_stream(
         spark, staging, name, os.path.join(tmp, "out")
     )
+
+
+def _fold_minhash_oracle(threshold: float = 0.5) -> str:
+    """Two-phase replay for near_dup_fold_drain: phase 1 probes the src3
+    half of the delta against the original corpus; between phases the run
+    ledger is folded into the standing index, so phase 2's batch probes
+    the UNION corpus (original ∪ phase-1 documents) — the +OFF_2 drifted
+    copies of every 13th src3 document can only match through the folded
+    index, which is what makes the fold observable under the hash gate.
+    The gated output is the union of both phases' standing-index pairs."""
+    return f"""
+    WITH corpusA0 AS (
+      SELECT doc_id, text FROM documents WHERE source <> 'src3'
+    ),
+    h10 AS (SELECT doc_id, text FROM documents WHERE source = 'src3'),
+    h20 AS (
+      SELECT doc_id + {_RECRAWL_OFF_1} AS doc_id, text || ' drift' AS text
+      FROM corpusA0 WHERE doc_id % 17 = 0
+      UNION ALL
+      SELECT doc_id + {_RECRAWL_OFF_2} AS doc_id, text || ' drift' AS text
+      FROM h10 WHERE doc_id % 13 = 0
+    ),
+    corpusB0 AS (
+      SELECT * FROM corpusA0 UNION ALL SELECT * FROM h10
+    ),{_mh_side_cte("h1", "delta_id")},{_mh_side_cte("corpusA", "corpus_id")},
+    {_mh_side_cte("h2", "delta_id")},{_mh_side_cte("corpusB", "corpus_id")},
+    {_mh_pairs_cte("h1", "corpusA", "p1", threshold)},
+    {_mh_pairs_cte("h2", "corpusB", "p2", threshold)}
+    SELECT delta_id, corpus_id, jaccard FROM p1 WHERE jaccard >= {threshold}
+    UNION ALL
+    SELECT delta_id, corpus_id, jaccard FROM p2 WHERE jaccard >= {threshold}
+    """
+
+
+@query("near_dup_fold_drain", oracle=_fold_minhash_oracle())
+def near_dup_fold_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger compaction certified end-to-end (round-11 verdict #1): the
+    streaming near-dup drain runs TWO phases around a mid-stream
+    ``fold_ledger_into_index`` (streaming/dedup_stream.py). Phase 1
+    drains the src3 half of the delta against the standing index,
+    admitting each batch into the run ledger; the fold then compacts
+    ledger + index into a fresh ``save_near_dup_index`` layout (band
+    index re-derived from the UNION of the shingle tables — exactly the
+    ``build_near_dup_index`` derivation, so folded == rebuilt including
+    cap semantics) and deletes the ledger; phase 2 resumes the SAME
+    checkpoint against the folded index with drifted copies of every
+    13th src3 document (+2^41 keys) plus the standard corpus re-crawls
+    (+2^40). Those src3 copies can only pair through the folded index —
+    their pairs land in the gated corpus_pairs sink ONLY if the fold
+    really promoted the admitted documents — and the per-batch plan
+    audit (zero index shuffle, all three tables read in place) runs
+    against the FOLDED layout, certifying the fold writes the same
+    bucketed probe geometry it read. After the drain, the sink's
+    per-batch partitions are compacted (compact_batched_sink) and the
+    gate reads the compacted layout, pinning compaction as
+    value-neutral under the same hash. The oracle replays both phases'
+    corpora; stream == batch equivalence holds per phase for the same
+    reason as incremental_near_dup_stream_drain."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.operators.dedup import (
+        build_near_dup_index,
+        save_near_dup_index,
+    )
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        _PAIR_SCHEMA,
+        _read_batched,
+        compact_batched_sink,
+        fold_ledger_into_index,
+        run_near_dup_probe_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import (
+        stage_one_more_file,
+        stage_ordered_files,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    delta, corpus = _incr_near_dup_delta(docs)
+    h1 = delta.filter(F.col("doc_id") < _RECRAWL_OFF_1)
+    h2 = delta.filter(F.col("doc_id") >= _RECRAWL_OFF_1).unionByName(
+        h1.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + F.lit(_RECRAWL_OFF_2)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" drift")).alias("text"),
+        )
+    )
+
+    _sweep_leaked_index_tables(spark, "nd_ixf_r_", rm_parent=True)
+    root = tempfile.mkdtemp(prefix="nd_findex_")
+    tag = os.path.basename(root).removeprefix("nd_findex_")
+    name = f"nd_ixf_r_{os.getpid()}_{tag}"
+    nd_ix = build_near_dup_index(corpus, "doc_id", "text")
+    save_near_dup_index(nd_ix, name, root)
+    release_checkpoint(nd_ix.shingles)
+
+    tmp = tempfile.mkdtemp(prefix="nd_fold_stream_")
+    staging = os.path.join(tmp, "staging")
+    out = os.path.join(tmp, "out")
+    stage_ordered_files(
+        [
+            h1.filter(F.col("doc_id") % 2 == 0),
+            h1.filter(F.col("doc_id") % 2 == 1),
+        ],
+        staging,
+    )
+    run_near_dup_probe_stream(spark, staging, name, out)
+
+    folded = f"nd_ixf_r_{os.getpid()}_{tag}f"
+    fold_ledger_into_index(
+        spark, name, out, folded, os.path.join(root, "folded")
+    )
+    stage_one_more_file(h2, staging)
+    run_near_dup_probe_stream(spark, staging, folded, out)
+
+    compact_batched_sink(spark, os.path.join(out, "corpus_pairs"))
+    return _read_batched(spark, os.path.join(out, "corpus_pairs"), _PAIR_SCHEMA)
 
 
 @query(

@@ -200,6 +200,32 @@ def register_table(spark: SparkSession, df: DataFrame, name: str) -> None:
     df.createOrReplaceTempView(name)
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved through the JVM Hadoop
+    filesystem API — the scheme-aware way to touch storage from the
+    driver. ``os.path`` only understands the driver's local disk, so any
+    feature gated on it silently disables itself when the same code runs
+    against ``hdfs://`` / ``s3a://`` roots (the production posture)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware existence check (see ``hadoop_fs``): stream ledgers
+    and delta-pair sinks gate behavior on directory presence, and that
+    gate must hold on any supported filesystem, not just ``file://``."""
+    fs, hpath = hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def fs_rmtree(spark: SparkSession, path: str) -> None:
+    """Scheme-aware recursive delete (no-op when absent) — the
+    ``shutil.rmtree`` twin for arbitrary Hadoop filesystems."""
+    fs, hpath = hadoop_fs(spark, path)
+    fs.delete(hpath, True)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

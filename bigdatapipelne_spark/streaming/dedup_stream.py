@@ -20,8 +20,11 @@ hash rows. That property is not aspirational: every batch asserts it
 against the executed plan and aborts the stream loudly on violation
 (see ``_assert_probe_plan``). The run ledger is the small, growing side
 (documents admitted SINCE the standing index was built); it rides
-broadcast joins until a compaction folds it into the standing index —
-out of scope here, it is the same ``save_near_dup_index`` write.
+broadcast joins until ``fold_ledger_into_index`` compacts it into the
+standing index (the same ``save_near_dup_index`` write), resetting the
+per-batch ledger-probe cost — without a periodic fold, every batch
+re-reads and re-caps the CUMULATIVE ledger, an O(ledger) term that makes
+a long-running stream quadratic over its lifetime.
 
 Delivery contract: foreachBatch is AT-LEAST-ONCE, so every sink and
 ledger write here is idempotent per micro-batch (``_write_batch``:
@@ -55,6 +58,7 @@ from bigdatapipelne_spark.operators.dedup import (
     lsh_bands,
     probe_near_dup_index,
 )
+from bigdatapipelne_spark.sources.io import fs_exists, fs_rmtree
 
 # Hash-exchange budget for one micro-batch's standing-index probe plan:
 # the batch side of probe_near_dup_index contributes a bounded set of
@@ -98,34 +102,90 @@ def calibrate_probe_exchange_budget(
     return plan.count("Exchange hashpartitioning")
 
 
+def _unwrap_adaptive(jnode):
+    """Descend through AdaptiveSparkPlanExec wrappers to the physical
+    plan they currently hold (the initial plan pre-execution — AQE can
+    only broadcast-flip or coalesce it afterwards, never ADD a shuffle
+    above a scan, so auditing the initial tree is sound)."""
+    while "AdaptiveSparkPlan" in jnode.getClass().getSimpleName():
+        jnode = jnode.initialPlan()
+    return jnode
+
+
+def _plan_leaves(jnode, out):
+    jnode = _unwrap_adaptive(jnode)
+    n = jnode.children().size()
+    if n == 0:
+        out.append(jnode)
+    for i in range(n):
+        _plan_leaves(jnode.children().apply(i), out)
+    return out
+
+
+def _index_reshuffled_table(jnode, needles: list[str]) -> str | None:
+    """Structural zero-index-shuffle check: return the standing-index
+    table name if some shuffle Exchange re-partitions PURE index data —
+    i.e. every leaf scan under it is an index table. Shuffles above a
+    join/aggregate of batch-and-index data (candidate pairs, verify
+    rollups) have batch-side leaves too and legitimately scale with the
+    BATCH, so they pass; an Exchange whose entire input is the index is
+    exactly the 100 TB-side re-shuffle the drain must abort on. This is
+    the property itself, not a proxy count, so batch-side plan growth
+    (e.g. a benchmark suite too big to broadcast adding a batch-side
+    exchange) can never misfire it (round-11 advisor finding)."""
+    jnode = _unwrap_adaptive(jnode)
+    if jnode.getClass().getSimpleName().startswith("ShuffleExchange"):
+        names = [lf.nodeName() for lf in _plan_leaves(jnode, [])]
+        if names and all(any(t in nm for t in needles) for nm in names):
+            return next(t for t in needles if t in names[0])
+    for i in range(jnode.children().size()):
+        hit = _index_reshuffled_table(jnode.children().apply(i), needles)
+        if hit:
+            return hit
+    return None
+
+
 def _assert_probe_plan(
     pairs: DataFrame,
     index_name: str,
-    budget: int,
+    budget: int | None,
     parts: tuple[str, ...] = ("bands", "shingles", "sizes"),
 ) -> None:
     """The in-stream zero-index-shuffle audit (same role as the exact
     drain's per-batch assertion): the executed probe plan must (a) read
     the standing index's catalog tables — all of ``parts`` — and (b)
-    contain no more hashpartitioning exchanges than the batch side alone
-    accounts for. AQE can coalesce or broadcast-flip exchanges (both
-    reduce the count) but never adds one above a scan, so the static plan
-    suffices. Raising here aborts the stream: a drain that silently
-    re-shuffles a 100 TB index per micro-batch must fail loudly, not
-    degrade."""
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
-    for part in parts:
-        if f"{index_name}_{part}" not in plan:
+    never re-partition the standing index itself (structural check: no
+    shuffle Exchange whose leaves are all index scans). ``budget``
+    additionally pins the total hashpartitioning-exchange count — the
+    BATCH side's measured shape — where that constant is known; pass
+    ``None`` when the batch side may legitimately grow (the
+    decontamination drain, whose suite size the caller controls). AQE
+    can coalesce or broadcast-flip exchanges (both reduce the count) but
+    never adds one above a scan, so the static plan suffices. Raising
+    here aborts the stream: a drain that silently re-shuffles a 100 TB
+    index per micro-batch must fail loudly, not degrade."""
+    jplan = pairs._jdf.queryExecution().executedPlan()
+    plan = jplan.toString()
+    needles = [f"{index_name}_{part}" for part in parts]
+    for needle in needles:
+        if needle not in plan:
             raise AssertionError(
                 f"probe plan does not read standing index table "
-                f"{index_name}_{part}:\n{plan}"
+                f"{needle}:\n{plan}"
             )
-    n_ex = plan.count("Exchange hashpartitioning")
-    if n_ex > budget:
+    hit = _index_reshuffled_table(jplan, needles)
+    if hit is not None:
         raise AssertionError(
-            f"expected <={budget} hash exchanges (batch side only), got "
-            f"{n_ex} — the standing index re-shuffled:\n{plan}"
+            f"index table {hit} feeds a shuffle Exchange "
+            f"— the standing index re-shuffled:\n{plan}"
         )
+    if budget is not None:
+        n_ex = plan.count("Exchange hashpartitioning")
+        if n_ex > budget:
+            raise AssertionError(
+                f"expected <={budget} hash exchanges (batch side only), got "
+                f"{n_ex} — the standing index re-shuffled:\n{plan}"
+            )
 
 
 def _write_batch(df: DataFrame, path: str, batch_id: int) -> None:
@@ -155,23 +215,41 @@ def _read_batched(spark: SparkSession, path: str, schema: str) -> DataFrame:
     )
 
 
-def _drive_staged_stream(spark: SparkSession, staging_dir: str, probe_fn, cp_dir: str) -> None:
+def _drive_staged_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    probe_fn,
+    cp_dir: str,
+    progress_out: list | None = None,
+) -> None:
     """The shared drain scaffold: one staged file per micro-batch through
     ``foreachBatch(probe_fn)`` with an availableNow trigger — the
     checkpoint is the job bookmark, so re-invoking with the same ``cp_dir``
-    processes only files staged since the last run."""
+    processes only files staged since the last run. ``progress_out``
+    (bench instrumentation) collects per-micro-batch
+    ``{batch, rows_in, trigger_ms}`` rows from the query's progress
+    feed — how bench_fold.py measures the ledger-growth curve."""
     src = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
         .parquet(staging_dir)
     )
-    (
+    q = (
         src.writeStream.foreachBatch(probe_fn)
         .option("checkpointLocation", cp_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
     )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(
+            {
+                "batch": p["batchId"],
+                "rows_in": p["numInputRows"],
+                "trigger_ms": p["durationMs"].get("triggerExecution", 0),
+            }
+            for p in q.recentProgress
+        )
 
 
 def run_near_dup_probe_stream(
@@ -181,6 +259,7 @@ def run_near_dup_probe_stream(
     out_root: str,
     threshold: float = 0.5,
     exchange_budget: int = PROBE_EXCHANGE_BUDGET,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Drain a staged document stream (``stage_ordered_files`` layout,
     one file per micro-batch) against the standing near-dup index
@@ -233,7 +312,7 @@ def run_near_dup_probe_stream(
             _assert_probe_plan(pairs, index_name, exchange_budget)
             _write_batch(pairs, corpus_sink, batch_id)
 
-            if os.path.isdir(ledger["bands"]):
+            if fs_exists(spark, ledger["bands"]):
                 # Probe only STRICTLY EARLIER batches' admissions: an
                 # at-least-once replay of this batch would otherwise see
                 # its own first-attempt admission and emit bogus
@@ -301,28 +380,23 @@ def run_near_dup_probe_stream(
             release_checkpoint(shb)
 
     _drive_staged_stream(
-        spark, staging_dir, _probe_batch, os.path.join(out_root, "cp")
+        spark, staging_dir, _probe_batch, os.path.join(out_root, "cp"),
+        progress_out,
     )
     return _read_batched(spark, corpus_sink, _PAIR_SCHEMA)
 
 
 def read_delta_pairs(spark: SparkSession, out_root: str) -> DataFrame:
     """The cross-batch (stream-internal) near-dup pairs a finished drain
-    accumulated — empty if no later batch near-matched an earlier one."""
+    accumulated — empty if no later batch near-matched an earlier one.
+    Existence goes through the Hadoop FS API (``fs_exists``), consistent
+    with the in-stream ledger gate, so a non-local ``out_root`` reads its
+    pairs instead of silently reporting none."""
     path = os.path.join(out_root, "delta_pairs")
-    if not os.path.isdir(path):
+    if not fs_exists(spark, path):
         return spark.createDataFrame([], _DELTA_PAIR_SCHEMA)
     return _read_batched(spark, path, _DELTA_PAIR_SCHEMA)
 
-
-# Decontamination probe budget: the bucketed BenchmarkIndex probe plan
-# carries exactly ONE hashpartitioning exchange — the batch side's
-# (corpus_id, bench_id) intersection groupBy; the shingle equi-join rides
-# the index bucketing (or a broadcast at toy SF) and the sizes join rides
-# the bucketed bench_id layout. Measured at sf0.001 AND sf0.01; the
-# unbucketed no-broadcast form reads 5 (trip case, exercised in
-# tests/test_streaming.py).
-DECON_PROBE_EXCHANGE_BUDGET = 1
 
 _DECON_SCHEMA = "corpus_id long, bench_id long, containment double"
 
@@ -334,7 +408,7 @@ def run_decontaminate_stream(
     out_root: str,
     threshold: float = 0.5,
     n: int = 3,
-    exchange_budget: int = DECON_PROBE_EXCHANGE_BUDGET,
+    exchange_budget: int | None = None,
 ) -> DataFrame:
     """The third streaming standing-index member: per-micro-batch
     benchmark DECONTAMINATION of an arriving corpus stream against the
@@ -344,8 +418,15 @@ def run_decontaminate_stream(
     the benchmark suite is static by definition, so per-batch maintenance
     is vacuous — each batch probes, appends its contaminated pairs to
     ``<out_root>/pairs``, and is done. The per-batch executed plan is
-    audited (both index tables read in place, hash-exchange budget
-    pinned) and the stream aborts on violation.
+    audited (both index tables read in place, and the STRUCTURAL
+    zero-index-shuffle property: no shuffle Exchange fed purely by index
+    scans) and the stream aborts on violation. No exchange-count budget
+    here by default: the batch side's shape legitimately grows when the
+    suite is too big to broadcast (the shingle equi-join falls back to
+    the bucketed sort-merge join and the BATCH side gains a
+    hashpartitioning exchange on ``sh``), and a whole-plan count would
+    blame the index for batch-side growth (round-11 advisor finding) —
+    the structural check pins exactly the property that matters.
 
     Returns the pair frame — the union over batches, which equals the
     one-shot ``decontaminate`` of the full corpus because containment is
@@ -372,3 +453,120 @@ def run_decontaminate_stream(
         spark, staging_dir, _probe_batch, os.path.join(out_root, "cp")
     )
     return _read_batched(spark, sink, _DECON_SCHEMA)
+
+
+def fold_ledger_into_index(
+    spark: SparkSession,
+    index_name: str,
+    out_root: str,
+    new_name: str,
+    path: str,
+    n_buckets: int = 32,
+    max_band_bucket: int | None = MINHASH_MAX_BAND_BUCKET,
+) -> None:
+    """Ledger compaction — the maintenance step that keeps a LONG-running
+    near-dup drain linear: fold the run ledger accumulated under
+    ``out_root`` into the standing index ``index_name``, persisting the
+    union as a fresh ``save_near_dup_index`` layout under ``new_name`` /
+    ``path`` and deleting the consumed ledger. Run it between drain
+    invocations (never against a live stream); the next
+    ``run_near_dup_probe_stream`` call passes ``new_name`` and starts
+    with an EMPTY ledger, so the per-batch O(ledger) probe-and-re-cap
+    term resets to zero while every previously-admitted document keeps
+    matching — now through the standing-index probe (its pairs move from
+    the ``delta_pairs`` side sink into the gated ``corpus_pairs`` sink,
+    which is exactly the admitted documents being promoted to corpus).
+
+    Exactness: the folded index EQUALS ``build_near_dup_index`` of the
+    union corpus, cap semantics included — the band index is re-derived
+    from the union of the SHINGLE tables (both sides persist the raw
+    ``_shingle_hash_rows`` output, so signatures, banding, and the
+    cumulative band-bucket cap replay exactly; a union of the two CAPPED
+    band tables instead would undercount buckets that crossed the cap
+    only jointly). That costs one signature re-aggregation over the
+    union's shingle rows — the same order as the bucketed table rewrite
+    the fold already pays, paid ONCE per fold and amortized over every
+    batch it un-quadratics; certified equal to the rebuilt index in
+    tests/test_streaming.py and end-to-end by the gated
+    near_dup_fold_drain. No corpus TEXT is read: both inputs are
+    fixed-width hash rows (the fold is index maintenance, not a corpus
+    rescan). Assumes stream-unique doc ids (the drain's existing
+    contract) — a doc_id present in both index and ledger would
+    double-count its shingle rows.
+    """
+    from bigdatapipelne_spark.operators.dedup import save_near_dup_index
+
+    ledger = {
+        p: os.path.join(out_root, "ledger", p)
+        for p in ("bands", "shingles", "sizes")
+    }
+    if not fs_exists(spark, ledger["shingles"]):
+        raise ValueError(
+            f"no run ledger under {out_root} — nothing to fold"
+        )
+    idx = load_near_dup_index(spark, index_name)
+    led_sh = _read_batched(spark, ledger["shingles"], "corpus_id long, sh string")
+    led_sz = _read_batched(spark, ledger["sizes"], "corpus_id long, sz_c long")
+    sh_all = idx.shingles.unionByName(led_sh)
+    folded = NearDupIndex(
+        bands=_capped_bands(
+            lsh_bands(_sigs_from_hash_rows(sh_all, "corpus_id"), "corpus_id"),
+            max_band_bucket,
+        ),
+        shingles=sh_all,
+        sizes=idx.sizes.unionByName(led_sz),
+    )
+    save_near_dup_index(folded, new_name, path, n_buckets)
+    for p in ledger.values():
+        fs_rmtree(spark, p)
+
+
+def compact_batched_sink(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files maintenance for a ``_write_batch`` sink: collapse the
+    accumulated one-partition-per-micro-batch layout into a single
+    compacted base partition (``__batch_id=-1``) of
+    ``ceil(total_bytes / target_file_bytes)`` files, returning that
+    count. At production batch counts the per-batch partition directories
+    are the classic streaming-sink listing/small-files tax (same failure
+    the round-11 IVF save fix closed); reads through ``_read_batched``
+    are value-identical before and after (it drops ``__batch_id``).
+
+    Run it ONLY after a clean drain completion (``run_*`` returned, so
+    every batch's offset is committed): the per-batch partition is what
+    makes an at-least-once REPLAY idempotent, and a replayed batch whose
+    first attempt was already folded into the base would append rather
+    than overwrite. Committed batches never replay — Structured
+    Streaming batch ids are strictly increasing past the checkpoint — so
+    post-completion compaction composes with resumed drains: later
+    batches keep writing their own ``__batch_id=N`` partitions beside the
+    base (the sentinel -1 can never collide). The staging swap goes
+    through the Hadoop FS API (works on any scheme) and is crash-safe but
+    not reader-atomic — a maintenance-window operation, same contract as
+    ``sources/io.py compact_parquet``.
+    """
+    import math
+
+    from bigdatapipelne_spark.sources.io import hadoop_fs
+
+    fs, hpath = hadoop_fs(spark, path)
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    data_cols = [c for c in df.columns if c != "__batch_id"]
+    staging = path.rstrip("/") + "__compact"
+    (
+        df.select(*data_cols)
+        .repartition(n_files)
+        .withColumn("__batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("__batch_id")
+        .parquet(staging)
+    )
+    fs.delete(hpath, True)
+    sfs, spath = hadoop_fs(spark, staging)
+    sfs.rename(spath, hpath)
+    return n_files

@@ -172,3 +172,34 @@ def test_incremental_spec_mart_matches_one_shot(spark, tmp_path):
     incremental_spec_mart(spark, raw_path, spec_path, cp)
     after = {p: os.path.getmtime(p) for p in glob.glob(spec_path + "/*")}
     assert before == after
+
+
+def test_merge_spec_batch_replay_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once and the spec-mart merge is ADDITIVE
+    — the one sink shape that is not naturally idempotent. The stored
+    __batch_id guard must make a replayed batch a no-op (driver death
+    between the mart swap and the offset commit re-runs exactly the
+    already-merged batch), while the next real batch still merges."""
+    from bigdatapipelne_spark.plans.medallion import (
+        merge_spec_batch,
+        spec_mart_view,
+        stage_transform,
+    )
+
+    raw = card_raw_from_events(load_table(spark, SF_SMALL, "events"))
+    b0 = stage_transform(raw.filter(F.col("transaction_id") % 2 == 0))
+    b1 = stage_transform(raw.filter(F.col("transaction_id") % 2 == 1))
+    assert b1.limit(1).count() == 1  # the second batch must really add rows
+    spec_path = str(tmp_path / "spec")
+
+    merge_spec_batch(spark, b0, 0, spec_path)
+    once = sorted(map(tuple, spec_mart_view(spark, spec_path).collect()))
+    merge_spec_batch(spark, b0, 0, spec_path)  # replay: must not double-add
+    replayed = sorted(map(tuple, spec_mart_view(spark, spec_path).collect()))
+    assert replayed == once
+
+    merge_spec_batch(spark, b1, 1, spec_path)
+    both = sorted(map(tuple, spec_mart_view(spark, spec_path).collect()))
+    assert both != once
+    merge_spec_batch(spark, b1, 1, spec_path)  # replay of the later batch
+    assert sorted(map(tuple, spec_mart_view(spark, spec_path).collect())) == both

@@ -420,6 +420,39 @@ def test_scd2_merge_untouched_keys_pass_through_and_splice(spark):
     ]
 
 
+def test_scd2_merge_replay_idempotent(spark):
+    """Round-12 foreachBatch replay audit: scd2_stream_to_dim re-merges
+    the SAME batch when foreachBatch replays it (at-least-once), and the
+    merge must be naturally idempotent — the replayed rows are exact
+    (key, ts, attrs, tiebreak) duplicates of existing version starts, so
+    the snapshot's null-safe no-op collapse absorbs them. merge(merge(D,
+    B), B) == merge(D, B), row for row."""
+    from bigdatapipelne_spark.operators.scd import scd2_merge, scd2_snapshot
+
+    base = spark.createDataFrame(
+        [(1, 10, 100, 1), (1, 30, 102, 2), (2, 15, 200, 9)],
+        "user_id int, ts int, event_id int, plan int",
+    )
+    dim = scd2_snapshot(
+        base, keys=["user_id"], ts_col="ts", attrs=["plan"],
+        tiebreak=["event_id"],
+    )
+    batch = spark.createDataFrame(
+        [(1, 40, 300, 3), (3, 5, 400, 7)],
+        "user_id int, ts int, event_id int, plan int",
+    )
+
+    def merge(d, b):
+        return scd2_merge(
+            d, b, keys=["user_id"], ts_col="ts", attrs=["plan"],
+            tiebreak=["event_id"],
+        )
+
+    once = merge(dim, batch)
+    replayed = merge(once, batch)
+    assert _scd2_rows(replayed) == _scd2_rows(once)
+
+
 # ---------------------------------------------------------------------------
 # Data-quality expectations (operators/quality.py)
 # ---------------------------------------------------------------------------

@@ -873,3 +873,222 @@ def test_near_dup_drain_releases_per_batch_checkpoints(spark, tmp_path):
     finally:
         for t in (f"{name}_bands", f"{name}_shingles", f"{name}_sizes"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_fold_ledger_into_index_equals_rebuilt_and_promotes_ledger(
+    spark, tmp_path
+):
+    """Ledger compaction (fold_ledger_into_index): after a drain admits
+    two batches, folding the run ledger into the standing index must
+    yield EXACTLY the index a from-scratch build over corpus ∪ admitted
+    would produce (bands are re-derived from the union of the shingle
+    tables — the build_near_dup_index derivation — so signatures,
+    banding and the cumulative cap replay identically), the consumed
+    ledger must be gone, and a resumed drain against the folded index
+    must (a) pass the per-batch zero-index-shuffle audit on the folded
+    layout and (b) emit a pair against a PROMOTED ledger document in the
+    gated corpus_pairs sink — the pair that pre-fold only the ledger
+    probe could see."""
+    from bigdatapipelne_spark.operators.checkpoint import release_checkpoint
+    from bigdatapipelne_spark.operators.dedup import (
+        build_near_dup_index,
+        save_near_dup_index,
+    )
+    from bigdatapipelne_spark.sources.io import fs_exists
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        fold_ledger_into_index,
+        run_near_dup_probe_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import (
+        stage_one_more_file,
+        stage_ordered_files,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    # W rides batch 1 (not a corpus member); Z (batch 3, post-fold) is W
+    # plus one token — pre-fold only the ledger probe could pair them.
+    w = corpus.orderBy("doc_id").limit(1).select(
+        F.lit(900_000).alias("doc_id"),
+        F.concat("text", F.lit(" fold")).alias("text"),
+    )
+    z = w.select(
+        F.lit(900_001).alias("doc_id"),
+        F.concat("text", F.lit(" more")).alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 9 == 0).unionByName(w)
+    b2 = docs.filter(F.col("doc_id") % 9 == 3).select(
+        (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text"
+    )
+    b3 = z
+
+    name, folded, rebuilt = "nd_fold_t", "nd_fold_t_f", "nd_fold_t_r"
+    all_tables = [
+        f"{n}_{p}"
+        for n in (name, folded, rebuilt)
+        for p in ("bands", "shingles", "sizes")
+    ]
+    try:
+        ix = build_near_dup_index(corpus, "doc_id", "text")
+        save_near_dup_index(ix, name, str(tmp_path / "ndix"))
+        release_checkpoint(ix.shingles)
+        staging = str(tmp_path / "staging")
+        out = str(tmp_path / "out")
+        stage_ordered_files([b1, b2], staging)
+        run_near_dup_probe_stream(spark, staging, name, out)
+
+        fold_ledger_into_index(
+            spark, name, out, folded, str(tmp_path / "ndix_folded")
+        )
+        for part in ("bands", "shingles", "sizes"):
+            assert not fs_exists(spark, os.path.join(out, "ledger", part))
+
+        # folded == rebuilt-from-scratch, table by table (multiset)
+        rix = build_near_dup_index(
+            corpus.unionByName(b1).unionByName(b2), "doc_id", "text"
+        )
+        save_near_dup_index(rix, rebuilt, str(tmp_path / "ndix_rebuilt"))
+        release_checkpoint(rix.shingles)
+        for part in ("bands", "shingles", "sizes"):
+            got = sorted(
+                map(tuple, spark.table(f"{folded}_{part}").collect())
+            )
+            want = sorted(
+                map(tuple, spark.table(f"{rebuilt}_{part}").collect())
+            )
+            assert got == want, f"{part}: folded != rebuilt"
+
+        # resumed drain: same checkpoint, folded index, fresh ledger —
+        # the W/Z pair is now a STANDING-INDEX hit (corpus_pairs)
+        stage_one_more_file(b3, staging)
+        pairs = run_near_dup_probe_stream(spark, staging, folded, out)
+        assert any(
+            r.delta_id == 900_001 and r.corpus_id == 900_000
+            and r.jaccard >= 0.5
+            for r in pairs.collect()
+        )
+    finally:
+        for t in all_tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_fold_ledger_without_ledger_raises(spark, tmp_path):
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        fold_ledger_into_index,
+    )
+
+    with pytest.raises(ValueError, match="nothing to fold"):
+        fold_ledger_into_index(
+            spark, "whatever", str(tmp_path / "empty"), "x", str(tmp_path / "o")
+        )
+
+
+def test_compact_batched_sink_preserves_rows_and_cuts_files(spark, tmp_path):
+    """Drain-sink small-files maintenance: compacting a _write_batch sink
+    collapses the per-batch partition dirs into one base partition with
+    fewer files, reads back value-identical through _read_batched, and
+    composes with a later batch's idempotent partition write."""
+    import glob as _glob
+
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        _read_batched,
+        _write_batch,
+        compact_batched_sink,
+    )
+
+    sink = str(tmp_path / "sink")
+    schema = "doc_id long, status string"
+    for b in range(4):
+        df = spark.range(b * 10, b * 10 + 10).select(
+            F.col("id").alias("doc_id"), F.lit(f"s{b}").alias("status")
+        ).repartition(4)
+        _write_batch(df, sink, b)
+
+    def nfiles():
+        return len(_glob.glob(os.path.join(sink, "**", "*.parquet"), recursive=True))
+
+    before_rows = sorted(map(tuple, _read_batched(spark, sink, schema).collect()))
+    before_files = nfiles()
+    n = compact_batched_sink(spark, sink)
+    assert nfiles() < before_files
+    assert nfiles() <= n + 0  # exactly the computed budget inside one partition
+    after_rows = sorted(map(tuple, _read_batched(spark, sink, schema).collect()))
+    assert after_rows == before_rows
+
+    # a post-compaction batch writes its own partition beside the base
+    df5 = spark.range(90, 95).select(
+        F.col("id").alias("doc_id"), F.lit("s9").alias("status")
+    )
+    _write_batch(df5, sink, 9)
+    final = sorted(map(tuple, _read_batched(spark, sink, schema).collect()))
+    assert final == sorted(before_rows + [(i, "s9") for i in range(90, 95)])
+
+
+def test_hll_rollup_replay_union_is_idempotent(spark):
+    """Round-12 foreachBatch replay audit for the HLL sketch store: a
+    replayed micro-batch re-unions the SAME per-day sketches into blobs
+    that already absorbed them, and HLL union is register max-merge: the
+    registered-value state is unchanged under re-union, so every served
+    estimate is unchanged (hll_stream_to_rollup is therefore naturally
+    idempotent, no batch-id guard needed). Byte equality is deliberately
+    NOT asserted — in sparse/coupon mode the serialized coupon order can
+    permute under re-union while the coupon SET (and thus the estimate)
+    is identical."""
+    rows = [(d, u) for d in range(3) for u in range(d * 40, d * 40 + 50)]
+    ev = spark.createDataFrame(rows, "day int, user_id int")
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+
+    once = (
+        daily.unionByName(daily)
+        .groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    twice = (
+        once.unionByName(daily)
+        .groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    est_once = {
+        r.day: r.est
+        for r in once.select(
+            "day", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    est = {
+        r.day: r.est
+        for r in twice.select(
+            "day", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    assert est == est_once
+    one_shot = {
+        r.day: r.est
+        for r in ev.groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert est == one_shot
+
+
+def test_serving_upsert_replay_is_idempotent(spark, tmp_path):
+    """Round-12 foreachBatch replay audit for the serving sink:
+    merge_into_store is a keyed last-writer-wins upsert, so re-applying
+    the SAME micro-batch (an at-least-once replay) leaves the store
+    byte-value identical — naturally idempotent, no batch-id guard
+    needed."""
+    from bigdatapipelne_spark.operators.serving import (
+        merge_into_store,
+        read_store,
+    )
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    merge_into_store(spark, store, base, ["k"], 4)
+    batch = spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string")
+    merge_into_store(spark, store, batch, ["k"], 4)
+    once = sorted(map(tuple, read_store(spark, store).collect()))
+    merge_into_store(spark, store, batch, ["k"], 4)  # replay
+    assert sorted(map(tuple, read_store(spark, store).collect())) == once
+    assert once == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]

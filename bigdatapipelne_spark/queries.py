@@ -860,7 +860,15 @@ _GATE_PRIORITY = [
     # unchanged; sampling stays anchored by weighted_docs_sample in-gate).
     # Its slot seats q11_value_concentration, churned by the
     # eager_checkpoint memory-posture refactor (operators/checkpoint.py).
-    "q11_value_concentration",
+    # ROUND 12 — q11_value_concentration rotates out (r11 green, code
+    # unchanged this round; TPC-H stays anchored by q21_waiting_orders
+    # and q20_dominant_suppliers in-gate). Its slot seats
+    # near_dup_fold_drain, the NEW ledger-compaction gate query (round-11
+    # verdict #1): a mid-stream fold_ledger_into_index between two drain
+    # phases, certified against a two-phase oracle — fold == rebuilt,
+    # promoted-ledger pairs land in corpus_pairs, the plan audit runs on
+    # the FOLDED layout, and the sink is compacted in-gate.
+    "near_dup_fold_drain",
     # store_time_travel certifies VERSION-AS-OF snapshot isolation on the
     # versioned store; its slot comes from approx_users_per_type (standing
     # r03 row; the HLL family stays gated via hll_users_rollup).
@@ -874,7 +882,15 @@ _GATE_PRIORITY = [
     # unchanged; the storage family stays anchored by card_medallion_disk,
     # store_vacuum and store_time_travel in-gate). Its slot seats
     # q20_dominant_suppliers, churned by the same checkpoint refactor.
-    "q20_dominant_suppliers",
+    # ROUND 12 — q20_dominant_suppliers rotates out (r11 green, code
+    # unchanged this round; TPC-H stays anchored by q21_waiting_orders
+    # in-gate plus the q2/q11/q22 standing rows). Its slot seats
+    # incremental_dedup_fold_drain, the NEW exact-dedup ledger-compaction
+    # twin: fold_seen_into_fingerprint_index between two drain phases,
+    # with the +2^41 re-crawls' status flipping to dup_in_corpus ONLY if
+    # the fold really promoted the admitted fingerprints (two-phase
+    # oracle).
+    "incremental_dedup_fold_drain",
     # Storage certifications: schema evolution under mergeSchema,
     # small-file compaction, and the stream->versioned-store sink (each
     # fails loudly in-query on a layout/visibility regression). Slots from

@@ -2455,7 +2455,6 @@ def incremental_dedup_stream_drain(spark: SparkSession, sf_dir: str) -> DataFram
 
     from bigdatapipelne_spark.operators.dedup import (
         build_fingerprint_index,
-        load_fingerprint_index,
         save_fingerprint_index,
     )
     from bigdatapipelne_spark.streaming.scd import stage_ordered_files
@@ -2472,7 +2471,6 @@ def incremental_dedup_stream_drain(spark: SparkSession, sf_dir: str) -> DataFram
     save_fingerprint_index(
         build_fingerprint_index(corpus, "doc_id", "text"), name, path
     )
-    idx = load_fingerprint_index(spark, name)
 
     tmp = tempfile.mkdtemp(prefix="incr_stream_")
     staging = os.path.join(tmp, "staging")
@@ -2487,98 +2485,123 @@ def incremental_dedup_stream_drain(spark: SparkSession, sf_dir: str) -> DataFram
         ],
         staging,
     )
-    sink = os.path.join(tmp, "out")
-    seen_dir = os.path.join(tmp, "seen")
-
-    from bigdatapipelne_spark.sources.io import fs_exists as _fs_exists
-    from bigdatapipelne_spark.streaming.dedup_stream import _write_batch
-
-    def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        bk = batch_df.select("doc_id", fingerprint("text").alias("__fp"))
-        bk = bk.select(
-            "doc_id",
-            "__fp",
-            F.min("doc_id").over(Window.partitionBy("__fp")).alias("__first_id"),
-        )
-        probed = bk.join(idx, "__fp", "left")
-        # Hadoop-FS existence check (sources/io.py fs_exists), NOT
-        # os.path.isdir: on an hdfs:///s3a:// out_root the local check is
-        # always False and the ledger probe silently never runs.
-        if _fs_exists(spark, seen_dir):
-            # The ledger holds one row per fingerprint by construction
-            # (only status='new' rows are written, and a fingerprint
-            # classifies 'new' at most once across the run), so the read
-            # needs no distinct — the probe stays broadcast-only. Only
-            # STRICTLY EARLIER batches' admissions are visible: an
-            # at-least-once replay would otherwise see its own
-            # first-attempt 'new' rows and misclassify them dup_in_delta.
-            seen = (
-                spark.read.schema("__fp string, __batch_id long")
-                .parquet(seen_dir)
-                .filter(F.col("__batch_id") < _batch_id)
-                .select("__fp")
-                .withColumn("__seen_delta", F.lit(True))
-            )
-            probed = probed.join(F.broadcast(seen), "__fp", "left")
-        else:
-            probed = probed.withColumn(
-                "__seen_delta", F.lit(None).cast("boolean")
-            )
-        classified = probed.select(
-            "doc_id",
-            "__fp",
-            F.when(F.col("__in_corpus"), F.lit("dup_in_corpus"))
-            .when(F.col("__seen_delta"), F.lit("dup_in_delta"))
-            .when(F.col("doc_id") != F.col("__first_id"), F.lit("dup_in_delta"))
-            .otherwise(F.lit("new"))
-            .alias("status"),
-        )
-        # Zero-index-shuffle property, per batch: the standing index is
-        # never re-exchanged — the only hash exchange allowed in the probe
-        # plan is the batch side's __fp window. At real scale the planner
-        # takes the bucketed in-place sort-merge join (that layout contract
-        # is plan-asserted in tests/test_bucketing.py); at toy SF its
-        # size stats flip the same join to broadcasting the small index —
-        # either way the index side contributes no hashpartitioning
-        # exchange, which is what this pins. The static plan suffices:
-        # AQE can coalesce exchanges but never adds one above the scan.
-        plan = classified._jdf.queryExecution().executedPlan().toString()
-        if name not in plan:
-            raise AssertionError(
-                "probe plan does not read the standing index table:\n" + plan
-            )
-        n_ex = plan.count("Exchange hashpartitioning")
-        if n_ex > 1:
-            raise AssertionError(
-                f"expected <=1 hash exchange (batch-side window), got {n_ex} "
-                "— the standing index re-shuffled:\n" + plan
-            )
-        # One evaluation feeds both writes (sink + ledger maintenance),
-        # each idempotent per batch id (partition overwrite): foreachBatch
-        # is at-least-once, and a bare append would duplicate a replayed
-        # batch's sink rows and double-admit its fingerprints.
-        classified = classified.transform(eager_checkpoint)
-        try:
-            _write_batch(
-                classified.select("doc_id", "status"), sink, _batch_id
-            )
-            # ledger maintenance: a fingerprint enters the ledger exactly
-            # when it first classifies 'new' — one row per fp for the run.
-            _write_batch(
-                classified.filter(F.col("status") == "new").select("__fp"),
-                seen_dir,
-                _batch_id,
-            )
-        finally:
-            release_checkpoint(classified)
-
     from bigdatapipelne_spark.streaming.dedup_stream import (
-        _drive_staged_stream,
-        _read_batched,
+        run_exact_probe_stream,
     )
 
-    _drive_staged_stream(spark, staging, _probe_batch, os.path.join(tmp, "cp"))
-    return _read_batched(spark, sink, "doc_id long, status string")
+    return run_exact_probe_stream(spark, staging, name, os.path.join(tmp, "out"))
+
+
+_FOLD_DEDUP_ORACLE = f"""
+    WITH corpus0 AS (SELECT doc_id, text FROM documents WHERE source <> 'src3'),
+    src3 AS (SELECT doc_id, text FROM documents WHERE source = 'src3'),
+    p1 AS (
+      SELECT doc_id, text FROM src3
+      UNION ALL
+      SELECT doc_id + {_RECRAWL_OFF_1} AS doc_id, text FROM corpus0
+      WHERE doc_id % 11 = 0
+    ),
+    p2 AS (
+      SELECT doc_id + {_RECRAWL_OFF_2} AS doc_id, text FROM src3
+      WHERE doc_id % 13 = 0
+    ),
+    dk1 AS (SELECT doc_id, {_SQL_FINGERPRINT} AS fp FROM p1),
+    firsts1 AS (SELECT fp, MIN(doc_id) AS first_id FROM dk1 GROUP BY fp),
+    cfp0 AS (SELECT DISTINCT {_SQL_FINGERPRINT} AS fp FROM corpus0),
+    out1 AS (
+      SELECT d.doc_id,
+             CASE WHEN c.fp IS NOT NULL THEN 'dup_in_corpus'
+                  WHEN d.doc_id <> f.first_id THEN 'dup_in_delta'
+                  ELSE 'new' END AS status
+      FROM dk1 d JOIN firsts1 f USING (fp) LEFT JOIN cfp0 c USING (fp)
+    ),
+    dk2 AS (SELECT doc_id, {_SQL_FINGERPRINT} AS fp FROM p2),
+    firsts2 AS (SELECT fp, MIN(doc_id) AS first_id FROM dk2 GROUP BY fp),
+    folded AS (
+      SELECT DISTINCT fp FROM (
+        SELECT fp FROM cfp0 UNION ALL SELECT fp FROM dk1
+      )
+    ),
+    out2 AS (
+      SELECT d.doc_id,
+             CASE WHEN c.fp IS NOT NULL THEN 'dup_in_corpus'
+                  WHEN d.doc_id <> f.first_id THEN 'dup_in_delta'
+                  ELSE 'new' END AS status
+      FROM dk2 d JOIN firsts2 f USING (fp) LEFT JOIN folded c USING (fp)
+    )
+    SELECT doc_id, status FROM out1
+    UNION ALL
+    SELECT doc_id, status FROM out2
+    """
+
+
+@query("incremental_dedup_fold_drain", oracle=_FOLD_DEDUP_ORACLE)
+def incremental_dedup_fold_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-dedup twin of near_dup_fold_drain: ledger compaction on
+    the fingerprint drain. Phase 1 drains the src3 slice and the +2^40
+    corpus re-crawls against the standing bucketed fingerprint index,
+    admitting newly-seen fingerprints into the run ledger;
+    fold_seen_into_fingerprint_index then compacts ledger + index (exact
+    at every scale — the index IS the distinct-fingerprint set) and
+    deletes the ledger; phase 2 resumes the SAME checkpoint with the
+    +2^41 src3 re-crawls against the FOLDED index. Those re-crawls
+    classify ``dup_in_corpus`` — without the fold they'd be
+    ``dup_in_delta`` ledger hits, so the status column itself witnesses
+    the promotion under the hash gate. The oracle replays both phases
+    (phase-2 corpus = corpus ∪ phase-1 delta); per-phase stream == batch
+    equivalence holds for the same ascending-doc_id reason as
+    incremental_dedup_stream_drain."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        save_fingerprint_index,
+    )
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        fold_seen_into_fingerprint_index,
+        run_exact_probe_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import (
+        stage_one_more_file,
+        stage_ordered_files,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    delta, corpus = _incr_dedup_delta(docs)
+
+    _sweep_leaked_index_tables(spark, "fp_ixfd_r_")
+    path = tempfile.mkdtemp(prefix="fp_findex_")
+    tag = os.path.basename(path).removeprefix("fp_findex_")
+    name = f"fp_ixfd_r_{os.getpid()}_{tag}"
+    save_fingerprint_index(
+        build_fingerprint_index(corpus, "doc_id", "text"), name, path
+    )
+
+    tmp = tempfile.mkdtemp(prefix="incr_fold_stream_")
+    staging = os.path.join(tmp, "staging")
+    out = os.path.join(tmp, "out")
+    stage_ordered_files(
+        [
+            delta.filter(F.col("doc_id") < _RECRAWL_OFF_1),
+            delta.filter(
+                (F.col("doc_id") >= _RECRAWL_OFF_1)
+                & (F.col("doc_id") < _RECRAWL_OFF_2)
+            ),
+        ],
+        staging,
+    )
+    run_exact_probe_stream(spark, staging, name, out)
+
+    folded = f"fp_ixfd_r_{os.getpid()}_{tag}f"
+    fold_seen_into_fingerprint_index(
+        spark, name, os.path.join(out, "seen"), folded,
+        os.path.join(path, "folded"),
+    )
+    stage_one_more_file(
+        delta.filter(F.col("doc_id") >= _RECRAWL_OFF_2), staging
+    )
+    return run_exact_probe_stream(spark, staging, folded, out)
 
 
 @query(

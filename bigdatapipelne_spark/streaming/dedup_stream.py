@@ -521,6 +521,155 @@ def fold_ledger_into_index(
         fs_rmtree(spark, p)
 
 
+def run_exact_probe_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    index_name: str,
+    out_root: str,
+) -> DataFrame:
+    """The exact-fingerprint streaming drain (the MinHash drain's twin,
+    factored out of the incremental_dedup_stream_drain gate query so the
+    fold twin shares one code path): each staged micro-batch is
+    fingerprinted once, probed against the standing bucketed fingerprint
+    index ``index_name`` plus the run-scoped admitted-fingerprint ledger
+    under ``<out_root>/seen``, classified
+    (dup_in_corpus / dup_in_delta / new), appended idempotently to
+    ``<out_root>/classified``, and its newly-seen fingerprints admitted
+    to the ledger. Per-batch plan audit: the standing index must appear
+    in the probe plan and contribute no hash exchange (<=1 total — the
+    batch side's fingerprint window); the stream aborts on violation.
+    Returns the classified frame (union over batches == the one-shot
+    ``incremental_exact_duplicates`` when batches ascend by doc id)."""
+    from pyspark.sql import Window
+
+    from bigdatapipelne_spark.functions.text import fingerprint
+
+    idx = spark.table(index_name)
+    sink = os.path.join(out_root, "classified")
+    seen_dir = os.path.join(out_root, "seen")
+
+    def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bk = batch_df.select("doc_id", fingerprint("text").alias("__fp"))
+        bk = bk.select(
+            "doc_id",
+            "__fp",
+            F.min("doc_id").over(Window.partitionBy("__fp")).alias("__first_id"),
+        )
+        probed = bk.join(idx, "__fp", "left")
+        # Hadoop-FS existence check, NOT os.path.isdir: on an
+        # hdfs:///s3a:// out_root the local check is always False and the
+        # ledger probe silently never runs.
+        if fs_exists(spark, seen_dir):
+            # One row per fingerprint by construction (only status='new'
+            # rows are admitted, and a fingerprint classifies 'new' at
+            # most once per run), so the read needs no distinct — the
+            # probe stays broadcast-only. Only STRICTLY EARLIER batches'
+            # admissions are visible: an at-least-once replay would
+            # otherwise see its own first-attempt 'new' rows and
+            # misclassify them dup_in_delta.
+            seen = (
+                spark.read.schema("__fp string, __batch_id long")
+                .parquet(seen_dir)
+                .filter(F.col("__batch_id") < batch_id)
+                .select("__fp")
+                .withColumn("__seen_delta", F.lit(True))
+            )
+            probed = probed.join(F.broadcast(seen), "__fp", "left")
+        else:
+            probed = probed.withColumn(
+                "__seen_delta", F.lit(None).cast("boolean")
+            )
+        classified = probed.select(
+            "doc_id",
+            "__fp",
+            F.when(F.col("__in_corpus"), F.lit("dup_in_corpus"))
+            .when(F.col("__seen_delta"), F.lit("dup_in_delta"))
+            .when(F.col("doc_id") != F.col("__first_id"), F.lit("dup_in_delta"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+        # Zero-index-shuffle property, per batch: the standing index is
+        # never re-exchanged — the only hash exchange allowed in the
+        # probe plan is the batch side's __fp window. At real scale the
+        # planner takes the bucketed in-place sort-merge join
+        # (plan-asserted in tests/test_bucketing.py); at toy SF its size
+        # stats flip the same join to broadcasting the small index —
+        # either way the index side contributes no hashpartitioning
+        # exchange. The static plan suffices: AQE can coalesce exchanges
+        # but never adds one above the scan.
+        plan = classified._jdf.queryExecution().executedPlan().toString()
+        if index_name not in plan:
+            raise AssertionError(
+                "probe plan does not read the standing index table:\n" + plan
+            )
+        n_ex = plan.count("Exchange hashpartitioning")
+        if n_ex > 1:
+            raise AssertionError(
+                f"expected <=1 hash exchange (batch-side window), got {n_ex} "
+                "— the standing index re-shuffled:\n" + plan
+            )
+        # One evaluation feeds both writes (sink + ledger maintenance),
+        # each idempotent per batch id (partition overwrite): foreachBatch
+        # is at-least-once, and a bare append would duplicate a replayed
+        # batch's sink rows and double-admit its fingerprints.
+        classified = classified.transform(eager_checkpoint)
+        try:
+            _write_batch(classified.select("doc_id", "status"), sink, batch_id)
+            # ledger maintenance: a fingerprint enters the ledger exactly
+            # when it first classifies 'new' — one row per fp for the run.
+            _write_batch(
+                classified.filter(F.col("status") == "new").select("__fp"),
+                seen_dir,
+                batch_id,
+            )
+        finally:
+            release_checkpoint(classified)
+
+    _drive_staged_stream(
+        spark, staging_dir, _probe_batch, os.path.join(out_root, "cp")
+    )
+    return _read_batched(spark, sink, "doc_id long, status string")
+
+
+def fold_seen_into_fingerprint_index(
+    spark: SparkSession,
+    index_name: str,
+    seen_dir: str,
+    new_name: str,
+    path: str,
+    n_buckets: int = 32,
+) -> None:
+    """The exact-dedup twin of ``fold_ledger_into_index``: fold the exact
+    drain's admitted-fingerprint ledger (``_write_batch`` rows of ``__fp``
+    written when a fingerprint first classifies ``new``) into the
+    standing bucketed fingerprint index, saved under ``new_name`` /
+    ``path``, and delete the consumed ledger. Exactness is immediate —
+    the index IS the distinct-fingerprint set, the ledger holds exactly
+    the fingerprints first seen since the index was built, so the folded
+    table equals ``build_fingerprint_index`` over corpus ∪ admitted at
+    every scale (no cap subtlety; certified in tests/test_streaming.py).
+    After a fold the drain resumes against ``new_name`` with an empty
+    ledger: previously-admitted fingerprints classify ``dup_in_corpus``
+    (promoted) instead of ``dup_in_delta``, and the per-batch
+    O(ledger) broadcast re-read resets to zero. Same operational
+    contract as the near-dup fold: run between drain invocations only.
+    """
+    from bigdatapipelne_spark.operators.dedup import save_fingerprint_index
+
+    if not fs_exists(spark, seen_dir):
+        raise ValueError(f"no seen-ledger under {seen_dir} — nothing to fold")
+    idx = spark.table(index_name)
+    seen = _read_batched(spark, seen_dir, "__fp string")
+    folded = (
+        idx.select("__fp")
+        .unionByName(seen)
+        .distinct()
+        .withColumn("__in_corpus", F.lit(True))
+    )
+    save_fingerprint_index(folded, new_name, path, n_buckets)
+    fs_rmtree(spark, seen_dir)
+
+
 def compact_batched_sink(
     spark: SparkSession,
     path: str,

@@ -115,9 +115,16 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         # violation; trip-test in tests/test_streaming.py.
         "incremental_near_dup_stream_drain",
         # Reviewed round 11: the decontamination member — same audit over
-        # the two BenchmarkIndex tables, budget pinned at 1 (the batch
-        # side's intersection groupBy); trip-test in tests/test_streaming.py.
+        # the two BenchmarkIndex tables (structural zero-index-shuffle
+        # walk since round 12); trip-test in tests/test_streaming.py.
         "decontaminated_overlap_stream_drain",
+        # Reviewed round 12: the ledger-compaction gates — two audited
+        # drain phases around a mid-stream fold (near-dup and exact
+        # twins); the per-batch audit runs against the FOLDED index
+        # layout, so these cells are stricter than the sweep on both
+        # phases.
+        "near_dup_fold_drain",
+        "incremental_dedup_fold_drain",
     }
     assert {n for n in QUERIES if n.endswith("_drain")} <= streaming_drains, (
         "new *_drain query must be explicitly reviewed and added to the "

@@ -1092,3 +1092,62 @@ def test_serving_upsert_replay_is_idempotent(spark, tmp_path):
     merge_into_store(spark, store, batch, ["k"], 4)  # replay
     assert sorted(map(tuple, read_store(spark, store).collect())) == once
     assert once == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+
+
+def test_fold_seen_into_fingerprint_index_equals_rebuilt(spark, tmp_path):
+    """The exact-dedup fold twin: folding the drain's admitted-
+    fingerprint ledger into the standing index equals a from-scratch
+    build_fingerprint_index over corpus ∪ admitted documents, the
+    consumed ledger is deleted, and a second fold attempt raises."""
+    from bigdatapipelne_spark.functions.text import fingerprint
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        save_fingerprint_index,
+    )
+    from bigdatapipelne_spark.sources.io import fs_exists
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        _write_batch,
+        fold_seen_into_fingerprint_index,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    b1 = docs.filter(F.col("doc_id") % 9 == 0)
+    b2 = docs.filter(F.col("doc_id") % 9 == 3)
+
+    name, folded, rebuilt = "fp_fold_t", "fp_fold_t_f", "fp_fold_t_r"
+    try:
+        save_fingerprint_index(
+            build_fingerprint_index(corpus, "doc_id", "text"),
+            name, str(tmp_path / "fpix"),
+        )
+        seen = str(tmp_path / "seen")
+        # the drain ledgers exactly the fingerprints that classified
+        # 'new' — for disjoint fresh batches that is each batch's fps
+        for i, b in enumerate((b1, b2)):
+            _write_batch(
+                b.select(fingerprint("text").alias("__fp")).distinct(),
+                seen, i,
+            )
+        fold_seen_into_fingerprint_index(
+            spark, name, seen, folded, str(tmp_path / "fpix_folded")
+        )
+        assert not fs_exists(spark, seen)
+
+        save_fingerprint_index(
+            build_fingerprint_index(
+                corpus.unionByName(b1).unionByName(b2), "doc_id", "text"
+            ),
+            rebuilt, str(tmp_path / "fpix_rebuilt"),
+        )
+        got = sorted(map(tuple, spark.table(folded).collect()))
+        want = sorted(map(tuple, spark.table(rebuilt).collect()))
+        assert got == want
+
+        with pytest.raises(ValueError, match="nothing to fold"):
+            fold_seen_into_fingerprint_index(
+                spark, folded, seen, "x", str(tmp_path / "o")
+            )
+    finally:
+        for t in (name, folded, rebuilt):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1252,8 +1252,9 @@ class NearDupIndex:
     of re-deriving the corpus side per call:
 
     - ``bands``: capped ``(corpus_id, band, band_key)`` rows. Persist
-      bucketed on ``band_key`` and the candidate probe leaves the corpus
-      index unshuffled.
+      bucketed on ``(band, band_key)`` — the candidate join's FULL key
+      set — and the candidate probe leaves the corpus index unshuffled
+      under broadcast and sort-merge alike (see save_near_dup_index).
     - ``shingles``: ``(corpus_id, sh)`` shingle-md5 rows for exact-Jaccard
       verification. Persist bucketed on ``corpus_id``: the verify stage
       semi-joins and then collect_lists per corpus_id, both satisfied by
@@ -1306,11 +1307,21 @@ def save_near_dup_index(
 ) -> None:
     """Persist a ``NearDupIndex`` as three catalog tables with the probe
     joins' layouts baked in: ``<name>_bands`` bucketed+sorted on
-    ``band_key`` (the candidate equi-join key), ``<name>_shingles``
-    bucketed on ``corpus_id`` (the verify semi-join + collect_list key),
-    ``<name>_sizes`` bucketed on ``corpus_id``. Per-batch probes then
-    shuffle only the BATCH's rows; the standing index — the 100 TB side —
-    is scanned in place (plan-asserted in tests/test_bucketing.py)."""
+    ``(band, band_key)`` — BOTH candidate equi-join keys, not a prefix:
+    Spark's co-partitioning requires the bucket keys to equal the join's
+    full cluster-key set (``requireAllClusterKeysForCoPartition``), so a
+    band_key-only layout serves the join ONLY while the planner
+    broadcasts the batch side — the moment a size estimate pushes the
+    candidate join to sort-merge, the planner marks the bucketed scan
+    useless ("disabled by query planner") and re-shuffles the INDEX.
+    The round-12 fold gate's in-stream audit caught exactly that plan
+    at the sf10 rehearsal; with both keys in the bucket spec the index
+    reads in place under broadcast AND sort-merge. ``<name>_shingles``
+    is bucketed on ``corpus_id`` (the verify semi-join + collect_list
+    key, a single full key), ``<name>_sizes`` on ``corpus_id``.
+    Per-batch probes then shuffle only the BATCH's rows; the standing
+    index — the 100 TB side — is scanned in place (plan-asserted in
+    tests/test_bucketing.py)."""
     import os
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1323,7 +1334,10 @@ def save_near_dup_index(
     # Spark's scheduler interleaves jobs submitted from separate threads.
     # Measured on the gate cell: 2.9s sequential -> ~2.0s warm.
     writes = [
-        (index.bands, f"{name}_bands", ["band_key"], "bands", ["band_key"]),
+        (
+            index.bands, f"{name}_bands", ["band", "band_key"], "bands",
+            ["band", "band_key"],
+        ),
         (
             index.shingles, f"{name}_shingles", ["corpus_id"], "shingles",
             ["corpus_id"],

@@ -260,12 +260,16 @@ def merge_spec_batch(
     collapse null-safely), and HLL (register max-merge) sinks, which are
     naturally idempotent — would double-count a replayed batch's sums.
     The mart therefore stores the producing ``__batch_id`` alongside the
-    groups (it travels inside the same atomic directory swap), and a
-    batch at or below the stored id is a no-op: replay after a driver
-    death between the swap and the offset commit re-runs exactly the
-    already-merged batch, and batch ids are strictly increasing past the
-    checkpoint, so the guard is precise. ``spec_mart_view`` projects the
-    marker away."""
+    groups (it travels inside the same atomic directory swap), and the
+    guard is PRECISE about what a replay can be: a replay re-runs only
+    the single most recent batch (offsets commit sequentially), so
+    ``batch_id == stored`` is a no-op, while ``batch_id < stored`` means
+    the checkpoint was reset or a second stream shares the mart — an
+    unanswerable ambiguity for an additive store (merging would
+    double-count history; skipping would silently drop real data), so it
+    raises instead of guessing. Marts written before the marker existed
+    merge through unguarded once (legacy fallback) and gain the marker.
+    ``spec_mart_view`` projects the marker away."""
     from pyspark.sql import functions as F
 
     from bigdatapipelne_spark.sources.io import fs_exists
@@ -274,11 +278,25 @@ def merge_spec_batch(
     part = batch_df.groupBy(*SPEC_DIMS).agg(
         F.sum(F.col("valor").cast("decimal(18,2)")).alias("sum_valor_dec")
     )
+    stored = None
     if fs_exists(spark, spec_path):
-        stored = spark.read.parquet(spec_path)
-        last = stored.agg(F.max("__batch_id")).first()[0]
-        if last is not None and batch_id <= last:
-            return
+        # one mart scan per micro-batch: the cache serves both the
+        # batch-id guard read and the additive-union write below
+        stored = spark.read.parquet(spec_path).cache()
+        if "__batch_id" in stored.columns:
+            last = stored.agg(F.max("__batch_id")).first()[0]
+            if last is not None and batch_id == last:
+                stored.unpersist()
+                return  # at-least-once replay of the just-merged batch
+            if last is not None and batch_id < last:
+                stored.unpersist()
+                raise ValueError(
+                    f"spec mart at {spec_path} was produced by batch "
+                    f"{last} but the stream delivered batch {batch_id}: "
+                    "the checkpoint no longer matches the mart (reset "
+                    "checkpoint or second writer) — rebuild the mart or "
+                    "restore the matching checkpoint"
+                )
         part = (
             stored.select(*SPEC_DIMS, "sum_valor_dec")
             .unionByName(part)
@@ -293,7 +311,11 @@ def merge_spec_batch(
         F.col("sum_valor_dec").cast("decimal(38,2)").alias("sum_valor_dec"),
         F.lit(batch_id).cast("long").alias("__batch_id"),
     )
-    _swap_parquet(part, spec_path)
+    try:
+        _swap_parquet(part, spec_path)
+    finally:
+        if stored is not None:
+            stored.unpersist()
 
 
 def spec_mart_view(spark: SparkSession, spec_path: str) -> DataFrame:

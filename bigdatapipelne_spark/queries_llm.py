@@ -2727,9 +2727,10 @@ def _mh_side_cte(tag: str, idc: str) -> str:
     {tag}_sets AS (SELECT {idc}, list_distinct(shingles) AS ss FROM {tag}_sh)"""
 
 
-def _mh_pairs_cte(tag_d: str, tag_c: str, out: str, threshold: float) -> str:
+def _mh_pairs_cte(tag_d: str, tag_c: str, out: str) -> str:
     # Candidate banding join + exact-Jaccard verification between two
-    # ``_mh_side_cte`` sides, emitted as CTE ``{out}``.
+    # ``_mh_side_cte`` sides, emitted as CTE ``{out}`` (UNFILTERED —
+    # callers apply their threshold in the outer SELECT).
     return f"""
     {out}_cands AS (
       SELECT DISTINCT d.delta_id, c.corpus_id
@@ -2749,9 +2750,8 @@ def _mh_pairs_cte(tag_d: str, tag_c: str, out: str, threshold: float) -> str:
 
 def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
     # Same affine-permutation family as _minhash_oracle (mirrors
-    # operators/dedup.py _minhash_exprs — see _minhash_mins_sql).
-    side = _mh_side_cte
-
+    # operators/dedup.py _minhash_exprs — see _minhash_mins_sql); the
+    # side/pairs CTE machinery is shared with _fold_minhash_oracle.
     return f"""
     WITH corpus0 AS (SELECT doc_id, text FROM documents WHERE source <> 'src3'),
     delta0 AS (
@@ -2759,21 +2759,8 @@ def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
       UNION ALL
       SELECT doc_id + {_RECRAWL_OFF_1} AS doc_id, text || ' drift' AS text
       FROM corpus0 WHERE doc_id % 17 = 0
-    ),{side("delta", "delta_id")},{side("corpus", "corpus_id")},
-    cands AS (
-      SELECT DISTINCT d.delta_id, c.corpus_id
-      FROM delta_bands d JOIN corpus_bands c
-        ON d.band = c.band AND d.band_key = c.band_key
-    ),
-    scored AS (
-      SELECT delta_id, corpus_id,
-             CAST(len(list_intersect(sd.ss, sc.ss)) AS DOUBLE) /
-             CAST(len(sd.ss) + len(sc.ss) - len(list_intersect(sd.ss, sc.ss))
-                  AS DOUBLE) AS jaccard
-      FROM cands
-      JOIN delta_sets sd USING (delta_id)
-      JOIN corpus_sets sc USING (corpus_id)
-    )
+    ),{_mh_side_cte("delta", "delta_id")},{_mh_side_cte("corpus", "corpus_id")},
+    {_mh_pairs_cte("delta", "corpus", "scored")}
     SELECT delta_id, corpus_id, jaccard FROM scored WHERE jaccard >= {threshold}
     """
 
@@ -2926,8 +2913,8 @@ def _fold_minhash_oracle(threshold: float = 0.5) -> str:
       SELECT * FROM corpusA0 UNION ALL SELECT * FROM h10
     ),{_mh_side_cte("h1", "delta_id")},{_mh_side_cte("corpusA", "corpus_id")},
     {_mh_side_cte("h2", "delta_id")},{_mh_side_cte("corpusB", "corpus_id")},
-    {_mh_pairs_cte("h1", "corpusA", "p1", threshold)},
-    {_mh_pairs_cte("h2", "corpusB", "p2", threshold)}
+    {_mh_pairs_cte("h1", "corpusA", "p1")},
+    {_mh_pairs_cte("h2", "corpusB", "p2")}
     SELECT delta_id, corpus_id, jaccard FROM p1 WHERE jaccard >= {threshold}
     UNION ALL
     SELECT delta_id, corpus_id, jaccard FROM p2 WHERE jaccard >= {threshold}

@@ -375,12 +375,27 @@ def swap_parquet(df: DataFrame, path: str) -> None:
     bucket-partitioned ``operators/serving.merge_into_store`` instead —
     rewriting those whole-table per batch is the O(table) anti-pattern
     this module's round-6 change removed from the streaming serving sink.
-    """
-    import os
-    import shutil
 
+    The swap runs through the Hadoop FS API (any scheme, consistent with
+    ``fs_exists`` gates upstream), parks the previous contents at
+    ``<path>__old`` until the new directory is in place (so a crash
+    mid-swap always leaves a complete copy on disk — at ``__old`` and/or
+    ``__staging``, never only half a store), and checks every rename's
+    boolean return (object stores can refuse a rename without raising).
+    """
+    spark = df.sparkSession
     staging = path + "__staging"
+    old = path + "__old"
     df.write.mode("overwrite").parquet(staging)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(staging, path)
+    fs, hpath = hadoop_fs(spark, path)
+    _, hstaging = hadoop_fs(spark, staging)
+    _, hold = hadoop_fs(spark, old)
+    fs.delete(hold, True)  # leftover from a previous crashed swap
+    if fs.exists(hpath) and not fs.rename(hpath, hold):
+        raise IOError(f"swap_parquet: could not park {path} at {old}")
+    if not fs.rename(hstaging, hpath):
+        # put the previous contents back before failing — the store
+        # must never be left absent when we can restore it
+        fs.rename(hold, hpath)
+        raise IOError(f"swap_parquet: could not move staging into {path}")
+    fs.delete(hold, True)

@@ -149,7 +149,7 @@ def _assert_probe_plan(
     pairs: DataFrame,
     index_name: str,
     budget: int | None,
-    parts: tuple[str, ...] = ("bands", "shingles", "sizes"),
+    parts: tuple[str, ...] | None = ("bands", "shingles", "sizes"),
 ) -> None:
     """The in-stream zero-index-shuffle audit (same role as the exact
     drain's per-batch assertion): the executed probe plan must (a) read
@@ -166,7 +166,13 @@ def _assert_probe_plan(
     index per micro-batch must fail loudly, not degrade."""
     jplan = pairs._jdf.queryExecution().executedPlan()
     plan = jplan.toString()
-    needles = [f"{index_name}_{part}" for part in parts]
+    # parts=None: the index IS one catalog table named index_name (the
+    # fingerprint drain); otherwise the multi-table <name>_<part> layout.
+    needles = (
+        [index_name]
+        if parts is None
+        else [f"{index_name}_{part}" for part in parts]
+    )
     for needle in needles:
         if needle not in plan:
             raise AssertionError(
@@ -588,26 +594,16 @@ def run_exact_probe_stream(
             .otherwise(F.lit("new"))
             .alias("status"),
         )
-        # Zero-index-shuffle property, per batch: the standing index is
-        # never re-exchanged — the only hash exchange allowed in the
-        # probe plan is the batch side's __fp window. At real scale the
-        # planner takes the bucketed in-place sort-merge join
-        # (plan-asserted in tests/test_bucketing.py); at toy SF its size
-        # stats flip the same join to broadcasting the small index —
-        # either way the index side contributes no hashpartitioning
-        # exchange. The static plan suffices: AQE can coalesce exchanges
-        # but never adds one above the scan.
-        plan = classified._jdf.queryExecution().executedPlan().toString()
-        if index_name not in plan:
-            raise AssertionError(
-                "probe plan does not read the standing index table:\n" + plan
-            )
-        n_ex = plan.count("Exchange hashpartitioning")
-        if n_ex > 1:
-            raise AssertionError(
-                f"expected <=1 hash exchange (batch-side window), got {n_ex} "
-                "— the standing index re-shuffled:\n" + plan
-            )
+        # Zero-index-shuffle property, per batch — the shared structural
+        # audit (parts=None: the fingerprint index is one catalog table)
+        # plus the batch-side shape pin: the only hash exchange in the
+        # probe plan is the batch's __fp window (the seen-ledger join is
+        # hint-broadcast). At real scale the planner takes the bucketed
+        # in-place sort-merge join (plan-asserted in
+        # tests/test_bucketing.py); at toy SF its size stats flip the
+        # same join to broadcasting the small index — either way the
+        # index side contributes no hashpartitioning exchange.
+        _assert_probe_plan(classified, index_name, budget=1, parts=None)
         # One evaluation feeds both writes (sink + ledger maintenance),
         # each idempotent per batch id (partition overwrite): foreachBatch
         # is at-least-once, and a bare append would duplicate a replayed
@@ -693,8 +689,11 @@ def compact_batched_sink(
     post-completion compaction composes with resumed drains: later
     batches keep writing their own ``__batch_id=N`` partitions beside the
     base (the sentinel -1 can never collide). The staging swap goes
-    through the Hadoop FS API (works on any scheme) and is crash-safe but
-    not reader-atomic — a maintenance-window operation, same contract as
+    through the Hadoop FS API (works on any scheme), parks the old layout
+    at ``<path>__old`` until the compacted one is in place (a crash
+    mid-swap always leaves a complete copy on disk), and checks rename
+    return values (object stores can refuse a rename without raising).
+    Not reader-atomic — a maintenance-window operation, same contract as
     ``sources/io.py compact_parquet``.
     """
     import math
@@ -707,6 +706,7 @@ def compact_batched_sink(
     df = spark.read.parquet(path)
     data_cols = [c for c in df.columns if c != "__batch_id"]
     staging = path.rstrip("/") + "__compact"
+    old = path.rstrip("/") + "__old"
     (
         df.select(*data_cols)
         .repartition(n_files)
@@ -715,7 +715,15 @@ def compact_batched_sink(
         .partitionBy("__batch_id")
         .parquet(staging)
     )
-    fs.delete(hpath, True)
-    sfs, spath = hadoop_fs(spark, staging)
-    sfs.rename(spath, hpath)
+    _, hstaging = hadoop_fs(spark, staging)
+    _, hold = hadoop_fs(spark, old)
+    fs.delete(hold, True)
+    if not fs.rename(hpath, hold):
+        raise IOError(f"compact_batched_sink: could not park {path} at {old}")
+    if not fs.rename(hstaging, hpath):
+        fs.rename(hold, hpath)  # restore — never leave the sink absent
+        raise IOError(
+            f"compact_batched_sink: could not move staging into {path}"
+        )
+    fs.delete(hold, True)
     return n_files

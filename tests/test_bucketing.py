@@ -171,10 +171,16 @@ def test_bucketed_fingerprint_index_probe_reads_index_in_place(spark, tmp_path):
 
 
 def test_bucketed_near_dup_index_probe_reads_index_in_place(spark, tmp_path):
-    """Same layout claim for the NearDupIndex: bands bucketed on band_key
-    (the candidate equi-join key) and shingles on corpus_id (the verify
-    semi-join + collect_list key) — the bucketed probe plan has strictly
-    fewer exchanges than the plain reload and identical results."""
+    """Same layout claim for the NearDupIndex: bands bucketed on
+    (band, band_key) — the candidate join's FULL key set, so the layout
+    serves sort-merge as well as broadcast plans (round-12 finding) —
+    and shingles on corpus_id (the verify semi-join + collect_list key).
+    The bucketed probe plan has strictly fewer exchanges than the plain
+    reload and identical results; additionally, under forced sort-merge
+    (AQE off, broadcast off) the structural walk must find NO shuffle
+    fed purely by the bucketed index — the exact plan shape whose
+    band_key-only regression the fold gate's in-stream audit caught at
+    the sf10 rehearsal."""
     from pyspark.sql import functions as F
 
     from bigdatapipelne_spark.operators.dedup import (
@@ -223,6 +229,19 @@ def test_bucketed_near_dup_index_probe_reads_index_in_place(spark, tmp_path):
             assert _exchange_count(probe_b) < _exchange_count(probe_p), (
                 "bucketed near-dup index probe must drop index-side exchanges"
             )
+            # the structural zero-index-shuffle property must hold in the
+            # FORCED sort-merge regime too — no shuffle Exchange fed
+            # purely by the standing index's scans (the band_key-only
+            # bucket layout failed exactly this)
+            from bigdatapipelne_spark.streaming.dedup_stream import (
+                _index_reshuffled_table,
+            )
+
+            hit = _index_reshuffled_table(
+                probe_b._jdf.queryExecution().executedPlan(),
+                [f"nd_ix_b_{p}" for p in ("bands", "shingles", "sizes")],
+            )
+            assert hit is None, f"standing index table {hit} re-shuffled"
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", aqe)
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)

@@ -203,3 +203,45 @@ def test_merge_spec_batch_replay_is_noop(spark, tmp_path):
     assert both != once
     merge_spec_batch(spark, b1, 1, spec_path)  # replay of the later batch
     assert sorted(map(tuple, spec_mart_view(spark, spec_path).collect())) == both
+
+    # a batch BELOW the stored id is not a replay (replays re-run only
+    # the most recent batch) — it means the checkpoint no longer matches
+    # the mart, which an additive store cannot resolve either way
+    with pytest.raises(ValueError, match="no longer matches the mart"):
+        merge_spec_batch(spark, b0, 0, spec_path)
+    assert sorted(map(tuple, spec_mart_view(spark, spec_path).collect())) == both
+
+
+def test_merge_spec_batch_legacy_mart_without_marker(spark, tmp_path):
+    """A mart written before the __batch_id marker existed merges through
+    once unguarded and gains the marker on its first post-upgrade batch."""
+    from bigdatapipelne_spark.plans.medallion import (
+        SPEC_DIMS,
+        merge_spec_batch,
+        spec_mart_view,
+        stage_transform,
+    )
+
+    raw = card_raw_from_events(load_table(spark, SF_SMALL, "events"))
+    b0 = stage_transform(raw.filter(F.col("transaction_id") % 2 == 0))
+    b1 = stage_transform(raw.filter(F.col("transaction_id") % 2 == 1))
+    spec_path = str(tmp_path / "spec")
+
+    # legacy layout: groups + sum only, no marker column
+    legacy = b0.groupBy(*SPEC_DIMS).agg(
+        F.sum(F.col("valor").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_valor_dec")
+    )
+    legacy.write.parquet(spec_path)
+    before = sorted(map(tuple, spec_mart_view(spark, spec_path).collect()))
+
+    merge_spec_batch(spark, b1, 7, spec_path)
+    after = sorted(map(tuple, spec_mart_view(spark, spec_path).collect()))
+    assert after != before
+    stored = spark.read.parquet(spec_path)
+    assert "__batch_id" in stored.columns
+    assert stored.agg(F.max("__batch_id")).first()[0] == 7
+    # and the marker now guards: replaying batch 7 is a no-op
+    merge_spec_batch(spark, b1, 7, spec_path)
+    assert sorted(map(tuple, spec_mart_view(spark, spec_path).collect())) == after

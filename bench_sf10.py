@@ -118,7 +118,11 @@ RATIO_NOTES = {
         "serde x 150k groups dominates the sf10 cell; state partitions "
         "are workload-sized (fewer at small SF for the store constant, "
         "core-capped at volume for Python parallelism). Bulk callers use "
-        "the native session_window twin (session_window_stream_drain)"
+        "the native session_window twin (session_window_stream_drain). "
+        "Round 12 flips the gate to RocksDB permanently: the sf10 wall is "
+        "FLAT vs the r11 HDFS-provider cell (58.9s -> ~57s), so the "
+        "higher ratio is a FASTER sf0.1 denominator (7.65s -> ~4.8s, the "
+        "r10 sizing finally measured warm), not grown scale cost"
     ),
     "incremental_near_dup": (
         "pays the one-time corpus index build inside the cell by design; "
@@ -188,7 +192,12 @@ RATIO_NOTES = {
         "IS the data being checked, an irreducible single pass; the "
         "round-11 standing BenchmarkIndex probe path removes the "
         "per-run benchmark rebuild (negligible at this benchmark size, "
-        "the point at real eval-suite sizes)"
+        "the point at real eval-suite sizes). The sf10 wall is FLAT "
+        "across rounds (10.5 -> 10.7s); the round-12 ratio moved "
+        "because the SF0.1 DENOMINATOR dropped under a second (the "
+        "inline path no longer checkpoints the throwaway benchmark "
+        "index), the sub-second-denominator inflation this record's "
+        "convention flags rather than hides"
     ),
     "purchase_view_outer_drain": (
         "runs the ROCKSDB state store permanently (round-11 "
@@ -209,6 +218,20 @@ RATIO_NOTES = {
         "index: index build+save + 3 audited micro-batch probes + "
         "ledger maintenance inside one cell; steady-state probe cost "
         "lives in BENCH_probe.json"
+    ),
+    "near_dup_fold_drain": (
+        "the heaviest per-invocation streaming cell BY DESIGN: TWO "
+        "bucketed index saves (initial build + the mid-stream "
+        "fold_ledger_into_index rewrite), two availableNow stream "
+        "invocations around the fold, three audited micro-batch probes, "
+        "and in-gate sink compaction; the steady-state payoff it "
+        "certifies (per-batch O(ledger) term reset) is measured in "
+        "BENCH_fold.json's with/without-fold curves"
+    ),
+    "incremental_dedup_fold_drain": (
+        "per-invocation constant like its near-dup twin: index "
+        "build+save, two drain invocations around "
+        "fold_seen_into_fingerprint_index, 3 audited micro-batches"
     ),
     "decontaminated_overlap_stream_drain": (
         "per-invocation streaming-cell constant: benchmark-index "

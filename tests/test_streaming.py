@@ -1151,3 +1151,66 @@ def test_fold_seen_into_fingerprint_index_equals_rebuilt(spark, tmp_path):
     finally:
         for t in (name, folded, rebuilt):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_fold_ledger_is_repeatable_across_cycles(spark, tmp_path):
+    """The steady state is PERIODIC folds: drain -> fold -> drain ->
+    fold again. The second fold consumes the post-first-fold ledger into
+    the already-folded index, and the result must equal one
+    from-scratch build over corpus ∪ all admitted batches — i.e. the
+    fold is closed over its own output, not a one-shot operation."""
+    from bigdatapipelne_spark.operators.checkpoint import release_checkpoint
+    from bigdatapipelne_spark.operators.dedup import (
+        build_near_dup_index,
+        save_near_dup_index,
+    )
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        fold_ledger_into_index,
+        run_near_dup_probe_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import (
+        stage_one_more_file,
+        stage_ordered_files,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    b1 = docs.filter(F.col("doc_id") % 9 == 0)
+    b2 = docs.filter(F.col("doc_id") % 9 == 3)
+
+    name = "nd_refold_t"
+    names = [name, f"{name}_f1", f"{name}_f2", f"{name}_r"]
+    try:
+        ix = build_near_dup_index(corpus, "doc_id", "text")
+        save_near_dup_index(ix, name, str(tmp_path / "ix0"))
+        release_checkpoint(ix.shingles)
+        staging, out = str(tmp_path / "staging"), str(tmp_path / "out")
+
+        stage_ordered_files([b1], staging)
+        run_near_dup_probe_stream(spark, staging, name, out)
+        fold_ledger_into_index(
+            spark, name, out, f"{name}_f1", str(tmp_path / "ix1")
+        )
+        stage_one_more_file(b2, staging)
+        run_near_dup_probe_stream(spark, staging, f"{name}_f1", out)
+        fold_ledger_into_index(
+            spark, f"{name}_f1", out, f"{name}_f2", str(tmp_path / "ix2")
+        )
+
+        rix = build_near_dup_index(
+            corpus.unionByName(b1).unionByName(b2), "doc_id", "text"
+        )
+        save_near_dup_index(rix, f"{name}_r", str(tmp_path / "ixr"))
+        release_checkpoint(rix.shingles)
+        for part in ("bands", "shingles", "sizes"):
+            got = sorted(
+                map(tuple, spark.table(f"{name}_f2_{part}").collect())
+            )
+            want = sorted(
+                map(tuple, spark.table(f"{name}_r_{part}").collect())
+            )
+            assert got == want, f"{part}: second fold != rebuilt"
+    finally:
+        for n in names:
+            for part in ("bands", "shingles", "sizes"):
+                spark.sql(f"DROP TABLE IF EXISTS {n}_{part}")

@@ -294,11 +294,25 @@ def main() -> None:
         for part in ("bands", "shingles", "sizes"):
             spark.sql(f"DROP TABLE IF EXISTS {n}_{part}")
 
-    line = json.dumps(record)
-    print(line)
-    with open(
-        os.path.join(os.path.dirname(__file__), "BENCH_fold.json"), "w"
-    ) as fh:
+    # merge by sf_dir so curves at several scales coexist in one record
+    # (the O(ledger) per-batch term needs a big-enough delta to rise
+    # above the ~2s streaming constant — sf0.1's 30-doc batches barely
+    # show it, sf1's ~300-doc batches do)
+    path = os.path.join(os.path.dirname(__file__), "BENCH_fold.json")
+    merged: dict = {"metric": "near_dup_ledger_fold", "unit": "sec", "by_sf": {}}
+    if os.path.exists(path):
+        try:
+            prev = json.load(open(path))
+            if "by_sf" in prev:
+                merged["by_sf"] = prev["by_sf"]
+        except Exception:
+            pass
+    merged["by_sf"][SF_DIR] = {
+        k: v for k, v in record.items() if k not in ("metric", "unit")
+    }
+    line = json.dumps(merged)
+    print(json.dumps(record))
+    with open(path, "w") as fh:
         fh.write(line + "\n")
 
 

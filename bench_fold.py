@@ -199,7 +199,10 @@ def main() -> None:
         .agg(F.max("count"))
         .first()[0]
     )
-    cap_noop = max_bucket < MINHASH_MAX_BAND_BUCKET
+    # <=: _capped_bands drops only buckets with count > cap (its filter
+    # keeps __n <= max_bucket), so a bucket exactly AT the cap survives
+    # in both modes and the equality still holds
+    cap_noop = max_bucket <= MINHASH_MAX_BAND_BUCKET
     record["cap_noop_at_this_sf"] = {
         "max_band_bucket": int(max_bucket),
         "cap": MINHASH_MAX_BAND_BUCKET,

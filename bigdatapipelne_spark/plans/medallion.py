@@ -263,57 +263,113 @@ def merge_spec_batch(
     groups (it travels inside the same atomic directory swap), and the
     guard is PRECISE about what a replay can be: a replay re-runs only
     the single most recent batch (offsets commit sequentially), so
-    ``batch_id == stored`` is a no-op, while ``batch_id < stored`` means
-    the checkpoint was reset or a second stream shares the mart — an
-    unanswerable ambiguity for an additive store (merging would
+    ``batch_id == stored`` SHOULD be a no-op, while ``batch_id < stored``
+    means the checkpoint was reset or a second stream shares the mart —
+    an unanswerable ambiguity for an additive store (merging would
     double-count history; skipping would silently drop real data), so it
-    raises instead of guessing. Marts written before the marker existed
-    merge through unguarded once (legacy fallback) and gain the marker.
-    ``spec_mart_view`` projects the marker away."""
+    raises instead of guessing. One residual ambiguity remains in the
+    ``==`` case alone: a RESET checkpoint's first delivery is also batch
+    0, so when the stored id is 0, "replay of batch 0" and "reset stream
+    re-delivering (possibly different) data as batch 0" are id-identical
+    — the mart therefore also stores a content SIGNATURE of the last
+    merged batch's partial aggregate (``__batch_sig``), and the ``==``
+    no-op applies only when the arriving batch's signature matches; a
+    same-id different-content batch raises like the ``<`` case. Marts
+    written before the markers existed merge through unguarded once
+    (legacy fallback) and gain them. ``spec_mart_view`` projects both
+    markers away."""
     from pyspark.sql import functions as F
 
     from bigdatapipelne_spark.sources.io import fs_exists
     from bigdatapipelne_spark.sources.io import swap_parquet as _swap_parquet
 
-    part = batch_df.groupBy(*SPEC_DIMS).agg(
-        F.sum(F.col("valor").cast("decimal(18,2)")).alias("sum_valor_dec")
+    # cached: the tiny partial aggregate feeds both the content
+    # signature and the additive union without re-scanning the batch
+    part = (
+        batch_df.groupBy(*SPEC_DIMS)
+        .agg(F.sum(F.col("valor").cast("decimal(18,2)")).alias("sum_valor_dec"))
+        .cache()
     )
-    stored = None
-    if fs_exists(spark, spec_path):
-        # one mart scan per micro-batch: the cache serves both the
-        # batch-id guard read and the additive-union write below
-        stored = spark.read.parquet(spec_path).cache()
-        if "__batch_id" in stored.columns:
-            last = stored.agg(F.max("__batch_id")).first()[0]
-            if last is not None and batch_id == last:
-                stored.unpersist()
-                return  # at-least-once replay of the just-merged batch
-            if last is not None and batch_id < last:
-                stored.unpersist()
-                raise ValueError(
-                    f"spec mart at {spec_path} was produced by batch "
-                    f"{last} but the stream delivered batch {batch_id}: "
-                    "the checkpoint no longer matches the mart (reset "
-                    "checkpoint or second writer) — rebuild the mart or "
-                    "restore the matching checkpoint"
+
+    def batch_sig(aggregated: DataFrame):
+        # order-independent content fingerprint of one batch's partial
+        # aggregate: md5 over the sorted (dims, sum) lines — DECIMAL
+        # renders deterministically, groups are few, one tiny aggregate
+        return aggregated.agg(
+            F.md5(
+                F.to_json(
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(
+                                "|",
+                                *SPEC_DIMS,
+                                F.col("sum_valor_dec").cast("string"),
+                            )
+                        )
+                    )
                 )
-        part = (
-            stored.select(*SPEC_DIMS, "sum_valor_dec")
-            .unionByName(part)
-            .groupBy(*SPEC_DIMS)
-            .agg(F.sum("sum_valor_dec").alias("sum_valor_dec"))
-        )
-    # Pin the stored type: SUM widens DECIMAL precision per level
-    # (18,2 -> 28,2 -> 38,2), which would otherwise drift the mart
-    # schema between the first and later merges.
-    part = part.select(
-        *SPEC_DIMS,
-        F.col("sum_valor_dec").cast("decimal(38,2)").alias("sum_valor_dec"),
-        F.lit(batch_id).cast("long").alias("__batch_id"),
-    )
+            )
+        ).first()[0]
+
+    stored = None
+    sig = None
     try:
-        _swap_parquet(part, spec_path)
+        if fs_exists(spark, spec_path):
+            # one mart scan per micro-batch: the cache serves both the
+            # guard reads and the additive-union write below
+            stored = spark.read.parquet(spec_path).cache()
+            if "__batch_id" in stored.columns:
+                last = stored.agg(F.max("__batch_id")).first()[0]
+                mismatch = None
+                if last is not None and batch_id == last:
+                    sig = batch_sig(part)
+                    stored_sig = (
+                        stored.agg(F.max("__batch_sig")).first()[0]
+                        if "__batch_sig" in stored.columns
+                        else None
+                    )
+                    if stored_sig is None or sig == stored_sig:
+                        # at-least-once replay of the just-merged batch
+                        return
+                    mismatch = (
+                        f"batch {batch_id} matches the stored id but not "
+                        "the stored content signature — a reset checkpoint "
+                        "is re-delivering different data under the same id"
+                    )
+                if last is not None and batch_id < last:
+                    mismatch = (
+                        f"the stream delivered batch {batch_id} but the "
+                        f"mart was produced by batch {last}"
+                    )
+                if mismatch:
+                    raise ValueError(
+                        f"spec mart at {spec_path}: {mismatch}; the "
+                        "checkpoint no longer matches the mart (reset "
+                        "checkpoint or second writer) — rebuild the mart "
+                        "or restore the matching checkpoint"
+                    )
+            merged = (
+                stored.select(*SPEC_DIMS, "sum_valor_dec")
+                .unionByName(part)
+                .groupBy(*SPEC_DIMS)
+                .agg(F.sum("sum_valor_dec").alias("sum_valor_dec"))
+            )
+        else:
+            merged = part
+        if sig is None:
+            sig = batch_sig(part)
+        # Pin the stored type: SUM widens DECIMAL precision per level
+        # (18,2 -> 28,2 -> 38,2), which would otherwise drift the mart
+        # schema between the first and later merges.
+        merged = merged.select(
+            *SPEC_DIMS,
+            F.col("sum_valor_dec").cast("decimal(38,2)").alias("sum_valor_dec"),
+            F.lit(batch_id).cast("long").alias("__batch_id"),
+            F.lit(sig).alias("__batch_sig"),
+        )
+        _swap_parquet(merged, spec_path)
     finally:
+        part.unpersist()
         if stored is not None:
             stored.unpersist()
 

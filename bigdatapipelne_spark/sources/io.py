@@ -382,20 +382,51 @@ def swap_parquet(df: DataFrame, path: str) -> None:
     mid-swap always leaves a complete copy on disk — at ``__old`` and/or
     ``__staging``, never only half a store), and checks every rename's
     boolean return (object stores can refuse a rename without raising).
+    A pre-existing ``__old`` makes the swap REFUSE to run (see
+    ``swap_staging_into_dir``) — it may be the only complete copy from a
+    crashed swap, and deleting it to proceed would make the crash-safety
+    guarantee exactly one invocation deep.
     """
     spark = df.sparkSession
-    staging = path + "__staging"
-    old = path + "__old"
+    staging = path.rstrip("/") + "__staging"
+    _assert_no_parked_swap(spark, path)  # fail BEFORE the staging write
     df.write.mode("overwrite").parquet(staging)
+    swap_staging_into_dir(spark, staging, path)
+
+
+def _assert_no_parked_swap(spark: SparkSession, path: str) -> None:
+    old = path.rstrip("/") + "__old"
+    if fs_exists(spark, old):
+        raise IOError(
+            f"refusing to swap {path}: {old} exists — a previous swap "
+            "crashed mid-sequence and the parked copy may be the ONLY "
+            "complete one (the target may since have been recreated "
+            "partially). Inspect: if the current directory is complete, "
+            f"delete {old}; if the previous swap crashed between its "
+            f"renames, restore by renaming {old} back. Never auto-deleted."
+        )
+
+
+def swap_staging_into_dir(spark: SparkSession, staging: str, path: str) -> None:
+    """The shared directory-swap tail used by ``swap_parquet`` and the
+    streaming sink compaction: park ``path`` at ``<path>__old``, move
+    ``staging`` in, drop the parked copy — with every rename's boolean
+    checked and a restore attempt if the second rename fails. Refuses to
+    run while a parked ``__old`` from a previous crashed swap exists:
+    that copy is potentially the only complete one, so resolving it is
+    an explicit operator decision, never an automatic delete (the
+    round-12 review found the auto-delete made crash-safety exactly one
+    invocation deep)."""
+    _assert_no_parked_swap(spark, path)
+    old = path.rstrip("/") + "__old"
     fs, hpath = hadoop_fs(spark, path)
     _, hstaging = hadoop_fs(spark, staging)
     _, hold = hadoop_fs(spark, old)
-    fs.delete(hold, True)  # leftover from a previous crashed swap
     if fs.exists(hpath) and not fs.rename(hpath, hold):
-        raise IOError(f"swap_parquet: could not park {path} at {old}")
+        raise IOError(f"directory swap: could not park {path} at {old}")
     if not fs.rename(hstaging, hpath):
         # put the previous contents back before failing — the store
         # must never be left absent when we can restore it
         fs.rename(hold, hpath)
-        raise IOError(f"swap_parquet: could not move staging into {path}")
+        raise IOError(f"directory swap: could not move {staging} into {path}")
     fs.delete(hold, True)

@@ -688,25 +688,30 @@ def compact_batched_sink(
     Streaming batch ids are strictly increasing past the checkpoint — so
     post-completion compaction composes with resumed drains: later
     batches keep writing their own ``__batch_id=N`` partitions beside the
-    base (the sentinel -1 can never collide). The staging swap goes
-    through the Hadoop FS API (works on any scheme), parks the old layout
-    at ``<path>__old`` until the compacted one is in place (a crash
-    mid-swap always leaves a complete copy on disk), and checks rename
-    return values (object stores can refuse a rename without raising).
-    Not reader-atomic — a maintenance-window operation, same contract as
+    base (the sentinel -1 can never collide). The staging swap is the
+    shared ``sources/io.py swap_staging_into_dir`` sequence: Hadoop FS
+    API (any scheme), the old layout parked at ``<path>__old`` until the
+    compacted one is in place, rename booleans checked, and a REFUSAL to
+    run while a parked ``__old`` from a crashed swap exists (it may be
+    the only complete copy — resolving it is an operator decision). Not
+    reader-atomic — a maintenance-window operation, same contract as
     ``sources/io.py compact_parquet``.
     """
     import math
 
-    from bigdatapipelne_spark.sources.io import hadoop_fs
+    from bigdatapipelne_spark.sources.io import (
+        _assert_no_parked_swap,
+        hadoop_fs,
+        swap_staging_into_dir,
+    )
 
+    _assert_no_parked_swap(spark, path)  # fail BEFORE reading/writing
     fs, hpath = hadoop_fs(spark, path)
     total = fs.getContentSummary(hpath).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     data_cols = [c for c in df.columns if c != "__batch_id"]
     staging = path.rstrip("/") + "__compact"
-    old = path.rstrip("/") + "__old"
     (
         df.select(*data_cols)
         .repartition(n_files)
@@ -715,15 +720,5 @@ def compact_batched_sink(
         .partitionBy("__batch_id")
         .parquet(staging)
     )
-    _, hstaging = hadoop_fs(spark, staging)
-    _, hold = hadoop_fs(spark, old)
-    fs.delete(hold, True)
-    if not fs.rename(hpath, hold):
-        raise IOError(f"compact_batched_sink: could not park {path} at {old}")
-    if not fs.rename(hstaging, hpath):
-        fs.rename(hold, hpath)  # restore — never leave the sink absent
-        raise IOError(
-            f"compact_batched_sink: could not move staging into {path}"
-        )
-    fs.delete(hold, True)
+    swap_staging_into_dir(spark, staging, path)
     return n_files

@@ -245,3 +245,29 @@ def test_merge_spec_batch_legacy_mart_without_marker(spark, tmp_path):
     # and the marker now guards: replaying batch 7 is a no-op
     merge_spec_batch(spark, b1, 7, spec_path)
     assert sorted(map(tuple, spec_mart_view(spark, spec_path).collect())) == after
+
+
+def test_merge_spec_batch_same_id_different_content_raises(spark, tmp_path):
+    """The == batch-id case alone is ambiguous when the stored id is 0 (a
+    reset checkpoint's first delivery is also batch 0): the stored content
+    signature disambiguates — an identical batch is a replay (no-op), a
+    different batch under the same id is a checkpoint/mart mismatch and
+    must raise, never silently skip or double-add."""
+    from bigdatapipelne_spark.plans.medallion import (
+        merge_spec_batch,
+        spec_mart_view,
+        stage_transform,
+    )
+
+    raw = card_raw_from_events(load_table(spark, SF_SMALL, "events"))
+    b0 = stage_transform(raw.filter(F.col("transaction_id") % 2 == 0))
+    other = stage_transform(raw)  # a reset stream's batch 0: MORE data
+    spec_path = str(tmp_path / "spec")
+
+    merge_spec_batch(spark, b0, 0, spec_path)
+    once = sorted(map(tuple, spec_mart_view(spark, spec_path).collect()))
+    merge_spec_batch(spark, b0, 0, spec_path)  # true replay: no-op
+    assert sorted(map(tuple, spec_mart_view(spark, spec_path).collect())) == once
+    with pytest.raises(ValueError, match="content signature"):
+        merge_spec_batch(spark, other, 0, spec_path)
+    assert sorted(map(tuple, spec_mart_view(spark, spec_path).collect())) == once

@@ -1214,3 +1214,38 @@ def test_fold_ledger_is_repeatable_across_cycles(spark, tmp_path):
         for n in names:
             for part in ("bands", "shingles", "sizes"):
                 spark.sql(f"DROP TABLE IF EXISTS {n}_{part}")
+
+
+def test_directory_swap_refuses_to_destroy_parked_copy(spark, tmp_path):
+    """Crash-recovery contract of the shared directory swap: a leftover
+    <path>__old from a previous crashed swap may be the ONLY complete
+    copy of the store, so both swap_parquet and compact_batched_sink
+    must REFUSE to run (operator decision) rather than auto-delete it —
+    the auto-delete made crash safety exactly one invocation deep
+    (round-12 review finding)."""
+    import os as _os
+
+    from bigdatapipelne_spark.sources.io import swap_parquet
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        _write_batch,
+        compact_batched_sink,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.range(5).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    swap_parquet(df, store)  # normal path works
+    assert spark.read.parquet(store).count() == 5
+
+    _os.makedirs(store + "__old")  # simulate a crashed previous swap
+    with pytest.raises(IOError, match="refusing to swap"):
+        swap_parquet(df, store)
+    # the parked dir and the store are both untouched
+    assert _os.path.isdir(store + "__old")
+    assert spark.read.parquet(store).count() == 5
+
+    sink = str(tmp_path / "sink")
+    _write_batch(df.selectExpr("k AS doc_id", "v AS status"), sink, 0)
+    _os.makedirs(sink + "__old")
+    with pytest.raises(IOError, match="refusing to swap"):
+        compact_batched_sink(spark, sink)
+    assert _os.path.isdir(sink + "__old")

@@ -1,0 +1,113 @@
+"""Drift-normalized per-query bench compare (round-12 verdict #5).
+
+This box's same-HEAD bench totals swing ~1.15-1.2x between runs (the
+drift signature STATUS.md has documented since round 7), so a raw
+per-query diff against the previous round's record conflates box drift
+with real regressions — round 12's close-out burned three same-HEAD
+runs separating them by hand. Every BENCH_local.json already records
+``identity_drain_sec`` (a trivial availableNow drain: pure per-
+invocation streaming constant, no data term — the box-speed probe);
+this script divides it out and applies the standing regression bar
+(>1.4x AND >+1s after normalization) so a record is self-attributing.
+
+Usage::
+
+    python -m bigdatapipelne_spark.devtools.bench_compare OLD NEW
+
+where OLD / NEW are BENCH_local.json paths or git blob refs
+(``<commit>:BENCH_local.json`` — anything containing ':' goes through
+``git show``). Prints one JSON line: the drift factor, per-query
+regressions past the bar (raw AND normalized seconds), and the
+improvements beyond the inverse bar. Exit code 1 iff any regression
+survives normalization — usable as a close-out gate.
+
+The identity probe normalizes the per-invocation constant, which
+DOMINATES sub-second cells but only part-covers compute-heavy ones;
+treat the normalized ratio as attribution evidence, not truth — a
+flagged query still gets a warm A/B in one session before acting
+(.claude/skills/verify timing discipline).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+RATIO_BAR = 1.4
+ABS_BAR_SEC = 1.0
+
+
+def _load(ref: str) -> dict:
+    if ":" in ref:  # a git blob ref like 1aab8cd:BENCH_local.json
+        out = subprocess.run(
+            ["git", "show", ref], capture_output=True, text=True, check=True
+        )
+        return json.loads(out.stdout)
+    with open(ref) as fh:
+        return json.load(fh)
+
+
+def compare(old: dict, new: dict) -> dict:
+    drift = None
+    oid, nid = old.get("identity_drain_sec"), new.get("identity_drain_sec")
+    if oid and nid:
+        drift = nid / oid
+    oq, nq = old["queries"], new["queries"]
+    shared = sorted(set(oq) & set(nq))
+    regressions, improvements = [], []
+    for name in shared:
+        o, n = oq[name], nq[name]
+        n_norm = n / drift if drift else n
+        if n_norm > o * RATIO_BAR and n_norm - o > ABS_BAR_SEC:
+            regressions.append(
+                {
+                    "query": name,
+                    "old_sec": o,
+                    "new_sec": n,
+                    "new_norm_sec": round(n_norm, 3),
+                    "norm_ratio": round(n_norm / o, 2),
+                }
+            )
+        elif o > n_norm * RATIO_BAR and o - n_norm > ABS_BAR_SEC:
+            improvements.append(
+                {
+                    "query": name,
+                    "old_sec": o,
+                    "new_sec": n,
+                    "new_norm_sec": round(n_norm, 3),
+                }
+            )
+    return {
+        "identity_drift": round(drift, 3) if drift else None,
+        "old_identity_sec": oid,
+        "new_identity_sec": nid,
+        "n_shared": len(shared),
+        "only_in_new": sorted(set(nq) - set(oq)),
+        "only_in_old": sorted(set(oq) - set(nq)),
+        "old_total_sec": old.get("value"),
+        "new_total_sec": new.get("value"),
+        "regressions_past_bar": sorted(
+            regressions, key=lambda r: -r["norm_ratio"]
+        ),
+        "improvements_past_bar": improvements,
+        "bar": f">{RATIO_BAR}x and >+{ABS_BAR_SEC}s after identity-drift "
+        "normalization",
+    }
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 2:
+        print(
+            "usage: python -m bigdatapipelne_spark.devtools.bench_compare "
+            "OLD NEW   (paths or <commit>:BENCH_local.json refs)",
+            file=sys.stderr,
+        )
+        return 2
+    result = compare(_load(argv[0]), _load(argv[1]))
+    print(json.dumps(result, indent=2))
+    return 1 if result["regressions_past_bar"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

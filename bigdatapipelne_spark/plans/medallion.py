@@ -293,17 +293,25 @@ def merge_spec_batch(
 
     def batch_sig(aggregated: DataFrame):
         # order-independent content fingerprint of one batch's partial
-        # aggregate: md5 over the sorted (dims, sum) lines — DECIMAL
-        # renders deterministically, groups are few, one tiny aggregate
+        # aggregate: md5 over the JSON of the sorted (dims, sum) STRUCTS —
+        # structs (not concat_ws lines) because to_json preserves NULL
+        # fields (key omitted) and field boundaries (values escaped), so a
+        # NULL dim vs an empty-string dim, or a dim value containing the
+        # separator, can never collide (round-12 advisor finding). DECIMAL
+        # cast to string renders deterministically; groups are few, one
+        # tiny aggregate. Note: marts whose stored signature predates this
+        # format raise on a true same-id replay instead of skipping — loud
+        # and safe; rebuild the mart or restore the checkpoint.
         return aggregated.agg(
             F.md5(
                 F.to_json(
                     F.sort_array(
                         F.collect_list(
-                            F.concat_ws(
-                                "|",
+                            F.struct(
                                 *SPEC_DIMS,
-                                F.col("sum_valor_dec").cast("string"),
+                                F.col("sum_valor_dec")
+                                .cast("string")
+                                .alias("sum_valor_dec"),
                             )
                         )
                     )

@@ -632,7 +632,15 @@ _GATE_PRIORITY = [
     # quality family stays anchored by text_stats and doc_repetition
     # in-gate). Its slot seats exact_dedup, churned by the 2^40
     # collision-proof synthetic-copy offsets (verdict item 4).
-    "exact_dedup",
+    # ROUND 13 — exact_dedup rotates out (r12 green, code unchanged this
+    # round; the exact-dedup family stays anchored in-gate by
+    # incremental_dedup, incremental_dedup_indexed and all three exact
+    # drain gates). Its slot seats near_dup_managed_drain, the NEW
+    # self-operating fold gate (round-12 verdict #1): the manifest-
+    # resolved managed drain whose fold POLICY folds, CAS-rotates the
+    # pointer, and resumes the same checkpoint — certified against the
+    # same two-phase oracle as the manual near_dup_fold_drain.
+    "near_dup_managed_drain",
     # ROUND 11 — text_stats rotates out (r10 green, code unchanged; the
     # text family stays anchored by doc_repetition and quality_deciles
     # in-gate). Its slot seats decontaminated_overlap_stream_drain, the
@@ -649,7 +657,14 @@ _GATE_PRIORITY = [
     # seats decontaminated_overlap, churned by the window-based doc-freq
     # cap in decontaminate (one exchange instead of a tokenize-twice
     # join-back).
-    "decontaminated_overlap",
+    # ROUND 13 — decontaminated_overlap rotates out (r12 green, code
+    # unchanged this round; decontamination stays anchored in-gate by
+    # decontaminated_overlap_stream_drain). Its slot seats
+    # incremental_dedup_managed_drain, the exact-dedup twin of the NEW
+    # managed-drain gate (manifest resolve -> policy fold -> CAS rotate
+    # -> resumed checkpoint; same two-phase oracle as the manual
+    # incremental_dedup_fold_drain).
+    "incremental_dedup_managed_drain",
     "simhash_near_dups",
     "winnowed_doc_pairs",
     # The sf10 rehearsal's stop-shingle fix (NGRAM_MAX_DOC_FREQ default)

@@ -2594,9 +2594,13 @@ def incremental_dedup_fold_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_exact_probe_stream(spark, staging, name, out)
 
     folded = f"fp_ixfd_r_{os.getpid()}_{tag}f"
+    # sibling dir, NOT inside the live table's root: save_fingerprint_index
+    # uses `path` directly as the bucketed table location, so a nested
+    # 'folded/' subdir would sit inside the original table's directory and
+    # a later recursive listing of that table could silently double-read
+    # the same-schema folded files (round-12 advisor finding).
     fold_seen_into_fingerprint_index(
-        spark, name, os.path.join(out, "seen"), folded,
-        os.path.join(path, "folded"),
+        spark, name, os.path.join(out, "seen"), folded, path + "_folded",
     )
     stage_one_more_file(
         delta.filter(F.col("doc_id") >= _RECRAWL_OFF_2), staging
@@ -3003,6 +3007,138 @@ def near_dup_fold_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     compact_batched_sink(spark, os.path.join(out, "corpus_pairs"))
     return _read_batched(spark, os.path.join(out, "corpus_pairs"), _PAIR_SCHEMA)
+
+
+@query("near_dup_managed_drain", oracle=_fold_minhash_oracle())
+def near_dup_managed_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELF-OPERATING form of near_dup_fold_drain (round-12 verdict
+    #1): the same two-phase replay, but NOTHING is threaded by hand — the
+    drain resolves "the current index" through the standing-index
+    MANIFEST (streaming/index_manifest.py: numbered-generation pointer,
+    CAS-advanced), and the FOLD POLICY decides to fold: invocation 1
+    drains phase 1's batches and, its ledger over the fold threshold,
+    folds, rotates the pointer to generation 2, deletes the consumed
+    ledger and compacts the batched sinks; invocation 2 resumes the SAME
+    checkpoint, resolves the ROTATED pointer, and probes the folded
+    index. The +2^41 drifted src3 copies can only pair through the
+    folded generation, so the hash gate certifies the policy-run fold +
+    rotation + resume emits the IDENTICAL pair set the manual sequence
+    (near_dup_fold_drain) certifies — same oracle, byte for byte.
+    Invocation 2 runs the production threshold (no fold due at this
+    scale), pinning the policy's no-op path in the same gate."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.operators.dedup import (
+        build_near_dup_index,
+        save_near_dup_index,
+    )
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        init_index_manifest,
+        run_managed_near_dup_drain,
+    )
+    from bigdatapipelne_spark.streaming.scd import (
+        stage_one_more_file,
+        stage_ordered_files,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    delta, corpus = _incr_near_dup_delta(docs)
+    h1 = delta.filter(F.col("doc_id") < _RECRAWL_OFF_1)
+    h2 = delta.filter(F.col("doc_id") >= _RECRAWL_OFF_1).unionByName(
+        h1.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + F.lit(_RECRAWL_OFF_2)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" drift")).alias("text"),
+        )
+    )
+
+    _sweep_leaked_index_tables(spark, "nd_ixm_r_", rm_parent=True)
+    root = tempfile.mkdtemp(prefix="nd_mindex_")
+    tag = os.path.basename(root).removeprefix("nd_mindex_")
+    name = f"nd_ixm_r_{os.getpid()}_{tag}"
+    nd_ix = build_near_dup_index(corpus, "doc_id", "text")
+    save_near_dup_index(nd_ix, name, root)
+    release_checkpoint(nd_ix.shingles)
+
+    tmp = tempfile.mkdtemp(prefix="nd_mgd_stream_")
+    mroot = os.path.join(tmp, "manifest")
+    init_index_manifest(spark, mroot, "near_dup", name, root)
+    staging = os.path.join(tmp, "staging")
+    out = os.path.join(tmp, "out")
+    stage_ordered_files(
+        [
+            h1.filter(F.col("doc_id") % 2 == 0),
+            h1.filter(F.col("doc_id") % 2 == 1),
+        ],
+        staging,
+    )
+    run_managed_near_dup_drain(
+        spark, staging, mroot, out, fold_threshold_bytes=1
+    )
+    stage_one_more_file(h2, staging)
+    return run_managed_near_dup_drain(spark, staging, mroot, out)
+
+
+@query("incremental_dedup_managed_drain", oracle=_FOLD_DEDUP_ORACLE)
+def incremental_dedup_managed_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The exact-dedup twin of near_dup_managed_drain: the fingerprint
+    drain run through the manifest + fold policy. Invocation 1 (fold
+    threshold crossed) drains the src3 slice and the +2^40 corpus
+    re-crawls, folds the seen-ledger into generation 2 and rotates the
+    pointer; invocation 2 resumes the SAME checkpoint against the
+    rotated pointer with the +2^41 src3 re-crawls — they classify
+    ``dup_in_corpus`` exactly as incremental_dedup_fold_drain's manual
+    sequence certifies, under the same two-phase oracle. No index name
+    is threaded between invocations by the caller."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        save_fingerprint_index,
+    )
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        init_index_manifest,
+        run_managed_exact_drain,
+    )
+    from bigdatapipelne_spark.streaming.scd import (
+        stage_one_more_file,
+        stage_ordered_files,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    delta, corpus = _incr_dedup_delta(docs)
+
+    _sweep_leaked_index_tables(spark, "fp_ixm_r_")
+    path = tempfile.mkdtemp(prefix="fp_mindex_")
+    tag = os.path.basename(path).removeprefix("fp_mindex_")
+    name = f"fp_ixm_r_{os.getpid()}_{tag}"
+    save_fingerprint_index(
+        build_fingerprint_index(corpus, "doc_id", "text"), name, path
+    )
+
+    tmp = tempfile.mkdtemp(prefix="fp_mgd_stream_")
+    mroot = os.path.join(tmp, "manifest")
+    init_index_manifest(spark, mroot, "fingerprint", name, path)
+    staging = os.path.join(tmp, "staging")
+    out = os.path.join(tmp, "out")
+    stage_ordered_files(
+        [
+            delta.filter(F.col("doc_id") < _RECRAWL_OFF_1),
+            delta.filter(
+                (F.col("doc_id") >= _RECRAWL_OFF_1)
+                & (F.col("doc_id") < _RECRAWL_OFF_2)
+            ),
+        ],
+        staging,
+    )
+    run_managed_exact_drain(spark, staging, mroot, out, fold_threshold_bytes=1)
+    stage_one_more_file(
+        delta.filter(F.col("doc_id") >= _RECRAWL_OFF_2), staging
+    )
+    return run_managed_exact_drain(spark, staging, mroot, out)
 
 
 @query(

@@ -426,7 +426,18 @@ def swap_staging_into_dir(spark: SparkSession, staging: str, path: str) -> None:
         raise IOError(f"directory swap: could not park {path} at {old}")
     if not fs.rename(hstaging, hpath):
         # put the previous contents back before failing — the store
-        # must never be left absent when we can restore it
-        fs.rename(hold, hpath)
-        raise IOError(f"directory swap: could not move {staging} into {path}")
+        # must never be left absent when we can restore it; the restore
+        # rename's boolean is checked like every other (round-12 advisor
+        # finding: an ignored failed restore would raise a message that
+        # implies the store is back when it is actually absent)
+        restored = fs.rename(hold, hpath)
+        state = (
+            f"previous contents RESTORED at {path}"
+            if restored
+            else f"restore ALSO failed — {path} is ABSENT; the only "
+            f"complete copies are parked at {old} and {staging}"
+        )
+        raise IOError(
+            f"directory swap: could not move {staging} into {path}; {state}"
+        )
     fs.delete(hold, True)

@@ -73,8 +73,59 @@ from bigdatapipelne_spark.sources.io import fs_exists, fs_rmtree
 # full-delta measurement bounds every micro-batch.
 PROBE_EXCHANGE_BUDGET = 9
 
+# Ledger-size guards (round-12 verdict #3): with the fold shipped, a
+# NEGLECTED ledger no longer degrades gracefully — the exact drain
+# force-broadcasts the cumulative seen-ledger (a ledger past the
+# broadcast ceiling dies as an executor OOM deep inside a micro-batch),
+# and the near-dup drain re-reads + re-caps the cumulative ledger per
+# batch (an O(ledger) term the fold exists to reset). Each drain
+# therefore checks the ledger's on-disk size at BATCH START (one driver
+# getContentSummary listing — cheap) and raises ``LedgerOverflowError``
+# with the fold to run, well before the hard failure. The exact guard
+# sits far under Spark's 8 GB broadcast hard cap: 512 MiB of parquet
+# fingerprints (dictionary-compressed 32-char strings) decompresses to
+# a low-GiB in-memory relation. The near-dup guard is a perf posture,
+# not an OOM bound (its ledger probe is a join, never a broadcast), so
+# it trips later. The managed drains (index_manifest.py) fold on a
+# threshold BELOW these guards, so a policy-run stream never trips them.
+EXACT_LEDGER_GUARD_BYTES = 512 * 1024 * 1024
+NEAR_DUP_LEDGER_GUARD_BYTES = 16 * 1024 * 1024 * 1024
+
 _PAIR_SCHEMA = "delta_id long, corpus_id long, jaccard double"
 _DELTA_PAIR_SCHEMA = "delta_id long, ledger_id long, jaccard double"
+
+
+class LedgerOverflowError(RuntimeError):
+    """A drain's run ledger outgrew its guard threshold — run the
+    matching fold (``fold_ledger_into_index`` /
+    ``fold_seen_into_fingerprint_index``) between invocations, or use the
+    managed drains whose fold policy does it automatically."""
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes under ``path`` via the Hadoop FS API (0 when
+    absent) — the cheap driver-side listing the ledger guards run per
+    micro-batch."""
+    from bigdatapipelne_spark.sources.io import hadoop_fs
+
+    fs, hpath = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return 0
+    return int(fs.getContentSummary(hpath).getLength())
+
+
+def _guard_ledger(
+    spark: SparkSession, path: str, limit: int, fold_fn: str
+) -> None:
+    size = _dir_bytes(spark, path)
+    if size > limit:
+        raise LedgerOverflowError(
+            f"run ledger at {path} is {size} bytes, over the {limit}-byte "
+            f"guard — run {fold_fn} between drain invocations (or drain "
+            "through the managed wrapper in "
+            "bigdatapipelne_spark/streaming/index_manifest.py, whose fold "
+            "policy compacts the ledger automatically) before resuming"
+        )
 
 
 def calibrate_probe_exchange_budget(
@@ -266,10 +317,24 @@ def run_near_dup_probe_stream(
     threshold: float = 0.5,
     exchange_budget: int = PROBE_EXCHANGE_BUDGET,
     progress_out: list | None = None,
+    ledger_subdir: str = "ledger",
+    max_ledger_bytes: int = NEAR_DUP_LEDGER_GUARD_BYTES,
+    max_band_bucket: int | None = MINHASH_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Drain a staged document stream (``stage_ordered_files`` layout,
     one file per micro-batch) against the standing near-dup index
     ``index_name`` (a ``save_near_dup_index`` catalog layout).
+
+    ``ledger_subdir`` names the run ledger's directory under ``out_root``
+    (the managed drain scopes it per index generation, so a crash between
+    a fold and its pointer flip can never orphan-delete a live ledger);
+    ``max_ledger_bytes`` is the batch-start guard — a cumulative ledger
+    past it raises ``LedgerOverflowError`` naming the fold to run instead
+    of silently paying an ever-growing per-batch re-read.
+    ``max_band_bucket`` is the LEDGER-side probe-time re-cap (the
+    standing index's cap is baked in at build time); ``None`` disables
+    it — the uncapped reference mode bench_fold.py's cap-bound-loss
+    certificate drains to measure what the cumulative cap suppresses.
 
     Per micro-batch:
 
@@ -300,11 +365,17 @@ def run_near_dup_probe_stream(
     corpus_sink = os.path.join(out_root, "corpus_pairs")
     delta_sink = os.path.join(out_root, "delta_pairs")
     ledger = {
-        p: os.path.join(out_root, "ledger", p)
+        p: os.path.join(out_root, ledger_subdir, p)
         for p in ("bands", "shingles", "sizes")
     }
 
     def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_ledger(
+            spark,
+            os.path.join(out_root, ledger_subdir),
+            max_ledger_bytes,
+            "fold_ledger_into_index",
+        )
         shb = (
             _shingle_hash_rows(batch_df, "doc_id", "text")
             .withColumnRenamed("doc_id", "delta_id")
@@ -339,7 +410,7 @@ def run_near_dup_probe_stream(
                 led = NearDupIndex(
                     bands=_capped_bands(
                         _led("bands", "corpus_id long, band int, band_key string"),
-                        MINHASH_MAX_BAND_BUCKET,
+                        max_band_bucket,
                     ),
                     shingles=_led("shingles", "corpus_id long, sh string"),
                     sizes=_led("sizes", "corpus_id long, sz_c long"),
@@ -469,6 +540,8 @@ def fold_ledger_into_index(
     path: str,
     n_buckets: int = 32,
     max_band_bucket: int | None = MINHASH_MAX_BAND_BUCKET,
+    ledger_subdir: str = "ledger",
+    drop_ledger: bool = True,
 ) -> None:
     """Ledger compaction — the maintenance step that keeps a LONG-running
     near-dup drain linear: fold the run ledger accumulated under
@@ -499,11 +572,18 @@ def fold_ledger_into_index(
     rescan). Assumes stream-unique doc ids (the drain's existing
     contract) — a doc_id present in both index and ledger would
     double-count its shingle rows.
+
+    ``drop_ledger=False`` leaves the consumed ledger in place for the
+    CALLER to delete after it has durably repointed consumers at the
+    folded index (the managed fold policy's ordering: fold -> pointer
+    flip -> ledger delete — a crash before the flip then leaves the old
+    pointer with its ledger intact, never an old pointer with a deleted
+    ledger, which would silently forget every admitted document).
     """
     from bigdatapipelne_spark.operators.dedup import save_near_dup_index
 
     ledger = {
-        p: os.path.join(out_root, "ledger", p)
+        p: os.path.join(out_root, ledger_subdir, p)
         for p in ("bands", "shingles", "sizes")
     }
     if not fs_exists(spark, ledger["shingles"]):
@@ -523,8 +603,9 @@ def fold_ledger_into_index(
         sizes=idx.sizes.unionByName(led_sz),
     )
     save_near_dup_index(folded, new_name, path, n_buckets)
-    for p in ledger.values():
-        fs_rmtree(spark, p)
+    if drop_ledger:
+        for p in ledger.values():
+            fs_rmtree(spark, p)
 
 
 def run_exact_probe_stream(
@@ -532,6 +613,8 @@ def run_exact_probe_stream(
     staging_dir: str,
     index_name: str,
     out_root: str,
+    seen_subdir: str = "seen",
+    max_ledger_bytes: int = EXACT_LEDGER_GUARD_BYTES,
 ) -> DataFrame:
     """The exact-fingerprint streaming drain (the MinHash drain's twin,
     factored out of the incremental_dedup_stream_drain gate query so the
@@ -545,16 +628,28 @@ def run_exact_probe_stream(
     in the probe plan and contribute no hash exchange (<=1 total — the
     batch side's fingerprint window); the stream aborts on violation.
     Returns the classified frame (union over batches == the one-shot
-    ``incremental_exact_duplicates`` when batches ascend by doc id)."""
+    ``incremental_exact_duplicates`` when batches ascend by doc id).
+
+    The seen-ledger probe FORCES ``F.broadcast`` (correct and fast while
+    folds run on schedule), so ``max_ledger_bytes`` guards every batch
+    start: a ledger past it raises ``LedgerOverflowError`` naming
+    ``fold_seen_into_fingerprint_index`` — a descriptive driver-side
+    failure well under the broadcast ceiling, instead of an executor OOM
+    deep inside the batch. ``seen_subdir`` scopes the ledger directory
+    (the managed drain keys it by index generation)."""
     from pyspark.sql import Window
 
     from bigdatapipelne_spark.functions.text import fingerprint
 
     idx = spark.table(index_name)
     sink = os.path.join(out_root, "classified")
-    seen_dir = os.path.join(out_root, "seen")
+    seen_dir = os.path.join(out_root, seen_subdir)
 
     def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_ledger(
+            spark, seen_dir, max_ledger_bytes,
+            "fold_seen_into_fingerprint_index",
+        )
         bk = batch_df.select("doc_id", fingerprint("text").alias("__fp"))
         bk = bk.select(
             "doc_id",
@@ -634,6 +729,7 @@ def fold_seen_into_fingerprint_index(
     new_name: str,
     path: str,
     n_buckets: int = 32,
+    drop_ledger: bool = True,
 ) -> None:
     """The exact-dedup twin of ``fold_ledger_into_index``: fold the exact
     drain's admitted-fingerprint ledger (``_write_batch`` rows of ``__fp``
@@ -648,7 +744,10 @@ def fold_seen_into_fingerprint_index(
     ledger: previously-admitted fingerprints classify ``dup_in_corpus``
     (promoted) instead of ``dup_in_delta``, and the per-batch
     O(ledger) broadcast re-read resets to zero. Same operational
-    contract as the near-dup fold: run between drain invocations only.
+    contract as the near-dup fold: run between drain invocations only;
+    ``drop_ledger=False`` defers the ledger delete to the caller (the
+    managed fold policy deletes only AFTER the pointer flip — see
+    ``fold_ledger_into_index``).
     """
     from bigdatapipelne_spark.operators.dedup import save_fingerprint_index
 
@@ -663,7 +762,8 @@ def fold_seen_into_fingerprint_index(
         .withColumn("__in_corpus", F.lit(True))
     )
     save_fingerprint_index(folded, new_name, path, n_buckets)
-    fs_rmtree(spark, seen_dir)
+    if drop_ledger:
+        fs_rmtree(spark, seen_dir)
 
 
 def compact_batched_sink(
@@ -707,6 +807,17 @@ def compact_batched_sink(
 
     _assert_no_parked_swap(spark, path)  # fail BEFORE reading/writing
     fs, hpath = hadoop_fs(spark, path)
+    # an all-empty sink (every batch wrote zero rows: partition dirs +
+    # _SUCCESS markers, no data files) has no schema to read back and
+    # nothing to compact — no-op instead of an inference error
+    files = fs.listFiles(hpath, True)
+    has_data = False
+    while files.hasNext():
+        if files.next().getPath().getName().endswith(".parquet"):
+            has_data = True
+            break
+    if not has_data:
+        return 0
     total = fs.getContentSummary(hpath).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)

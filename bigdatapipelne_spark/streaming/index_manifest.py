@@ -1,0 +1,446 @@
+"""Standing-index manifest + fold policy — the operational layer that
+makes ledger compaction SELF-OPERATING (round-12 verdict #1).
+
+``fold_ledger_into_index`` / ``fold_seen_into_fingerprint_index``
+(streaming/dedup_stream.py) are correct manual steps: the caller threads
+``new_name`` by hand between drain invocations and nothing decides WHEN
+to fold. This module closes that gap the way the reference's
+bookmark-driven orchestration implies (reference:
+``ddk_app/ddk_app_stack.py`` wires each Glue job to a bookmark so the
+NEXT invocation resumes from durable state — SURVEY §3.1 step 4): a
+drain resolves "the current index" through a durable MANIFEST, and a
+size-thresholded fold policy runs the compaction between invocations
+and rotates the pointer atomically.
+
+Manifest design (the ``sources/store.py`` versioned-pointer pattern,
+re-expressed for catalog-table indexes on any Hadoop filesystem): a
+manifest directory holds numbered generation entries
+``gen_00000001.json``, ``gen_00000002.json``, ... and the CURRENT index
+is the highest-numbered entry. Advancing is a compare-and-swap: the new
+entry is written to a hidden temp file and ``FileSystem.rename``d to
+``gen_{N+1}`` — rename-onto-existing returns ``False`` on HDFS AND the
+local scheme (verified), so exactly one of two racing folds claims a
+generation and the loser raises ``ConcurrentFoldError`` with nothing
+half-written (the temp holds complete content before the rename, so a
+reader can never observe a claimed-but-empty entry). ``os.replace``
+pointer files (the store.py form) are local-only; numbered entries give
+the same atomicity scheme-independently — the Delta/Iceberg
+"highest numbered log file wins" commit rule, minus the format.
+
+Crash-safety ordering (why the fold here defers the ledger delete):
+
+1. fold — build + save generation N+1's tables (``drop_ledger=False``);
+2. ADVANCE — the manifest CAS; this is the commit point;
+3. delete the consumed ledger + compact the drain sinks (best-effort —
+   both are redone/cleaned by the next managed invocation if a crash
+   lands between 2 and 3).
+
+A crash before 2 leaves the old pointer with its ledger intact (the
+next ``fold_if_due`` clears the orphaned generation-N+1 leftovers —
+they are unreferenced by construction — and re-folds); a crash after 2
+leaves the new pointer with a stale previous-generation ledger, which
+the next managed drain sweeps at start (it is fully contained in the
+new index). The fatal interleaving — old pointer, deleted ledger, every
+admitted document silently forgotten — cannot occur. Ledger
+directories are keyed BY GENERATION (``ledger_g{N}`` / ``seen_g{N}``)
+so "stale" is decidable from the name alone.
+
+Scale contract: manifest entries are a few hundred bytes and one
+listing resolves the pointer; the fold itself is the measured
+once-per-period maintenance cost (BENCH_fold.json sawtooth), and the
+managed drain adds exactly one listing + one size check per invocation
+on top of the manual sequence the gated ``near_dup_fold_drain`` /
+``incremental_dedup_fold_drain`` already certify.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatapipelne_spark.sources.io import (
+    fs_exists,
+    fs_rmtree,
+    hadoop_fs,
+)
+from bigdatapipelne_spark.streaming.dedup_stream import (
+    PROBE_EXCHANGE_BUDGET,
+    _PAIR_SCHEMA,
+    _dir_bytes,
+    _read_batched,
+    compact_batched_sink,
+    fold_ledger_into_index,
+    fold_seen_into_fingerprint_index,
+    run_exact_probe_stream,
+    run_near_dup_probe_stream,
+)
+
+# Default fold trigger: fold between invocations once the ledger's
+# on-disk size crosses this. Sits far below the drains' hard guards
+# (EXACT_LEDGER_GUARD_BYTES / NEAR_DUP_LEDGER_GUARD_BYTES), so a
+# policy-run stream folds long before a guard can trip.
+FOLD_THRESHOLD_BYTES = 128 * 1024 * 1024
+
+_KINDS = ("near_dup", "fingerprint")
+# which batched sinks each drain kind accumulates under out_root — the
+# post-fold maintenance sweep compacts these (round-12 verdict #4)
+_SINKS = {"near_dup": ("corpus_pairs", "delta_pairs"), "fingerprint": ("classified",)}
+_LEDGER_PREFIX = {"near_dup": "ledger_g", "fingerprint": "seen_g"}
+
+
+class ConcurrentFoldError(RuntimeError):
+    """Another maintainer claimed the next generation between reading
+    the manifest and the pointer CAS — re-resolve and retry (the other
+    fold's result already contains this ledger only if it ran on the
+    same ``out_root``; otherwise re-run ``fold_if_due``)."""
+
+
+def _entry_name(gen: int) -> str:
+    return f"gen_{gen:08d}.json"
+
+
+def _write_entry(spark: SparkSession, manifest_root: str, entry: dict) -> None:
+    """CAS-claim ``gen_{N}.json``: full content lands in a hidden temp
+    file first, then one rename claims the numbered slot (fails, not
+    overwrites, when the slot is taken — HDFS and local verified)."""
+    fs, hroot = hadoop_fs(spark, manifest_root)
+    fs.mkdirs(hroot)
+    payload = json.dumps(entry, sort_keys=True).encode()
+    tmp = os.path.join(manifest_root, f".tmp_{os.getpid()}_{entry['generation']}")
+    _, htmp = hadoop_fs(spark, tmp)
+    out = fs.create(htmp, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    _, hdst = hadoop_fs(
+        spark, os.path.join(manifest_root, _entry_name(entry["generation"]))
+    )
+    if not fs.rename(htmp, hdst):
+        fs.delete(htmp, False)
+        raise ConcurrentFoldError(
+            f"generation {entry['generation']} already claimed in "
+            f"{manifest_root} — another fold committed first; re-resolve "
+            "the manifest and retry"
+        )
+
+
+def _list_generations(spark: SparkSession, manifest_root: str) -> list[int]:
+    fs, hroot = hadoop_fs(spark, manifest_root)
+    if not fs.exists(hroot):
+        return []
+    gens = []
+    for st in fs.listStatus(hroot):
+        nm = st.getPath().getName()
+        if nm.startswith("gen_") and nm.endswith(".json"):
+            gens.append(int(nm[4:-5]))
+    return sorted(gens)
+
+
+def _read_entry(spark: SparkSession, manifest_root: str, gen: int) -> dict:
+    fs, hpath = hadoop_fs(
+        spark, os.path.join(manifest_root, _entry_name(gen))
+    )
+    stream = fs.open(hpath)
+    try:
+        txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
+def init_index_manifest(
+    spark: SparkSession,
+    manifest_root: str,
+    kind: str,
+    name: str,
+    path: str,
+    n_buckets: int = 32,
+) -> dict:
+    """Write generation 1 pointing at an ALREADY-SAVED bootstrap index
+    (``save_near_dup_index`` / ``save_fingerprint_index`` layout under
+    catalog name ``name`` at ``path``). Later generations live at
+    sibling dirs ``<path>_g{N}`` with catalog names ``<name>_g{N}`` —
+    siblings, never nested inside a live table's location (the round-12
+    advisor's nested-'folded' finding). Raises if the manifest already
+    has entries."""
+    if kind not in _KINDS:
+        raise ValueError(f"kind must be one of {_KINDS}, got {kind!r}")
+    if _list_generations(spark, manifest_root):
+        raise ValueError(f"manifest {manifest_root} already initialized")
+    entry = {
+        "generation": 1,
+        "kind": kind,
+        "name": name,
+        "path": path,
+        "base_name": name,
+        "base_path": path,
+        "n_buckets": n_buckets,
+    }
+    _write_entry(spark, manifest_root, entry)
+    return entry
+
+
+def current_index_entry(spark: SparkSession, manifest_root: str) -> dict:
+    """Resolve the CURRENT index: the highest-numbered manifest entry.
+    Resolve once per drain invocation (the store.py snapshot
+    discipline)."""
+    gens = _list_generations(spark, manifest_root)
+    if not gens:
+        raise FileNotFoundError(f"empty index manifest: {manifest_root}")
+    return _read_entry(spark, manifest_root, gens[-1])
+
+
+def _next_generation(entry: dict) -> dict:
+    """Names for the generation THIS process is about to build. The
+    ``p{pid}`` suffix is load-bearing for concurrent-writer safety: with
+    deterministic ``_g{N}`` names, a losing racer's crash-leftover sweep
+    could drop the WINNER's live tables before its own CAS failed. With
+    creator-pid names a sweep only ever clears its own or a dead
+    process's leftovers (the ``_sweep_leaked_index_tables`` discipline),
+    so two racing folds stay safe — one wins the CAS, the other raises
+    ``ConcurrentFoldError`` and its uniquely-named tables are reclaimed
+    by a later fold's dead-pid sweep."""
+    gen = entry["generation"] + 1
+    return {
+        **entry,
+        "generation": gen,
+        "name": f"{entry['base_name']}_g{gen}p{os.getpid()}",
+        "path": f"{entry['base_path']}_g{gen}p{os.getpid()}",
+    }
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _clear_generation(spark: SparkSession, entry: dict) -> None:
+    """Remove a generation's catalog tables + directory. Used for (a)
+    crash/CAS-loser leftovers of a fold that never advanced the pointer
+    (the tables are unreferenced by construction) and (b)
+    ``gc_index_generations`` on superseded entries."""
+    suffixes = (
+        ("_bands", "_shingles", "_sizes", "")
+        if entry["kind"] == "near_dup"
+        else ("",)
+    )
+    for s in suffixes:
+        spark.sql(f"DROP TABLE IF EXISTS `{entry['name']}{s}`")
+    fs_rmtree(spark, entry["path"])
+
+
+def _sweep_dead_fold_leftovers(
+    spark: SparkSession, entry: dict, gen: int
+) -> None:
+    """Reclaim generation-``gen`` tables left by folds that died (or
+    lost their CAS and then exited) before committing: any catalog table
+    named ``{base}_g{gen}p{pid}...`` whose creator pid is gone. A LIVE
+    pid's tables are never touched — it may be mid-fold and about to win
+    the CAS."""
+    prefix = f"{entry['base_name']}_g{gen}p"
+    for tbl in spark.catalog.listTables():
+        if not tbl.name.startswith(prefix) or tbl.isTemporary:
+            continue
+        pid_s = tbl.name.removeprefix(prefix).split("_", 1)[0]
+        if pid_s.isdigit() and int(pid_s) != os.getpid() and _pid_alive(
+            int(pid_s)
+        ):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS `{tbl.name}`")
+    # the matching data dirs: siblings of base_path named like the tables
+    parent = os.path.dirname(entry["base_path"]) or "."
+    base = os.path.basename(entry["base_path"])
+    fs, hparent = hadoop_fs(spark, parent)
+    if not fs.exists(hparent):
+        return
+    for st in fs.listStatus(hparent):
+        nm = st.getPath().getName()
+        if not nm.startswith(f"{base}_g{gen}p"):
+            continue
+        pid_s = nm.removeprefix(f"{base}_g{gen}p").split("_", 1)[0]
+        if pid_s.isdigit() and int(pid_s) != os.getpid() and _pid_alive(
+            int(pid_s)
+        ):
+            continue
+        fs_rmtree(spark, os.path.join(parent, nm))
+
+
+def _ledger_dir(entry: dict, out_root: str) -> str:
+    """The generation-scoped ledger directory a drain against this entry
+    accumulates (and the only one its fold consumes)."""
+    prefix = _LEDGER_PREFIX[entry["kind"]]
+    return os.path.join(out_root, f"{prefix}{entry['generation']:08d}")
+
+
+def _sweep_stale_ledgers(
+    spark: SparkSession, entry: dict, out_root: str
+) -> None:
+    """Delete ledgers of generations BELOW the current one: the pointer
+    only ever advances after the fold's tables are durably written, so a
+    sub-current ledger is fully contained in the current index — garbage
+    left by a crash between the pointer flip and the post-fold delete."""
+    prefix = _LEDGER_PREFIX[entry["kind"]]
+    fs, hroot = hadoop_fs(spark, out_root)
+    if not fs.exists(hroot):
+        return
+    for st in fs.listStatus(hroot):
+        nm = st.getPath().getName()
+        if nm.startswith(prefix) and nm[len(prefix):].isdigit():
+            if int(nm[len(prefix):]) < entry["generation"]:
+                fs_rmtree(spark, os.path.join(out_root, nm))
+
+
+def fold_if_due(
+    spark: SparkSession,
+    manifest_root: str,
+    out_root: str,
+    fold_threshold_bytes: int = FOLD_THRESHOLD_BYTES,
+    compact_sinks: bool = True,
+    compact_target_bytes: int = 128 * 1024 * 1024,
+) -> dict | None:
+    """The fold policy: if the CURRENT generation's ledger under
+    ``out_root`` has reached ``fold_threshold_bytes``, fold it into a
+    fresh generation, CAS-advance the pointer, delete the consumed
+    ledger, and (``compact_sinks``) collapse the drain's batched sinks'
+    one-partition-per-micro-batch layouts. Returns the new entry, or
+    ``None`` when no fold was due. Call BETWEEN drain invocations only —
+    exactly where the managed drains call it (after ``awaitTermination``
+    returned, so every batch's offset is committed and sink compaction
+    is replay-safe by construction)."""
+    entry = current_index_entry(spark, manifest_root)
+    ledger = _ledger_dir(entry, out_root)
+    if _dir_bytes(spark, ledger) < fold_threshold_bytes:
+        return None
+    nxt = _next_generation(entry)
+    # crash/CAS-loser leftovers from folds that died before committing
+    # this generation: unreferenced by construction (the pointer never
+    # moved), reclaimed by creator-pid liveness — never a live racer's
+    _sweep_dead_fold_leftovers(spark, entry, nxt["generation"])
+    if entry["kind"] == "near_dup":
+        fold_ledger_into_index(
+            spark,
+            entry["name"],
+            out_root,
+            nxt["name"],
+            nxt["path"],
+            n_buckets=entry["n_buckets"],
+            ledger_subdir=os.path.basename(ledger),
+            drop_ledger=False,
+        )
+    else:
+        fold_seen_into_fingerprint_index(
+            spark,
+            entry["name"],
+            ledger,
+            nxt["name"],
+            nxt["path"],
+            n_buckets=entry["n_buckets"],
+            drop_ledger=False,
+        )
+    _write_entry(spark, manifest_root, nxt)  # the commit point (CAS)
+    fs_rmtree(spark, ledger)  # best-effort; swept at next drain if missed
+    if compact_sinks:
+        for sink in _SINKS[entry["kind"]]:
+            p = os.path.join(out_root, sink)
+            if fs_exists(spark, p):
+                compact_batched_sink(spark, p, compact_target_bytes)
+    return nxt
+
+
+def run_managed_near_dup_drain(
+    spark: SparkSession,
+    staging_dir: str,
+    manifest_root: str,
+    out_root: str,
+    threshold: float = 0.5,
+    exchange_budget: int = PROBE_EXCHANGE_BUDGET,
+    fold_threshold_bytes: int = FOLD_THRESHOLD_BYTES,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """``run_near_dup_probe_stream`` with the index resolved through the
+    manifest and the fold policy applied after a clean drain: resolve
+    pointer -> sweep stale sub-generation ledgers -> drain against the
+    current generation (same checkpoint across invocations — the
+    checkpoint lives under ``out_root`` and survives every rotation) ->
+    ``fold_if_due``. Callers never thread index names; the certifying
+    gate query (``near_dup_managed_drain``) replays the exact manual
+    sequence ``near_dup_fold_drain`` certifies, under the same oracle."""
+    entry = current_index_entry(spark, manifest_root)
+    _sweep_stale_ledgers(spark, entry, out_root)
+    run_near_dup_probe_stream(
+        spark,
+        staging_dir,
+        entry["name"],
+        out_root,
+        threshold,
+        exchange_budget,
+        progress_out,
+        ledger_subdir=os.path.basename(_ledger_dir(entry, out_root)),
+    )
+    fold_if_due(spark, manifest_root, out_root, fold_threshold_bytes)
+    # re-plan the sink read AFTER the policy ran: a compaction rewrote
+    # the sink's files, and the drain's own return captured the
+    # pre-compaction listing
+    return _read_batched(
+        spark, os.path.join(out_root, "corpus_pairs"), _PAIR_SCHEMA
+    )
+
+
+def run_managed_exact_drain(
+    spark: SparkSession,
+    staging_dir: str,
+    manifest_root: str,
+    out_root: str,
+    fold_threshold_bytes: int = FOLD_THRESHOLD_BYTES,
+) -> DataFrame:
+    """The exact-fingerprint twin of ``run_managed_near_dup_drain`` over
+    ``run_exact_probe_stream`` (same resolve -> sweep -> drain ->
+    fold-if-due sequence; gate: ``incremental_dedup_managed_drain``)."""
+    entry = current_index_entry(spark, manifest_root)
+    _sweep_stale_ledgers(spark, entry, out_root)
+    run_exact_probe_stream(
+        spark,
+        staging_dir,
+        entry["name"],
+        out_root,
+        seen_subdir=os.path.basename(_ledger_dir(entry, out_root)),
+    )
+    fold_if_due(spark, manifest_root, out_root, fold_threshold_bytes)
+    # fresh post-compaction listing (see run_managed_near_dup_drain)
+    return _read_batched(
+        spark,
+        os.path.join(out_root, "classified"),
+        "doc_id long, status string",
+    )
+
+
+def gc_index_generations(
+    spark: SparkSession, manifest_root: str, keep: int = 1
+) -> list[str]:
+    """Drop the catalog tables + directories of superseded generations,
+    keeping the newest ``keep`` readable (size ``keep`` to cover the
+    longest-running reader — the store.py GC discipline). Entry files
+    stay as history; the generation's tables and data go. Returns the
+    dropped generations' names. The BOOTSTRAP generation's tables are
+    dropped too once superseded past ``keep`` — its layout was consumed
+    by the first fold."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    gens = _list_generations(spark, manifest_root)
+    dropped = []
+    for g in gens[:-keep]:
+        entry = _read_entry(spark, manifest_root, g)
+        if fs_exists(spark, entry["path"]):
+            _clear_generation(spark, entry)
+            dropped.append(entry["name"])
+    return dropped

@@ -1,0 +1,527 @@
+"""Standing-index manifest + self-operating fold policy
+(streaming/index_manifest.py, round-12 verdict #1):
+
+- the manifest pointer resolves, CAS-advances, and refuses a doubly
+  claimed generation;
+- a managed drain that crosses the fold threshold folds, rotates the
+  pointer, deletes the consumed ledger, compacts the batched sinks, and
+  a RESUMED managed drain (same checkpoint, pointer now at the folded
+  generation) emits the promoted pair through the standing-index probe
+  — the exact sequence the gated near_dup_managed_drain /
+  incremental_dedup_managed_drain certify under the DuckDB hash;
+- under-threshold invocations are no-ops (pointer + ledger untouched);
+- both crash windows recover: a fold that died before its CAS leaves
+  orphaned next-generation tables that the retry clears and re-folds; a
+  fold that died after its CAS leaves a stale sub-generation ledger the
+  next managed drain sweeps;
+- the ledger-size guards (round-12 verdict #3) abort a drain with a
+  descriptive LedgerOverflowError naming the fold to run, instead of
+  growing toward a broadcast OOM;
+- gc_index_generations reclaims superseded generations' tables + dirs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatapipelne_spark.sources.testdata import load_table
+
+from tests.conftest import SF_SMALL
+
+
+def _drop_gens(spark, base, parts=("bands", "shingles", "sizes")):
+    # generation tables carry a creator-pid suffix (base_g{N}p{pid}...),
+    # so sweep the catalog by prefix instead of reconstructing names
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith(base) and not tbl.isTemporary:
+            spark.sql(f"DROP TABLE IF EXISTS `{tbl.name}`")
+
+
+def test_manifest_init_resolve_and_cas(spark, tmp_path):
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        ConcurrentFoldError,
+        _next_generation,
+        _write_entry,
+        current_index_entry,
+        init_index_manifest,
+    )
+
+    root = str(tmp_path / "manifest")
+    entry = init_index_manifest(
+        spark, root, "fingerprint", "mt_ix", str(tmp_path / "ix")
+    )
+    assert entry["generation"] == 1
+    got = current_index_entry(spark, root)
+    assert got == entry
+
+    # double init refuses
+    with pytest.raises(ValueError, match="already initialized"):
+        init_index_manifest(spark, root, "fingerprint", "x", "y")
+
+    # CAS: first claim of generation 2 wins, second raises with nothing
+    # half-written (the losing temp is removed)
+    nxt = _next_generation(entry)
+    _write_entry(spark, root, nxt)
+    with pytest.raises(ConcurrentFoldError, match="already claimed"):
+        _write_entry(spark, root, {**nxt, "name": "loser"})
+    assert current_index_entry(spark, root)["name"] == nxt["name"]
+    assert not glob.glob(os.path.join(root, ".tmp_*"))
+
+    # unknown kind refused at init
+    with pytest.raises(ValueError, match="kind"):
+        init_index_manifest(spark, str(tmp_path / "m2"), "nope", "a", "b")
+
+
+def test_managed_near_dup_drain_folds_rotates_resumes(spark, tmp_path):
+    """The full self-operating sequence on the MinHash drain: invocation
+    1 (threshold 1 byte — any admission is due) drains two batches,
+    folds, rotates to generation 2, deletes the consumed ledger and
+    compacts the sinks; invocation 2 resumes the SAME checkpoint against
+    the rotated pointer — no index name ever threaded by the caller —
+    and the planted W/Z near-copy pair (W admitted pre-fold, Z arriving
+    post-fold) lands in corpus_pairs: only the FOLDED standing index can
+    see it."""
+    from bigdatapipelne_spark.operators.checkpoint import release_checkpoint
+    from bigdatapipelne_spark.operators.dedup import (
+        build_near_dup_index,
+        save_near_dup_index,
+    )
+    from bigdatapipelne_spark.sources.io import fs_exists
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        current_index_entry,
+        init_index_manifest,
+        run_managed_near_dup_drain,
+    )
+    from bigdatapipelne_spark.streaming.scd import (
+        stage_one_more_file,
+        stage_ordered_files,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    w = corpus.orderBy("doc_id").limit(1).select(
+        F.lit(900_000).alias("doc_id"),
+        F.concat("text", F.lit(" fold")).alias("text"),
+    )
+    z = w.select(
+        F.lit(900_001).alias("doc_id"),
+        F.concat("text", F.lit(" more")).alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 9 == 0).unionByName(w)
+    # w2 (batch 2) near-matches w (batch 1) -> a delta_pairs row, so the
+    # post-fold sink compaction's value-neutrality is assertable on the
+    # delta_pairs sink too (round-12 verdict #4)
+    w2 = w.select(
+        F.lit(900_002).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 9 == 3)
+        .select((F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text")
+        .unionByName(w2)
+    )
+
+    name = "nd_mgd_t"
+    try:
+        ix = build_near_dup_index(corpus, "doc_id", "text")
+        save_near_dup_index(ix, name, str(tmp_path / "ndix"))
+        release_checkpoint(ix.shingles)
+        mroot = str(tmp_path / "manifest")
+        init_index_manifest(
+            spark, mroot, "near_dup", name, str(tmp_path / "ndix")
+        )
+
+        staging = str(tmp_path / "staging")
+        out = str(tmp_path / "out")
+        stage_ordered_files([b1, b2], staging)
+        run_managed_near_dup_drain(
+            spark, staging, mroot, out, fold_threshold_bytes=1
+        )
+
+        entry = current_index_entry(spark, mroot)
+        assert entry["generation"] == 2
+        assert entry["name"].startswith(f"{name}_g2p")
+        # consumed generation-1 ledger gone; BOTH batched sinks compacted
+        # to the __batch_id=-1 base partition (round-12 verdict #4), and
+        # the cross-batch pair survives the compaction value-identical
+        assert not fs_exists(spark, os.path.join(out, "ledger_g00000001"))
+        assert glob.glob(os.path.join(out, "corpus_pairs", "__batch_id=-1"))
+        assert glob.glob(os.path.join(out, "delta_pairs", "__batch_id=-1"))
+        from bigdatapipelne_spark.streaming.dedup_stream import (
+            read_delta_pairs,
+        )
+
+        assert any(
+            r.delta_id == 900_002 and r.ledger_id == 900_000
+            for r in read_delta_pairs(spark, out).collect()
+        )
+
+        # resumed invocation: same checkpoint, pointer now at g2
+        stage_one_more_file(z, staging)
+        pairs = run_managed_near_dup_drain(
+            spark, staging, mroot, out, fold_threshold_bytes=1
+        )
+        assert any(
+            r.delta_id == 900_001 and r.corpus_id == 900_000
+            and r.jaccard >= 0.5
+            for r in pairs.collect()
+        )
+        # invocation 2 admitted z -> folded again -> generation 3
+        assert current_index_entry(spark, mroot)["generation"] == 3
+    finally:
+        _drop_gens(spark, name)
+
+
+def test_managed_exact_drain_promotes_after_fold(spark, tmp_path):
+    """Exact twin: a fingerprint admitted in invocation 1's ledger must
+    classify dup_in_corpus (not dup_in_delta) in invocation 2 — the
+    pointer rotated to the folded index in between, with no manual
+    new_name threading."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        save_fingerprint_index,
+    )
+    from bigdatapipelne_spark.sources.io import fs_exists
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        current_index_entry,
+        init_index_manifest,
+        run_managed_exact_drain,
+    )
+    from bigdatapipelne_spark.streaming.scd import (
+        stage_one_more_file,
+        stage_ordered_files,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    # suffix makes the text unique: the documents table plants exact
+    # duplicates by design, and a corpus twin would classify this
+    # dup_in_corpus before any fold
+    newdoc = docs.filter(F.col("doc_id") % 3 == 0).limit(1).select(
+        "doc_id", F.concat("text", F.lit(" uniq-mgd")).alias("text")
+    )
+    recrawl = newdoc.select(
+        (F.col("doc_id") + F.lit(1 << 41)).alias("doc_id"), "text"
+    )
+
+    name = "fp_mgd_t"
+    try:
+        save_fingerprint_index(
+            build_fingerprint_index(corpus, "doc_id", "text"),
+            name,
+            str(tmp_path / "fpix"),
+        )
+        mroot = str(tmp_path / "manifest")
+        init_index_manifest(
+            spark, mroot, "fingerprint", name, str(tmp_path / "fpix")
+        )
+
+        staging = str(tmp_path / "staging")
+        out = str(tmp_path / "out")
+        stage_ordered_files([newdoc], staging)
+        got1 = run_managed_exact_drain(
+            spark, staging, mroot, out, fold_threshold_bytes=1
+        )
+        nid = newdoc.first().doc_id
+        assert [
+            r.status for r in got1.collect() if r.doc_id == nid
+        ] == ["new"]
+        assert current_index_entry(spark, mroot)["generation"] == 2
+        assert not fs_exists(spark, os.path.join(out, "seen_g00000001"))
+        assert glob.glob(os.path.join(out, "classified", "__batch_id=-1"))
+
+        stage_one_more_file(recrawl, staging)
+        got2 = run_managed_exact_drain(
+            spark, staging, mroot, out, fold_threshold_bytes=1
+        )
+        assert [
+            r.status
+            for r in got2.collect()
+            if r.doc_id == nid + (1 << 41)
+        ] == ["dup_in_corpus"]
+    finally:
+        _drop_gens(spark, name, parts=None)
+
+
+def test_fold_if_due_noop_under_threshold(spark, tmp_path):
+    """An under-threshold ledger folds nothing: pointer, ledger, and
+    sink layout all untouched (the policy's common case must be one
+    listing + one size check, not a rewrite)."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        save_fingerprint_index,
+    )
+    from bigdatapipelne_spark.sources.io import fs_exists
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        current_index_entry,
+        fold_if_due,
+        init_index_manifest,
+        run_managed_exact_drain,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0).limit(2)
+
+    name = "fp_noop_t"
+    try:
+        save_fingerprint_index(
+            build_fingerprint_index(corpus, "doc_id", "text"),
+            name,
+            str(tmp_path / "fpix"),
+        )
+        mroot = str(tmp_path / "manifest")
+        init_index_manifest(
+            spark, mroot, "fingerprint", name, str(tmp_path / "fpix")
+        )
+        staging = str(tmp_path / "staging")
+        out = str(tmp_path / "out")
+        stage_ordered_files([delta], staging)
+        run_managed_exact_drain(
+            spark, staging, mroot, out, fold_threshold_bytes=1 << 40
+        )
+        assert current_index_entry(spark, mroot)["generation"] == 1
+        assert fs_exists(spark, os.path.join(out, "seen_g00000001"))
+        assert fold_if_due(spark, mroot, out, 1 << 40) is None
+        # per-batch partitions intact (no compaction ran)
+        assert not glob.glob(os.path.join(out, "classified", "__batch_id=-1"))
+    finally:
+        _drop_gens(spark, name, parts=None)
+
+
+def test_fold_crash_windows_recover(spark, tmp_path):
+    """Both halves of the fold's crash contract: (a) a fold that wrote
+    generation-2 tables but died BEFORE the CAS leaves the pointer at 1
+    with its ledger intact — the retrying fold_if_due clears the
+    orphaned tables and re-folds to a correct generation 2; (b) a fold
+    that died AFTER the CAS but before the ledger delete leaves a stale
+    sub-generation ledger — the next managed drain sweeps it."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        save_fingerprint_index,
+    )
+    from bigdatapipelne_spark.sources.io import fs_exists
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        fold_seen_into_fingerprint_index,
+    )
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        current_index_entry,
+        fold_if_due,
+        init_index_manifest,
+        run_managed_exact_drain,
+    )
+    from bigdatapipelne_spark.streaming.scd import (
+        stage_one_more_file,
+        stage_ordered_files,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    fresh = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = fresh.filter(F.col("doc_id") % 2 == 0)
+    b2 = fresh.filter(F.col("doc_id") % 2 == 1)
+
+    name = "fp_crash_t"
+    try:
+        save_fingerprint_index(
+            build_fingerprint_index(corpus, "doc_id", "text"),
+            name,
+            str(tmp_path / "fpix"),
+        )
+        mroot = str(tmp_path / "manifest")
+        init_index_manifest(
+            spark, mroot, "fingerprint", name, str(tmp_path / "fpix")
+        )
+        staging = str(tmp_path / "staging")
+        out = str(tmp_path / "out")
+        stage_ordered_files([b1], staging)
+        # huge threshold: drain admits the ledger but does not fold
+        run_managed_exact_drain(
+            spark, staging, mroot, out, fold_threshold_bytes=1 << 40
+        )
+        seen1 = os.path.join(out, "seen_g00000001")
+        assert fs_exists(spark, seen1)
+
+        # (a) simulate a fold crash BEFORE the CAS: a DEAD process's
+        # generation-2 tables exist (creator-pid naming), pointer still
+        # at 1, ledger intact
+        import subprocess
+
+        dead = subprocess.Popen(["true"])
+        dead.wait()  # reaped: its pid reads as not-alive
+        orphan = f"{name}_g2p{dead.pid}"
+        orphan_path = str(tmp_path / "fpix") + f"_g2p{dead.pid}"
+        fold_seen_into_fingerprint_index(
+            spark, name, seen1, orphan, orphan_path, drop_ledger=False
+        )
+        assert current_index_entry(spark, mroot)["generation"] == 1
+        assert fs_exists(spark, seen1)
+        # the retry sweeps the dead-pid orphan (tables + dir) and commits
+        nxt = fold_if_due(spark, mroot, out, fold_threshold_bytes=1)
+        assert nxt is not None and nxt["generation"] == 2
+        assert nxt["name"].startswith(f"{name}_g2p")
+        assert not fs_exists(spark, seen1)
+        assert not spark.catalog.tableExists(orphan)
+        assert not fs_exists(spark, orphan_path)
+        # folded index contains the admitted batch's fingerprints: a
+        # re-crawl of b1 classifies dup_in_corpus
+        stage_one_more_file(
+            b1.select((F.col("doc_id") + F.lit(1 << 41)).alias("doc_id"), "text"),
+            staging,
+        )
+        got = run_managed_exact_drain(
+            spark, staging, mroot, out, fold_threshold_bytes=1 << 40
+        )
+        statuses = {
+            r.status for r in got.collect() if r.doc_id >= (1 << 41)
+        }
+        assert statuses == {"dup_in_corpus"}
+
+        # (b) simulate a crash AFTER the CAS: plant a stale ledger for a
+        # sub-current generation; the next managed drain sweeps it
+        stale = os.path.join(out, "seen_g00000001")
+        os.makedirs(stale, exist_ok=True)
+        stage_one_more_file(b2, staging)
+        run_managed_exact_drain(
+            spark, staging, mroot, out, fold_threshold_bytes=1 << 40
+        )
+        assert not fs_exists(spark, stale)
+    finally:
+        _drop_gens(spark, name, parts=None)
+
+
+def test_ledger_guard_trips_with_fold_instruction(spark, tmp_path):
+    """Round-12 verdict #3: an over-grown ledger aborts the drain at
+    batch start with a descriptive error naming the fold — the exact
+    drain's forced-broadcast probe must never be allowed to grow toward
+    an executor OOM. Batch 1 (no ledger yet) passes; batch 2 sees the
+    admitted ledger over the 1-byte guard and trips."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        save_fingerprint_index,
+    )
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        run_exact_probe_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    fresh = docs.filter(F.col("doc_id") % 3 == 0)
+
+    name = "fp_guard_t"
+    try:
+        save_fingerprint_index(
+            build_fingerprint_index(corpus, "doc_id", "text"),
+            name,
+            str(tmp_path / "fpix"),
+        )
+        staging = str(tmp_path / "staging")
+        stage_ordered_files(
+            [fresh.filter(F.col("doc_id") % 2 == r) for r in range(2)],
+            staging,
+        )
+        with pytest.raises(StreamingQueryException) as exc:
+            run_exact_probe_stream(
+                spark, staging, name, str(tmp_path / "out"),
+                max_ledger_bytes=1,
+            )
+        assert "fold_seen_into_fingerprint_index" in str(exc.value)
+        assert "over the 1-byte guard" in str(exc.value)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def test_near_dup_ledger_guard_trips(spark, tmp_path):
+    """The MinHash drain's guard twin (perf posture, not OOM bound):
+    same batch-start trip naming fold_ledger_into_index."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigdatapipelne_spark.operators.checkpoint import release_checkpoint
+    from bigdatapipelne_spark.operators.dedup import (
+        build_near_dup_index,
+        save_near_dup_index,
+    )
+    from bigdatapipelne_spark.streaming.dedup_stream import (
+        run_near_dup_probe_stream,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    fresh = docs.filter(F.col("doc_id") % 3 == 0)
+
+    name = "nd_guard_t"
+    try:
+        ix = build_near_dup_index(corpus, "doc_id", "text")
+        save_near_dup_index(ix, name, str(tmp_path / "ndix"))
+        release_checkpoint(ix.shingles)
+        staging = str(tmp_path / "staging")
+        stage_ordered_files(
+            [fresh.filter(F.col("doc_id") % 2 == r) for r in range(2)],
+            staging,
+        )
+        with pytest.raises(StreamingQueryException) as exc:
+            run_near_dup_probe_stream(
+                spark, staging, name, str(tmp_path / "out"),
+                max_ledger_bytes=1,
+            )
+        assert "fold_ledger_into_index" in str(exc.value)
+    finally:
+        for p in ("bands", "shingles", "sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS `{name}_{p}`")
+
+
+def test_gc_index_generations(spark, tmp_path):
+    """Superseded generations' tables + dirs are reclaimed; the newest
+    `keep` stay readable."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        save_fingerprint_index,
+    )
+    from bigdatapipelne_spark.sources.io import fs_exists
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        current_index_entry,
+        gc_index_generations,
+        init_index_manifest,
+        run_managed_exact_drain,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0).limit(3)
+
+    name = "fp_gc_t"
+    try:
+        path = str(tmp_path / "fpix")
+        save_fingerprint_index(
+            build_fingerprint_index(corpus, "doc_id", "text"), name, path
+        )
+        mroot = str(tmp_path / "manifest")
+        init_index_manifest(spark, mroot, "fingerprint", name, path)
+        staging = str(tmp_path / "staging")
+        out = str(tmp_path / "out")
+        stage_ordered_files([delta], staging)
+        run_managed_exact_drain(
+            spark, staging, mroot, out, fold_threshold_bytes=1
+        )
+        assert current_index_entry(spark, mroot)["generation"] == 2
+
+        dropped = gc_index_generations(spark, mroot, keep=1)
+        assert dropped == [name]
+        assert not fs_exists(spark, path)
+        # the current generation still reads
+        cur = current_index_entry(spark, mroot)["name"]
+        assert spark.table(cur).count() > 0
+        # idempotent
+        assert gc_index_generations(spark, mroot, keep=1) == []
+    finally:
+        _drop_gens(spark, name, parts=None)

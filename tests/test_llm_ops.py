@@ -1423,3 +1423,89 @@ def test_save_ivf_index_files_per_cluster_salt(spark, tmp_path):
     assert sorted((r.query_id, r.neighbor_id, r.rank) for r in a.collect()) == (
         sorted((r.query_id, r.neighbor_id, r.rank) for r in b.collect())
     )
+
+
+def test_cap_bound_containment_direction(spark):
+    """Round-12 verdict #2 (the theory half; BENCH_fold.json's sf10
+    certificate is the measured half): under a BINDING band-bucket cap
+    the three probe regimes nest one way only —
+
+        folded (joint cap)  ⊆  no-fold (separate caps)  ⊆  uncapped.
+
+    The right containment is the classic one-sided undercount (capped
+    candidate buckets are a subset of uncapped ones; verification is a
+    pure filter). The LEFT one is the joint-vs-separate divergence the
+    fold docstring documents, with the direction PINNED: a bucket's
+    joint count is >= each part's count, so a bucket surviving the
+    joint cap survives both separate caps — the folded mode can only
+    LOSE pairs relative to no-fold, never add. (The round-11 verdict
+    guessed folded ⊇ no-fold; this is the true relation.)
+
+    Construction: a boilerplate group split 3 corpus-side ("A") + 3
+    ledger-side ("B") members, cap 4 — separate caps (3 <= 4) keep the
+    bucket on both sides, the joint cap (6 > 4) drops it; a second,
+    2-member group stays under every cap. The delta carries a near-copy
+    of each group."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_near_dup_index,
+        incremental_near_duplicates,
+    )
+
+    def boiler(n_words: int, salt: str) -> str:
+        return " ".join(f"w{salt}{i % 7}tok{i}" for i in range(n_words))
+
+    hot = boiler(40, "hot")     # 3+3 members -> joint bucket 6, parts 3
+    cold = boiler(40, "cold")   # 1+1 members -> under every cap
+    wide = boiler(40, "wide")   # 5 members in A alone -> over cap even
+    #                             separately: only the uncapped mode sees it
+    rows_a = (
+        [(i, hot) for i in range(3)]
+        + [(10, cold)]
+        + [(20 + i, wide) for i in range(5)]
+    )
+    rows_b = [(100 + i, hot) for i in range(3)] + [(110, cold)]
+    a = spark.createDataFrame(rows_a, "doc_id long, text string")
+    b = spark.createDataFrame(rows_b, "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [
+            (1000, hot + " probe"),
+            (1001, cold + " probe"),
+            (1002, wide + " probe"),
+        ],
+        "doc_id long, text string",
+    )
+    cap = 4
+
+    def pairs(index):
+        got = incremental_near_duplicates(
+            delta, None, "doc_id", "text", corpus_index=index
+        )
+        return {(r.delta_id, r.corpus_id) for r in got.collect()}
+
+    # no-fold analog: standing index (A, capped) + ledger (B, re-capped
+    # separately); folded analog: one joint index over A ∪ B
+    p_nofold = pairs(
+        build_near_dup_index(a, "doc_id", "text", max_band_bucket=cap)
+    ) | pairs(build_near_dup_index(b, "doc_id", "text", max_band_bucket=cap))
+    p_folded = pairs(
+        build_near_dup_index(
+            a.unionByName(b), "doc_id", "text", max_band_bucket=cap
+        )
+    )
+    p_uncapped = pairs(
+        build_near_dup_index(
+            a.unionByName(b), "doc_id", "text", max_band_bucket=None
+        )
+    )
+
+    assert p_folded <= p_nofold <= p_uncapped
+    # both containments STRICT by construction. Left: the hot group's
+    # pairs survive separate caps but not the joint cap...
+    assert (1000, 0) in p_nofold and (1000, 100) in p_nofold
+    assert not any(d == 1000 for d, _ in p_folded)
+    # ...right: the wide group is over the cap even on one side alone —
+    # only the uncapped mode pairs it
+    assert (1002, 20) in p_uncapped
+    assert not any(d == 1002 for d, _ in p_nofold)
+    # and the cold group's pairs survive every regime
+    assert (1001, 10) in p_folded and (1001, 110) in p_folded

@@ -24,12 +24,16 @@ This script measures that curve instead of asserting it:
    pair set, which the fold must preserve exactly).
 3. **uncapped** (round-12 verdict #2) — the same batches with the
    band-bucket cap disabled end to end: the candidate-superset
-   reference that bounds the cap's recall cost. Containment
-   (folded ⊆ no-fold ⊆ uncapped) is asserted — it is structural, see
-   tests/test_llm_ops.py::test_cap_bound_containment_direction — and
-   the dropped-pair counts are recorded as the measured loss at this
-   scale (``cap_bound_certificate``), turning "the cap is a one-sided
-   undercount" from asserted into measured at the cap-binding SF.
+   reference that bounds the cap's recall cost. Each capped mode
+   ⊆ uncapped is asserted (structural: capped candidate buckets are a
+   subset, verification is a pure filter); the two capped modes are
+   recorded against each other WITHOUT an order — the static
+   joint-vs-separate split points folded below no-fold
+   (tests/test_llm_ops.py::test_cap_bound_containment_direction) while
+   the fold's ledger reset points it above, so their streaming sets
+   can diverge both ways. ``cap_bound_certificate`` turns "the cap is
+   a one-sided undercount" from asserted into measured at the
+   cap-binding SF.
 4. **gate_cell_split** — the incremental_near_dup_stream_drain gate
    cell's phases timed separately (stage + index build/save = setup vs
    the audited 3-batch drain), so the driver-record cell (~10s at sf0.1)
@@ -215,24 +219,38 @@ def main() -> None:
     s_nf, s_wf, s_uc = (
         set(pairs_no_fold), set(pairs_with_fold), set(pairs_uncapped)
     )
-    assert s_wf <= s_nf <= s_uc, (
-        "cap containment direction violated: "
-        f"folded-nofold diff {len(s_wf - s_nf)}, "
-        f"nofold-uncapped diff {len(s_nf - s_uc)}"
+    # STRUCTURAL containments only: each capped mode ⊆ uncapped (capped
+    # candidate buckets are a subset of uncapped ones; verification is a
+    # pure filter). The two capped STREAMING modes are NOT ordered
+    # against each other: the static joint-vs-separate split alone would
+    # give folded ⊆ no-fold (test_cap_bound_containment_direction), but
+    # the fold also RESETS the ledger — post-fold batches re-cap a small
+    # fresh ledger where no-fold re-caps the large cumulative one — and
+    # that asymmetry points the other way, so at a cap-binding scale the
+    # two sets can differ in BOTH directions; the certificate measures
+    # the symmetric difference instead of asserting an order.
+    assert s_nf <= s_uc and s_wf <= s_uc, (
+        "cap is not a one-sided undercount vs the uncapped reference: "
+        f"nofold-uncapped diff {len(s_nf - s_uc)}, "
+        f"folded-uncapped diff {len(s_wf - s_uc)}"
     )
     record["cap_bound_certificate"] = {
         "note": (
             "uncapped = same drain, max_band_bucket=None on index build "
-            "and ledger re-cap; containments are structural (asserted), "
-            "the LOSS numbers are the measured cap cost at this scale: "
-            "folded ⊆ no-fold ⊆ uncapped"
+            "and ledger re-cap; mode ⊆ uncapped is structural "
+            "(asserted); the capped modes are mutually unordered in "
+            "streaming (joint-vs-separate capping pulls folded down, "
+            "the fold's ledger reset pulls it up) — their divergence is "
+            "recorded, not asserted"
         ),
         "uncapped_drain_sec": round(uncapped_drain_sec, 3),
         "pairs_uncapped": len(s_uc),
         "pairs_no_fold": len(s_nf),
         "pairs_with_fold": len(s_wf),
         "lost_to_cap_no_fold": len(s_uc - s_nf),
-        "lost_joint_vs_separate": len(s_nf - s_wf),
+        "lost_to_cap_with_fold": len(s_uc - s_wf),
+        "nofold_minus_folded": len(s_nf - s_wf),
+        "folded_minus_nofold": len(s_wf - s_nf),
         "loss_frac_no_fold": round(
             len(s_uc - s_nf) / max(len(s_uc), 1), 6
         ),

@@ -66,7 +66,9 @@ def compare(old: dict, new: dict) -> dict:
                     "old_sec": o,
                     "new_sec": n,
                     "new_norm_sec": round(n_norm, 3),
-                    "norm_ratio": round(n_norm / o, 2),
+                    # a 0.0 old cell (placeholder / rounded-down) still
+                    # reports as a regression, just without a ratio
+                    "norm_ratio": round(n_norm / o, 2) if o else None,
                 }
             )
         elif o > n_norm * RATIO_BAR and o - n_norm > ABS_BAR_SEC:
@@ -88,7 +90,8 @@ def compare(old: dict, new: dict) -> dict:
         "old_total_sec": old.get("value"),
         "new_total_sec": new.get("value"),
         "regressions_past_bar": sorted(
-            regressions, key=lambda r: -r["norm_ratio"]
+            regressions,
+            key=lambda r: -(r["norm_ratio"] or float("inf")),
         ),
         "improvements_past_bar": improvements,
         "bar": f">{RATIO_BAR}x and >+{ABS_BAR_SEC}s after identity-drift "

@@ -2339,15 +2339,9 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pid_alive(pid: int) -> bool:
-    import os
+    from bigdatapipelne_spark.sources.io import pid_alive
 
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True  # exists, owned by someone else
-    return True
+    return pid_alive(pid)
 
 
 def _sweep_leaked_index_tables(

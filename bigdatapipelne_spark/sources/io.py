@@ -219,6 +219,23 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def pid_alive(pid: int) -> bool:
+    """HOST-LOCAL process liveness (os.kill(pid, 0)) — the shared gate
+    for reclaiming another run's leaked artifacts (leaked index tables,
+    dead fold leftovers). Only meaningful for pids on THIS host; callers
+    sweeping a storage system shared across driver hosts must scope the
+    sweep to a single maintenance host (see index_manifest)."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
 def fs_rmtree(spark: SparkSession, path: str) -> None:
     """Scheme-aware recursive delete (no-op when absent) — the
     ``shutil.rmtree`` twin for arbitrary Hadoop filesystems."""
@@ -422,22 +439,31 @@ def swap_staging_into_dir(spark: SparkSession, staging: str, path: str) -> None:
     fs, hpath = hadoop_fs(spark, path)
     _, hstaging = hadoop_fs(spark, staging)
     _, hold = hadoop_fs(spark, old)
-    if fs.exists(hpath) and not fs.rename(hpath, hold):
+    parked = fs.exists(hpath)
+    if parked and not fs.rename(hpath, hold):
         raise IOError(f"directory swap: could not park {path} at {old}")
     if not fs.rename(hstaging, hpath):
         # put the previous contents back before failing — the store
         # must never be left absent when we can restore it; the restore
         # rename's boolean is checked like every other (round-12 advisor
         # finding: an ignored failed restore would raise a message that
-        # implies the store is back when it is actually absent)
-        restored = fs.rename(hold, hpath)
-        state = (
-            f"previous contents RESTORED at {path}"
-            if restored
-            else f"restore ALSO failed — {path} is ABSENT; the only "
-            f"complete copies are parked at {old} and {staging}"
-        )
+        # implies the store is back when it is actually absent), and a
+        # first-write swap (nothing was parked) must not direct the
+        # operator at a nonexistent __old
+        if not parked:
+            state = (
+                f"{path} did not previously exist; the only copy is the "
+                f"staging at {staging}"
+            )
+        elif fs.rename(hold, hpath):
+            state = f"previous contents RESTORED at {path}"
+        else:
+            state = (
+                f"restore ALSO failed — {path} is ABSENT; the only "
+                f"complete copies are parked at {old} and {staging}"
+            )
         raise IOError(
             f"directory swap: could not move {staging} into {path}; {state}"
         )
-    fs.delete(hold, True)
+    if parked:
+        fs.delete(hold, True)

@@ -51,6 +51,19 @@ once-per-period maintenance cost (BENCH_fold.json sawtooth), and the
 managed drain adds exactly one listing + one size check per invocation
 on top of the manual sequence the gated ``near_dup_fold_drain`` /
 ``incremental_dedup_fold_drain`` already certify.
+
+Concurrency contract, honestly (the store.py posture): the pointer CAS
+is correct on any Hadoop filesystem, so racing folds never corrupt the
+manifest — one commits, the other raises. The crash-leftover sweep,
+however, decides "dead creator" by HOST-LOCAL pid liveness, so
+concurrent folds are supported from one maintenance host at a time;
+on a warehouse shared across driver hosts, run the fold policy from a
+single scheduled maintenance job (``_sweep_dead_fold_leftovers``
+documents the failure mode). And one manifest serves one drain
+pipeline: generations record the ``out_root`` whose ledger they folded,
+and resolving the manifest with a different pipeline's ``out_root``
+raises instead of silently sweeping that pipeline's never-folded
+ledger (``_check_out_root``).
 """
 
 from __future__ import annotations
@@ -60,10 +73,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bigdatapipelne_spark.operators.dedup import MINHASH_MAX_BAND_BUCKET
 from bigdatapipelne_spark.sources.io import (
     fs_exists,
     fs_rmtree,
     hadoop_fs,
+    pid_alive,
 )
 from bigdatapipelne_spark.streaming.dedup_stream import (
     PROBE_EXCHANGE_BUDGET,
@@ -92,9 +107,12 @@ _LEDGER_PREFIX = {"near_dup": "ledger_g", "fingerprint": "seen_g"}
 
 class ConcurrentFoldError(RuntimeError):
     """Another maintainer claimed the next generation between reading
-    the manifest and the pointer CAS — re-resolve and retry (the other
-    fold's result already contains this ledger only if it ran on the
-    same ``out_root``; otherwise re-run ``fold_if_due``)."""
+    the manifest and the pointer CAS — re-run ``fold_if_due``: it
+    re-resolves the winner's generation, and since a manifest is bound
+    to one ``out_root`` (``_check_out_root``) the winner consumed the
+    SAME ledger, so the retry finds nothing left to fold. The loser's
+    uniquely-named tables are reclaimed by a later fold's dead-pid
+    sweep once this process exits."""
 
 
 def _entry_name(gen: int) -> str:
@@ -160,18 +178,35 @@ def init_index_manifest(
     name: str,
     path: str,
     n_buckets: int = 32,
+    max_band_bucket: int | None = MINHASH_MAX_BAND_BUCKET,
 ) -> dict:
     """Write generation 1 pointing at an ALREADY-SAVED bootstrap index
     (``save_near_dup_index`` / ``save_fingerprint_index`` layout under
     catalog name ``name`` at ``path``). Later generations live at
-    sibling dirs ``<path>_g{N}`` with catalog names ``<name>_g{N}`` —
-    siblings, never nested inside a live table's location (the round-12
-    advisor's nested-'folded' finding). Raises if the manifest already
-    has entries."""
+    sibling dirs ``<path>_m{token}_g{N}p{pid}`` with catalog names
+    ``<name>_m{token}_g{N}p{pid}`` — siblings, never nested inside a live table's
+    location (the round-12 advisor's nested-'folded' finding).
+
+    ``max_band_bucket`` (near_dup kind) records the band-bucket cap the
+    BOOTSTRAP index was built with, so every managed ledger re-cap and
+    every fold replays the same cap — an uncapped or custom-cap index
+    must not be silently re-capped at the default on its first fold.
+    Pass exactly what ``build_near_dup_index`` was given. Raises if the
+    manifest already has entries.
+
+    One manifest serves ONE drain pipeline (one ``out_root``): the
+    ledger lifecycle is coupled to the pointer, and a generation folded
+    from pipeline A's ledger does not contain pipeline B's admissions.
+    To share a bootstrap index across pipelines, initialize one manifest
+    per pipeline against the same ``name``/``path`` — generation names
+    embed the creator pid, so their folds never collide. The managed
+    drains enforce this (see ``fold_if_due``)."""
     if kind not in _KINDS:
         raise ValueError(f"kind must be one of {_KINDS}, got {kind!r}")
     if _list_generations(spark, manifest_root):
         raise ValueError(f"manifest {manifest_root} already initialized")
+    import uuid
+
     entry = {
         "generation": 1,
         "kind": kind,
@@ -180,7 +215,16 @@ def init_index_manifest(
         "base_name": name,
         "base_path": path,
         "n_buckets": n_buckets,
+        # manifest identity, embedded in every generation name: scopes
+        # the dead-pid leftover sweep to THIS manifest's family, so two
+        # manifests sharing one bootstrap index (the supported sharing
+        # pattern) can never reclaim each other's live generations —
+        # the committed-set check alone is per-manifest, but the table
+        # namespace under base_name is shared
+        "token": uuid.uuid4().hex[:8],
     }
+    if kind == "near_dup":
+        entry["max_band_bucket"] = max_band_bucket
     _write_entry(spark, manifest_root, entry)
     return entry
 
@@ -206,22 +250,13 @@ def _next_generation(entry: dict) -> dict:
     ``ConcurrentFoldError`` and its uniquely-named tables are reclaimed
     by a later fold's dead-pid sweep."""
     gen = entry["generation"] + 1
+    stem = f"m{entry['token']}_g{gen}p{os.getpid()}"
     return {
         **entry,
         "generation": gen,
-        "name": f"{entry['base_name']}_g{gen}p{os.getpid()}",
-        "path": f"{entry['base_path']}_g{gen}p{os.getpid()}",
+        "name": f"{entry['base_name']}_{stem}",
+        "path": f"{entry['base_path']}_{stem}",
     }
-
-
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    return True
 
 
 def _clear_generation(spark: SparkSession, entry: dict) -> None:
@@ -240,39 +275,87 @@ def _clear_generation(spark: SparkSession, entry: dict) -> None:
 
 
 def _sweep_dead_fold_leftovers(
-    spark: SparkSession, entry: dict, gen: int
+    spark: SparkSession, manifest_root: str, entry: dict
 ) -> None:
-    """Reclaim generation-``gen`` tables left by folds that died (or
-    lost their CAS and then exited) before committing: any catalog table
-    named ``{base}_g{gen}p{pid}...`` whose creator pid is gone. A LIVE
-    pid's tables are never touched — it may be mid-fold and about to win
-    the CAS."""
-    prefix = f"{entry['base_name']}_g{gen}p"
+    """Reclaim generation tables/dirs left by folds that died (or lost
+    their CAS and then exited) WITHOUT committing — at ANY generation
+    number, not just the next one, so a CAS loser's uniquely-named
+    leftovers can't leak forever once the pointer moves past its
+    generation. Committed = named by some manifest entry; everything
+    else matching ``{base}_g{N}p{pid}...`` with a dead creator pid is
+    garbage by construction.
+
+    Liveness (``pid_alive``) is HOST-LOCAL: a pid from a fold running on
+    a DIFFERENT driver host reads as dead here, and sweeping its
+    in-progress build would let it win the CAS pointing at dropped
+    tables. Concurrent folds are therefore supported from ONE
+    maintenance host only (the store.py single-committer posture, one
+    host wider); run the fold policy from a single scheduled maintenance
+    job when the warehouse is shared across hosts."""
+    import re
+
+    entries = [
+        _read_entry(spark, manifest_root, g)
+        for g in _list_generations(spark, manifest_root)
+    ]
+    # EXACT protected names (entry name + its part-table suffixes) — a
+    # prefix test would protect everything, since the gen-1 base name
+    # prefixes every later generation's name
+    committed = {
+        e["name"] + sfx
+        for e in entries
+        for sfx in ("", "_bands", "_shingles", "_sizes")
+    }
+    committed_dirs = {os.path.basename(e["path"]) for e in entries}
+    # token-scoped: only THIS manifest's generation family is swept —
+    # a second manifest sharing the bootstrap index has its own token
+    pat = re.compile(
+        rf"^{re.escape(entry['base_name'])}_m{entry['token']}_g\d+p(\d+)"
+    )
     for tbl in spark.catalog.listTables():
-        if not tbl.name.startswith(prefix) or tbl.isTemporary:
+        m = pat.match(tbl.name)
+        if not m or tbl.isTemporary:
             continue
-        pid_s = tbl.name.removeprefix(prefix).split("_", 1)[0]
-        if pid_s.isdigit() and int(pid_s) != os.getpid() and _pid_alive(
-            int(pid_s)
-        ):
+        if tbl.name in committed:
+            continue
+        pid = int(m.group(1))
+        if pid != os.getpid() and pid_alive(pid):
             continue
         spark.sql(f"DROP TABLE IF EXISTS `{tbl.name}`")
     # the matching data dirs: siblings of base_path named like the tables
     parent = os.path.dirname(entry["base_path"]) or "."
     base = os.path.basename(entry["base_path"])
+    dpat = re.compile(rf"^{re.escape(base)}_m{entry['token']}_g\d+p(\d+)")
     fs, hparent = hadoop_fs(spark, parent)
     if not fs.exists(hparent):
         return
     for st in fs.listStatus(hparent):
         nm = st.getPath().getName()
-        if not nm.startswith(f"{base}_g{gen}p"):
+        m = dpat.match(nm)
+        if not m or nm in committed_dirs:
             continue
-        pid_s = nm.removeprefix(f"{base}_g{gen}p").split("_", 1)[0]
-        if pid_s.isdigit() and int(pid_s) != os.getpid() and _pid_alive(
-            int(pid_s)
-        ):
+        pid = int(m.group(1))
+        if pid != os.getpid() and pid_alive(pid):
             continue
         fs_rmtree(spark, os.path.join(parent, nm))
+
+
+def _check_out_root(entry: dict, out_root: str, manifest_root: str) -> None:
+    """One manifest — one pipeline. A generation folded from pipeline
+    A's ledger does not contain pipeline B's admissions, so letting B
+    resolve it would sweep B's never-folded ledger as 'stale' and
+    silently forget every document B admitted. Raise instead of
+    guessing; the fix is one manifest per ``out_root`` (see
+    ``init_index_manifest``)."""
+    bound = entry.get("out_root")
+    if bound is not None and bound != out_root:
+        raise ValueError(
+            f"manifest {manifest_root} is bound to drain pipeline "
+            f"{bound} (generation {entry['generation']} was folded from "
+            f"its ledger) but was resolved with out_root={out_root} — "
+            "each drain pipeline needs its own manifest; initialize a "
+            "second manifest against the shared bootstrap index instead"
+        )
 
 
 def _ledger_dir(entry: dict, out_root: str) -> str:
@@ -318,14 +401,16 @@ def fold_if_due(
     returned, so every batch's offset is committed and sink compaction
     is replay-safe by construction)."""
     entry = current_index_entry(spark, manifest_root)
+    _check_out_root(entry, out_root, manifest_root)
     ledger = _ledger_dir(entry, out_root)
     if _dir_bytes(spark, ledger) < fold_threshold_bytes:
         return None
     nxt = _next_generation(entry)
-    # crash/CAS-loser leftovers from folds that died before committing
-    # this generation: unreferenced by construction (the pointer never
-    # moved), reclaimed by creator-pid liveness — never a live racer's
-    _sweep_dead_fold_leftovers(spark, entry, nxt["generation"])
+    nxt["out_root"] = out_root  # binds the manifest to its pipeline
+    # crash/CAS-loser leftovers from folds that died before committing:
+    # unreferenced by construction (the pointer never moved past them),
+    # reclaimed by creator-pid liveness — never a live local racer's
+    _sweep_dead_fold_leftovers(spark, manifest_root, entry)
     if entry["kind"] == "near_dup":
         fold_ledger_into_index(
             spark,
@@ -334,6 +419,9 @@ def fold_if_due(
             nxt["name"],
             nxt["path"],
             n_buckets=entry["n_buckets"],
+            max_band_bucket=entry.get(
+                "max_band_bucket", MINHASH_MAX_BAND_BUCKET
+            ),
             ledger_subdir=os.path.basename(ledger),
             drop_ledger=False,
         )
@@ -376,6 +464,7 @@ def run_managed_near_dup_drain(
     gate query (``near_dup_managed_drain``) replays the exact manual
     sequence ``near_dup_fold_drain`` certifies, under the same oracle."""
     entry = current_index_entry(spark, manifest_root)
+    _check_out_root(entry, out_root, manifest_root)
     _sweep_stale_ledgers(spark, entry, out_root)
     run_near_dup_probe_stream(
         spark,
@@ -386,6 +475,9 @@ def run_managed_near_dup_drain(
         exchange_budget,
         progress_out,
         ledger_subdir=os.path.basename(_ledger_dir(entry, out_root)),
+        max_band_bucket=entry.get(
+            "max_band_bucket", MINHASH_MAX_BAND_BUCKET
+        ),
     )
     fold_if_due(spark, manifest_root, out_root, fold_threshold_bytes)
     # re-plan the sink read AFTER the policy ran: a compaction rewrote
@@ -407,6 +499,7 @@ def run_managed_exact_drain(
     ``run_exact_probe_stream`` (same resolve -> sweep -> drain ->
     fold-if-due sequence; gate: ``incremental_dedup_managed_drain``)."""
     entry = current_index_entry(spark, manifest_root)
+    _check_out_root(entry, out_root, manifest_root)
     _sweep_stale_ledgers(spark, entry, out_root)
     run_exact_probe_stream(
         spark,

@@ -33,7 +33,7 @@ from bigdatapipelne_spark.sources.testdata import load_table
 from tests.conftest import SF_SMALL
 
 
-def _drop_gens(spark, base, parts=("bands", "shingles", "sizes")):
+def _drop_gens(spark, base):
     # generation tables carry a creator-pid suffix (base_g{N}p{pid}...),
     # so sweep the catalog by prefix instead of reconstructing names
     for tbl in spark.catalog.listTables():
@@ -144,7 +144,7 @@ def test_managed_near_dup_drain_folds_rotates_resumes(spark, tmp_path):
 
         entry = current_index_entry(spark, mroot)
         assert entry["generation"] == 2
-        assert entry["name"].startswith(f"{name}_g2p")
+        assert entry["name"].startswith(f"{name}_m") and "_g2p" in entry["name"]
         # consumed generation-1 ledger gone; BOTH batched sinks compacted
         # to the __batch_id=-1 base partition (round-12 verdict #4), and
         # the cross-batch pair survives the compaction value-identical
@@ -244,7 +244,7 @@ def test_managed_exact_drain_promotes_after_fold(spark, tmp_path):
             if r.doc_id == nid + (1 << 41)
         ] == ["dup_in_corpus"]
     finally:
-        _drop_gens(spark, name, parts=None)
+        _drop_gens(spark, name)
 
 
 def test_fold_if_due_noop_under_threshold(spark, tmp_path):
@@ -291,7 +291,7 @@ def test_fold_if_due_noop_under_threshold(spark, tmp_path):
         # per-batch partitions intact (no compaction ran)
         assert not glob.glob(os.path.join(out, "classified", "__batch_id=-1"))
     finally:
-        _drop_gens(spark, name, parts=None)
+        _drop_gens(spark, name)
 
 
 def test_fold_crash_windows_recover(spark, tmp_path):
@@ -354,8 +354,9 @@ def test_fold_crash_windows_recover(spark, tmp_path):
 
         dead = subprocess.Popen(["true"])
         dead.wait()  # reaped: its pid reads as not-alive
-        orphan = f"{name}_g2p{dead.pid}"
-        orphan_path = str(tmp_path / "fpix") + f"_g2p{dead.pid}"
+        token = current_index_entry(spark, mroot)["token"]
+        orphan = f"{name}_m{token}_g2p{dead.pid}"
+        orphan_path = str(tmp_path / "fpix") + f"_m{token}_g2p{dead.pid}"
         fold_seen_into_fingerprint_index(
             spark, name, seen1, orphan, orphan_path, drop_ledger=False
         )
@@ -364,7 +365,7 @@ def test_fold_crash_windows_recover(spark, tmp_path):
         # the retry sweeps the dead-pid orphan (tables + dir) and commits
         nxt = fold_if_due(spark, mroot, out, fold_threshold_bytes=1)
         assert nxt is not None and nxt["generation"] == 2
-        assert nxt["name"].startswith(f"{name}_g2p")
+        assert "_g2p" in nxt["name"]
         assert not fs_exists(spark, seen1)
         assert not spark.catalog.tableExists(orphan)
         assert not fs_exists(spark, orphan_path)
@@ -392,7 +393,7 @@ def test_fold_crash_windows_recover(spark, tmp_path):
         )
         assert not fs_exists(spark, stale)
     finally:
-        _drop_gens(spark, name, parts=None)
+        _drop_gens(spark, name)
 
 
 def test_ledger_guard_trips_with_fold_instruction(spark, tmp_path):
@@ -524,4 +525,62 @@ def test_gc_index_generations(spark, tmp_path):
         # idempotent
         assert gc_index_generations(spark, mroot, keep=1) == []
     finally:
-        _drop_gens(spark, name, parts=None)
+        _drop_gens(spark, name)
+
+
+def test_manifest_bound_to_one_pipeline(spark, tmp_path):
+    """A generation folded from pipeline A's ledger does not contain
+    pipeline B's admissions — resolving A's manifest with B's out_root
+    must raise (the alternative silently sweeps B's never-folded ledger
+    and forgets its documents), and the fix is one manifest per
+    pipeline against the shared bootstrap index."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_fingerprint_index,
+        save_fingerprint_index,
+    )
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        fold_if_due,
+        init_index_manifest,
+        run_managed_exact_drain,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0).limit(2)
+
+    name = "fp_bind_t"
+    try:
+        path = str(tmp_path / "fpix")
+        save_fingerprint_index(
+            build_fingerprint_index(corpus, "doc_id", "text"), name, path
+        )
+        mroot = str(tmp_path / "manifest")
+        init_index_manifest(spark, mroot, "fingerprint", name, path)
+        staging = str(tmp_path / "staging")
+        out_a = str(tmp_path / "out_a")
+        stage_ordered_files([delta], staging)
+        run_managed_exact_drain(
+            spark, staging, mroot, out_a, fold_threshold_bytes=1
+        )  # folds -> generation 2 records out_root=out_a
+
+        out_b = str(tmp_path / "out_b")
+        with pytest.raises(ValueError, match="bound to drain pipeline"):
+            run_managed_exact_drain(
+                spark, staging, mroot, out_b, fold_threshold_bytes=1
+            )
+        with pytest.raises(ValueError, match="bound to drain pipeline"):
+            fold_if_due(spark, mroot, out_b, 1)
+        # a SECOND manifest against the same bootstrap index is the
+        # supported sharing pattern (generation names embed the creator
+        # pid, so the two pipelines' folds cannot collide)
+        mroot_b = str(tmp_path / "manifest_b")
+        init_index_manifest(spark, mroot_b, "fingerprint", name, path)
+        staging_b = str(tmp_path / "staging_b")
+        stage_ordered_files([delta], staging_b)
+        got = run_managed_exact_drain(
+            spark, staging_b, mroot_b, out_b, fold_threshold_bytes=1 << 40
+        )
+        assert got.count() > 0
+    finally:
+        _drop_gens(spark, name)

@@ -486,6 +486,7 @@ def run_decontaminate_stream(
     threshold: float = 0.5,
     n: int = 3,
     exchange_budget: int | None = None,
+    compact_sink_bytes: int | None = None,
 ) -> DataFrame:
     """The third streaming standing-index member: per-micro-batch
     benchmark DECONTAMINATION of an arriving corpus stream against the
@@ -507,7 +508,15 @@ def run_decontaminate_stream(
 
     Returns the pair frame — the union over batches, which equals the
     one-shot ``decontaminate`` of the full corpus because containment is
-    a pure function of one corpus document and the index."""
+    a pure function of one corpus document and the index.
+
+    ``compact_sink_bytes`` (optional) runs ``compact_batched_sink`` on
+    the pairs sink after the drain completes — this drain has no fold
+    (the benchmark suite is static, there is no ledger), so
+    post-completion is its natural small-files maintenance point; the
+    same replay-safety argument applies (committed batches never
+    replay, later batches write beside the compacted base). ``None``
+    leaves maintenance to the caller."""
     from bigdatapipelne_spark.operators.dedup import (
         decontaminate,
         load_benchmark_index,
@@ -529,6 +538,8 @@ def run_decontaminate_stream(
     _drive_staged_stream(
         spark, staging_dir, _probe_batch, os.path.join(out_root, "cp")
     )
+    if compact_sink_bytes is not None:
+        compact_batched_sink(spark, sink, compact_sink_bytes)
     return _read_batched(spark, sink, _DECON_SCHEMA)
 
 

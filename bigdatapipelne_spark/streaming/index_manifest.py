@@ -390,6 +390,7 @@ def fold_if_due(
     fold_threshold_bytes: int = FOLD_THRESHOLD_BYTES,
     compact_sinks: bool = True,
     compact_target_bytes: int = 128 * 1024 * 1024,
+    gc_keep: int | None = None,
 ) -> dict | None:
     """The fold policy: if the CURRENT generation's ledger under
     ``out_root`` has reached ``fold_threshold_bytes``, fold it into a
@@ -399,7 +400,11 @@ def fold_if_due(
     ``None`` when no fold was due. Call BETWEEN drain invocations only —
     exactly where the managed drains call it (after ``awaitTermination``
     returned, so every batch's offset is committed and sink compaction
-    is replay-safe by construction)."""
+    is replay-safe by construction). ``gc_keep`` (optional) completes
+    the maintenance loop: after a committed fold, reclaim all but the
+    newest ``gc_keep`` generations' tables (``gc_index_generations`` —
+    size it to cover the longest-running reader, the store.py VACUUM
+    discipline; ``None`` leaves GC a manual step)."""
     entry = current_index_entry(spark, manifest_root)
     _check_out_root(entry, out_root, manifest_root)
     ledger = _ledger_dir(entry, out_root)
@@ -442,6 +447,8 @@ def fold_if_due(
             p = os.path.join(out_root, sink)
             if fs_exists(spark, p):
                 compact_batched_sink(spark, p, compact_target_bytes)
+    if gc_keep is not None:
+        gc_index_generations(spark, manifest_root, keep=gc_keep)
     return nxt
 
 
@@ -454,6 +461,7 @@ def run_managed_near_dup_drain(
     exchange_budget: int = PROBE_EXCHANGE_BUDGET,
     fold_threshold_bytes: int = FOLD_THRESHOLD_BYTES,
     progress_out: list | None = None,
+    gc_keep: int | None = None,
 ) -> DataFrame:
     """``run_near_dup_probe_stream`` with the index resolved through the
     manifest and the fold policy applied after a clean drain: resolve
@@ -479,7 +487,10 @@ def run_managed_near_dup_drain(
             "max_band_bucket", MINHASH_MAX_BAND_BUCKET
         ),
     )
-    fold_if_due(spark, manifest_root, out_root, fold_threshold_bytes)
+    fold_if_due(
+        spark, manifest_root, out_root, fold_threshold_bytes,
+        gc_keep=gc_keep,
+    )
     # re-plan the sink read AFTER the policy ran: a compaction rewrote
     # the sink's files, and the drain's own return captured the
     # pre-compaction listing
@@ -494,6 +505,7 @@ def run_managed_exact_drain(
     manifest_root: str,
     out_root: str,
     fold_threshold_bytes: int = FOLD_THRESHOLD_BYTES,
+    gc_keep: int | None = None,
 ) -> DataFrame:
     """The exact-fingerprint twin of ``run_managed_near_dup_drain`` over
     ``run_exact_probe_stream`` (same resolve -> sweep -> drain ->
@@ -508,7 +520,10 @@ def run_managed_exact_drain(
         out_root,
         seen_subdir=os.path.basename(_ledger_dir(entry, out_root)),
     )
-    fold_if_due(spark, manifest_root, out_root, fold_threshold_bytes)
+    fold_if_due(
+        spark, manifest_root, out_root, fold_threshold_bytes,
+        gc_keep=gc_keep,
+    )
     # fresh post-compaction listing (see run_managed_near_dup_drain)
     return _read_batched(
         spark,

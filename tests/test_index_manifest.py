@@ -511,14 +511,16 @@ def test_gc_index_generations(spark, tmp_path):
         staging = str(tmp_path / "staging")
         out = str(tmp_path / "out")
         stage_ordered_files([delta], staging)
+        # gc_keep=1: the managed drain's fold policy reclaims superseded
+        # generations itself — the full self-operating maintenance loop
         run_managed_exact_drain(
-            spark, staging, mroot, out, fold_threshold_bytes=1
+            spark, staging, mroot, out, fold_threshold_bytes=1, gc_keep=1
         )
         assert current_index_entry(spark, mroot)["generation"] == 2
+        assert not fs_exists(spark, path)  # bootstrap gen reclaimed
 
         dropped = gc_index_generations(spark, mroot, keep=1)
-        assert dropped == [name]
-        assert not fs_exists(spark, path)
+        assert dropped == []  # already clean — policy gc is idempotent
         # the current generation still reads
         cur = current_index_entry(spark, mroot)["name"]
         assert spark.table(cur).count() > 0

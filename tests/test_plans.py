@@ -125,6 +125,14 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         # phases.
         "near_dup_fold_drain",
         "incremental_dedup_fold_drain",
+        # Reviewed round 13: the managed (manifest + fold policy) twins
+        # of the fold gates — identical probe code paths
+        # (run_near_dup_probe_stream / run_exact_probe_stream), so every
+        # micro-batch carries the same in-stream structural
+        # zero-index-shuffle audit on BOTH sides of the policy-run fold;
+        # stricter than this sweep, like their manual twins.
+        "near_dup_managed_drain",
+        "incremental_dedup_managed_drain",
     }
     assert {n for n in QUERIES if n.endswith("_drain")} <= streaming_drains, (
         "new *_drain query must be explicitly reviewed and added to the "

@@ -668,9 +668,18 @@ def test_decontaminate_stream_drain_matches_batch_and_audit_trips(
             [corpus.filter(F.col("doc_id") % 2 == r) for r in range(2)],
             staging,
         )
+        # compact_sink_bytes: the decon drain's post-completion sink
+        # maintenance (no fold point exists — the suite is static);
+        # equality below doubles as the value-neutrality certificate
         got = run_decontaminate_stream(
-            spark, staging, name, str(tmp_path / "out"), threshold=0.15
+            spark, staging, name, str(tmp_path / "out"), threshold=0.15,
+            compact_sink_bytes=128 * 1024 * 1024,
         )
+        import glob as _glob
+
+        assert _glob.glob(
+            str(tmp_path / "out" / "pairs" / "__batch_id=-1")
+        ), "decon sink not compacted to the base partition"
         want = decontaminate(corpus, bench, "doc_id", "text", threshold=0.15)
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())

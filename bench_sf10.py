@@ -240,6 +240,21 @@ RATIO_NOTES = {
         "25-doc index — the same irreducible single pass as the batch "
         "form, paid in thirds"
     ),
+    "near_dup_managed_drain": (
+        "everything near_dup_fold_drain pays (two bucketed index saves, "
+        "two stream invocations, audited probes) PLUS manifest init, "
+        "the policy's pointer CAS, and post-fold compaction of BOTH "
+        "pair sinks — the self-operating twin is the heaviest cell "
+        "family by design; its sf0.1 denominator is first-cell "
+        "cold-inflated in the r13 record (bench.py same-HEAD: 15.0s), "
+        "so the low ratio is optics, the sf10 wall (~52s) matches its "
+        "manual twin"
+    ),
+    "incremental_dedup_managed_drain": (
+        "incremental_dedup_fold_drain plus manifest resolve/CAS and "
+        "policy sink compaction — per-invocation constant, exact twin "
+        "of the managed near-dup cell"
+    ),
 }
 
 # Same exclusions (and reasons) as bench_sf1.py: these queries measure a

@@ -403,6 +403,14 @@ def save_ivf_index(
     spark.createDataFrame(
         rows, "cluster int, centroid array<double>"
     ).repartition(1).write.parquet(os.path.join(path, "centroids"))
+    # maintenance meta: how many rows the quantizer was TRAINED on vs
+    # appended assign-only since (ivf_insert) — feeds ivf_retrain_due.
+    # Counted from the WRITTEN parquet (footer row counts, no recompute
+    # of the assignment UDF pipeline).
+    trained = spark.read.parquet(os.path.join(path, "assignments")).count()
+    _write_ivf_meta(
+        spark, path, {"trained_rows": trained, "inserted_rows": 0}
+    )
 
 
 def load_ivf_index(spark, path: str) -> IvfIndex:
@@ -416,6 +424,126 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     return IvfIndex(
         assignments=spark.read.parquet(os.path.join(path, "assignments")),
         centroids=[list(r.centroid) for r in cents],
+    )
+
+
+def _ivf_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "META.json")
+
+
+def _read_ivf_meta(spark, path: str) -> dict | None:
+    from bigdatapipelne_spark.sources.io import hadoop_fs
+
+    fs, hpath = hadoop_fs(spark, _ivf_meta_path(path))
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    import json
+
+    return json.loads(txt)
+
+
+def _write_ivf_meta(spark, path: str, meta: dict) -> None:
+    import json
+    import os
+
+    from bigdatapipelne_spark.sources.io import hadoop_fs
+
+    tmp = os.path.join(path, f".META_{os.getpid()}.tmp")
+    fs, htmp = hadoop_fs(spark, tmp)
+    out = fs.create(htmp, True)
+    try:
+        out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
+    finally:
+        out.close()
+    _, hdst = hadoop_fs(spark, _ivf_meta_path(path))
+    fs.delete(hdst, False)  # single-maintainer contract (see ivf_insert)
+    if not fs.rename(htmp, hdst):
+        raise IOError(f"could not update IVF meta at {path}")
+
+
+def ivf_insert(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> int:
+    """ASSIGN-ONLY extension of a persisted IVF index — the maintenance
+    path a billion-vector inverted file actually runs between retrains:
+    each arriving vector is quantized to its nearest EXISTING centroid
+    (one Arrow matmul against the broadcast centroid table — centroids
+    are driver-bounded by MAX_CENTROIDS, so the batch never joins the
+    corpus) and appended into the partitioned inverted file, touching
+    only the batch's own cluster partitions (new files beside the
+    existing ones — ``partitionBy`` append never rewrites a partition).
+    Per-insert cost is O(|batch| x n_centroids); the standing corpus is
+    never read, let alone rescanned or re-shuffled.
+
+    Centroids are deliberately NOT moved: an insert that re-trained
+    would invalidate every existing assignment (a full-index rewrite).
+    The price is quantization drift — inserted vectors land in cells
+    trained without them — which is why the meta file counts inserts:
+    ``ivf_retrain_due`` turns the drift into a policy signal, and the
+    certificate gate (ivf_insert_topk_recall) pins the recall of an
+    index HALF of whose vectors arrived by insert. Not concurrent-safe
+    on the meta file by design (single maintenance writer — the
+    index_manifest posture); the data append itself is just files.
+
+    Returns the number of vectors inserted."""
+    import os
+
+    cents = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    centroids = [list(r.centroid) for r in cents]
+    assigned = (
+        new_vectors.select(
+            F.col(id_col), _normalized(vec_col).alias("vn")
+        )
+        .withColumn("cluster", _cell_scores_udf(centroids, 1)(F.col("vn")))
+    )
+    n = assigned.count()
+    (
+        assigned.repartition(F.col("cluster"))
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "assignments"))
+    )
+    meta = _read_ivf_meta(spark, path)
+    if meta is not None:
+        meta["inserted_rows"] = meta.get("inserted_rows", 0) + n
+        _write_ivf_meta(spark, path, meta)
+    return n
+
+
+def ivf_retrain_due(spark, path: str, factor: float = 0.5) -> bool:
+    """The retrain policy signal: True once assign-only inserts since
+    the last training pass reach ``factor`` of the trained row count —
+    at that point the quantizer was fit on too small a fraction of the
+    index and a ``build_ivf_index`` + ``save_ivf_index`` refresh (under
+    an index_manifest generation, if managed) is due. Requires the meta
+    file ``save_ivf_index`` writes; raises on a pre-meta layout so the
+    caller re-saves rather than trusting a silent False."""
+    meta = _read_ivf_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"IVF index at {path} has no META.json (saved before insert "
+            "support) — re-save it with save_ivf_index to enable the "
+            "retrain policy"
+        )
+    return meta.get("inserted_rows", 0) >= factor * max(
+        meta["trained_rows"], 1
     )
 
 

@@ -710,7 +710,14 @@ _GATE_PRIORITY = [
     # unchanged; TPC-H stays anchored by q21_waiting_orders and the
     # analytics surface in-gate). Its slot seats ann_topk_recall, churned
     # by the SRP arrow hasher (srp_bucket_ann hashing path).
-    "ann_topk_recall",
+    # ROUND 13 — ann_topk_recall rotates out (r12 green, SRP path
+    # unchanged this round; the ANN certificate family stays anchored
+    # in-gate by embedding_ann_recall, ivfpq_topk_recall and both IVF
+    # certs). Its slot seats ivf_insert_topk_recall, the NEW incremental
+    # IVF maintenance certificate: half the corpus arrives assign-only
+    # via ivf_insert, recall floor vs the exact twin + the in-gate
+    # ivf_retrain_due policy trip.
+    "ivf_insert_topk_recall",
     # ROUND 9 — doc_char_entropy rotates out (r08 green, code unchanged;
     # the text family stays anchored by text_stats + doc_repetition
     # in-gate). Its slot seats near_dup_clusters_pd, churned by the

@@ -1519,3 +1519,76 @@ def test_cap_bound_containment_direction(spark):
     assert not any(d == 1002 for d, _ in p_nofold)
     # and the cold group's pairs survive every regime
     assert (1001, 10) in p_folded and (1001, 110) in p_folded
+
+
+def test_ivf_insert_bounded_maintenance_and_retrain_policy(spark, tmp_path):
+    """ivf_insert (the assign-only incremental path): inserted vectors
+    are served from the extended index; untouched cluster partitions'
+    files are BYTE-IDENTICAL after the insert (per-insert cost touches
+    only the batch's own cells — the bounded-maintenance property);
+    ivf_retrain_due stays quiet under a small insert, trips past the
+    factor, and raises on a pre-meta layout instead of silently lying."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    import pytest as _pytest
+
+    from bigdatapipelne_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_insert,
+        ivf_query_topk,
+        ivf_retrain_due,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    ix = build_ivf_index(base, "vec_id", "embedding", n_centroids=8, iters=1)
+    root = str(tmp_path / "ivf")
+    save_ivf_index(ix, "vec_id", root)
+
+    def file_hashes():
+        out = {}
+        for p in sorted(
+            _glob.glob(os.path.join(root, "assignments", "cluster=*", "*.parquet"))
+        ):
+            out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    before = file_hashes()
+    assert not ivf_retrain_due(spark, root)  # nothing inserted yet
+
+    # small insert: one vector -> exactly one cluster partition gains a
+    # file, every pre-existing file byte-identical
+    one = emb.filter(F.col("vec_id") % 2 == 1).limit(1)
+    assert ivf_insert(spark, root, one, "vec_id", "embedding") == 1
+    after = file_hashes()
+    assert set(before) <= set(after)
+    assert all(after[p] == h for p, h in before.items()), (
+        "insert rewrote an untouched partition file"
+    )
+    assert len(set(after) - set(before)) == 1
+    assert not ivf_retrain_due(spark, root)  # 1 row << factor * trained
+
+    # the inserted vector is served: a same-embedding query finds it
+    qid_row = one.first()
+    probe = one.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    got = ivf_query_topk(
+        probe, load_ivf_index(spark, root), "vec_id", "embedding",
+        k=1, n_probe=1,
+    )
+    assert [r.neighbor_id for r in got.collect()] == [qid_row.vec_id]
+
+    # bulk insert (~100% of trained) trips the policy
+    rest = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") != qid_row.vec_id))
+    ivf_insert(spark, root, rest, "vec_id", "embedding")
+    assert ivf_retrain_due(spark, root)
+
+    # pre-meta layout: loud, not a silent False
+    os.remove(os.path.join(root, "META.json"))
+    with _pytest.raises(ValueError, match="no META.json"):
+        ivf_retrain_due(spark, root)

@@ -434,40 +434,38 @@ def _ivf_meta_path(path: str) -> str:
 
 
 def _read_ivf_meta(spark, path: str) -> dict | None:
-    from bigdatapipelne_spark.sources.io import hadoop_fs
+    from bigdatapipelne_spark.sources.io import read_small_json
 
-    fs, hpath = hadoop_fs(spark, _ivf_meta_path(path))
-    if not fs.exists(hpath):
-        return None
-    stream = fs.open(hpath)
-    try:
-        txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
-    import json
-
-    return json.loads(txt)
+    return read_small_json(spark, _ivf_meta_path(path))
 
 
 def _write_ivf_meta(spark, path: str, meta: dict) -> None:
-    import json
     import os
 
-    from bigdatapipelne_spark.sources.io import hadoop_fs
+    from bigdatapipelne_spark.sources.io import hadoop_fs, write_small_json
 
-    tmp = os.path.join(path, f".META_{os.getpid()}.tmp")
-    fs, htmp = hadoop_fs(spark, tmp)
-    out = fs.create(htmp, True)
-    try:
-        out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
-    finally:
-        out.close()
-    _, hdst = hadoop_fs(spark, _ivf_meta_path(path))
-    fs.delete(hdst, False)  # single-maintainer contract (see ivf_insert)
-    if not fs.rename(htmp, hdst):
+    # overwrite semantics (single maintenance writer — see ivf_insert):
+    # pre-delete the destination, then the shared temp-then-rename
+    # writer publishes the new content atomically
+    fs, hdst = hadoop_fs(spark, _ivf_meta_path(path))
+    fs.delete(hdst, False)
+    if not write_small_json(
+        spark, _ivf_meta_path(path), meta, f".META_{os.getpid()}.tmp"
+    ):
         raise IOError(f"could not update IVF meta at {path}")
+
+
+def init_ivf_meta(spark, path: str) -> dict:
+    """Adopt a pre-meta index layout into the maintenance policy: write
+    a fresh META counting the CURRENT inverted file as the trained
+    baseline (footer row counts — no recompute). The followable remedy
+    ``ivf_insert`` / ``ivf_retrain_due`` name when META is missing."""
+    import os
+
+    trained = spark.read.parquet(os.path.join(path, "assignments")).count()
+    meta = {"trained_rows": trained, "inserted_rows": 0}
+    _write_ivf_meta(spark, path, meta)
+    return meta
 
 
 def ivf_insert(
@@ -497,10 +495,27 @@ def ivf_insert(
     index HALF of whose vectors arrived by insert. Not concurrent-safe
     on the meta file by design (single maintenance writer — the
     index_manifest posture); the data append itself is just files.
+    Raises on a pre-meta layout (run ``init_ivf_meta`` once to adopt
+    it) — silently skipping the count would make these inserts
+    permanently invisible to the retrain policy.
 
-    Returns the number of vectors inserted."""
+    Returns the number of vectors inserted, counted from the WRITTEN
+    parquet footers (before/after delta): the assignment pipeline is
+    evaluated exactly ONCE — by the write — so a nondeterministic
+    input batch (.sample(), unordered .limit()) can never make the
+    recorded count diverge from the rows actually appended, and no
+    second Arrow pass is paid."""
     import os
 
+    meta = _read_ivf_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"IVF index at {path} has no META.json (saved before insert "
+            "support) — run init_ivf_meta(spark, path) once to adopt the "
+            "current contents as the trained baseline"
+        )
+    apath = os.path.join(path, "assignments")
+    before = spark.read.parquet(apath).count()  # footer counts, cheap
     cents = (
         spark.read.parquet(os.path.join(path, "centroids"))
         .orderBy("cluster")
@@ -513,17 +528,15 @@ def ivf_insert(
         )
         .withColumn("cluster", _cell_scores_udf(centroids, 1)(F.col("vn")))
     )
-    n = assigned.count()
     (
         assigned.repartition(F.col("cluster"))
         .write.mode("append")
         .partitionBy("cluster")
-        .parquet(os.path.join(path, "assignments"))
+        .parquet(apath)
     )
-    meta = _read_ivf_meta(spark, path)
-    if meta is not None:
-        meta["inserted_rows"] = meta.get("inserted_rows", 0) + n
-        _write_ivf_meta(spark, path, meta)
+    n = spark.read.parquet(apath).count() - before
+    meta["inserted_rows"] = meta.get("inserted_rows", 0) + n
+    _write_ivf_meta(spark, path, meta)
     return n
 
 
@@ -531,16 +544,17 @@ def ivf_retrain_due(spark, path: str, factor: float = 0.5) -> bool:
     """The retrain policy signal: True once assign-only inserts since
     the last training pass reach ``factor`` of the trained row count —
     at that point the quantizer was fit on too small a fraction of the
-    index and a ``build_ivf_index`` + ``save_ivf_index`` refresh (under
-    an index_manifest generation, if managed) is due. Requires the meta
-    file ``save_ivf_index`` writes; raises on a pre-meta layout so the
-    caller re-saves rather than trusting a silent False."""
+    index and a ``build_ivf_index`` + ``save_ivf_index`` refresh (to a
+    fresh path; under an index_manifest generation, if managed) is due.
+    Requires the meta file ``save_ivf_index`` writes; raises on a
+    pre-meta layout so the caller adopts it (``init_ivf_meta``) rather
+    than trusting a silent False."""
     meta = _read_ivf_meta(spark, path)
     if meta is None:
         raise ValueError(
             f"IVF index at {path} has no META.json (saved before insert "
-            "support) — re-save it with save_ivf_index to enable the "
-            "retrain policy"
+            "support) — run init_ivf_meta(spark, path) once to adopt the "
+            "current contents as the trained baseline"
         )
     return meta.get("inserted_rows", 0) >= factor * max(
         meta["trained_rows"], 1

@@ -243,6 +243,55 @@ def fs_rmtree(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def read_small_json(spark: SparkSession, path: str) -> dict | None:
+    """Read a small driver-side JSON control file through the Hadoop FS
+    API (manifest entries, index maintenance meta); ``None`` when
+    absent. One audited implementation for every control-file reader —
+    the scheme-aware twin of ``json.load(open(...))``."""
+    import json
+
+    fs, hpath = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
+def write_small_json(
+    spark: SparkSession, path: str, obj: dict, tmp_name: str
+) -> bool:
+    """Write a small JSON control file as temp-then-rename: the full
+    content lands in ``tmp_name`` (a hidden sibling) first, then ONE
+    rename publishes it — on HDFS and the local scheme a rename onto an
+    existing destination returns False instead of overwriting, which
+    makes the rename a CAS claim. Returns the rename's outcome with the
+    temp deleted on failure; the caller owns failure policy (raise a
+    conflict, or pre-delete the destination for overwrite semantics).
+    Content is never observable half-written."""
+    import json
+    import os
+
+    fs, hpath = hadoop_fs(spark, path)
+    fs.mkdirs(hpath.getParent())
+    tmp = os.path.join(os.path.dirname(path) or ".", tmp_name)
+    _, htmp = hadoop_fs(spark, tmp)
+    out = fs.create(htmp, True)
+    try:
+        out.write(bytearray(json.dumps(obj, sort_keys=True).encode()))
+    finally:
+        out.close()
+    if not fs.rename(htmp, hpath):
+        fs.delete(htmp, False)
+        return False
+    return True
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

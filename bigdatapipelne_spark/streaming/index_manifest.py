@@ -68,7 +68,6 @@ ledger (``_check_out_root``).
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,6 +78,8 @@ from bigdatapipelne_spark.sources.io import (
     fs_rmtree,
     hadoop_fs,
     pid_alive,
+    read_small_json,
+    write_small_json,
 )
 from bigdatapipelne_spark.streaming.dedup_stream import (
     PROBE_EXCHANGE_BUDGET,
@@ -120,24 +121,17 @@ def _entry_name(gen: int) -> str:
 
 
 def _write_entry(spark: SparkSession, manifest_root: str, entry: dict) -> None:
-    """CAS-claim ``gen_{N}.json``: full content lands in a hidden temp
-    file first, then one rename claims the numbered slot (fails, not
-    overwrites, when the slot is taken — HDFS and local verified)."""
-    fs, hroot = hadoop_fs(spark, manifest_root)
-    fs.mkdirs(hroot)
-    payload = json.dumps(entry, sort_keys=True).encode()
-    tmp = os.path.join(manifest_root, f".tmp_{os.getpid()}_{entry['generation']}")
-    _, htmp = hadoop_fs(spark, tmp)
-    out = fs.create(htmp, True)
-    try:
-        out.write(bytearray(payload))
-    finally:
-        out.close()
-    _, hdst = hadoop_fs(
-        spark, os.path.join(manifest_root, _entry_name(entry["generation"]))
+    """CAS-claim ``gen_{N}.json``: the shared temp-then-rename writer
+    (``sources/io.write_small_json``) — the rename fails, not
+    overwrites, when the slot is taken (HDFS and local verified), so a
+    False return IS the lost claim."""
+    ok = write_small_json(
+        spark,
+        os.path.join(manifest_root, _entry_name(entry["generation"])),
+        entry,
+        f".tmp_{os.getpid()}_{entry['generation']}",
     )
-    if not fs.rename(htmp, hdst):
-        fs.delete(htmp, False)
+    if not ok:
         raise ConcurrentFoldError(
             f"generation {entry['generation']} already claimed in "
             f"{manifest_root} — another fold committed first; re-resolve "
@@ -158,17 +152,14 @@ def _list_generations(spark: SparkSession, manifest_root: str) -> list[int]:
 
 
 def _read_entry(spark: SparkSession, manifest_root: str, gen: int) -> dict:
-    fs, hpath = hadoop_fs(
+    entry = read_small_json(
         spark, os.path.join(manifest_root, _entry_name(gen))
     )
-    stream = fs.open(hpath)
-    try:
-        txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
+    if entry is None:
+        raise FileNotFoundError(
+            f"manifest entry {_entry_name(gen)} missing in {manifest_root}"
         )
-    finally:
-        stream.close()
-    return json.loads(txt)
+    return entry
 
 
 def init_index_manifest(
@@ -533,21 +524,34 @@ def run_managed_exact_drain(
 
 
 def gc_index_generations(
-    spark: SparkSession, manifest_root: str, keep: int = 1
+    spark: SparkSession,
+    manifest_root: str,
+    keep: int = 1,
+    include_bootstrap: bool = False,
 ) -> list[str]:
-    """Drop the catalog tables + directories of superseded generations,
-    keeping the newest ``keep`` readable (size ``keep`` to cover the
-    longest-running reader — the store.py GC discipline). Entry files
-    stay as history; the generation's tables and data go. Returns the
-    dropped generations' names. The BOOTSTRAP generation's tables are
-    dropped too once superseded past ``keep`` — its layout was consumed
-    by the first fold."""
+    """Drop the catalog tables + directories of superseded FOLD-CREATED
+    generations, keeping the newest ``keep`` readable (size ``keep`` to
+    cover the longest-running reader — the store.py GC discipline).
+    Entry files stay as history; the generation's tables and data go.
+    Returns the dropped generations' names.
+
+    The BOOTSTRAP generation (entry name == base name) is NEVER
+    reclaimed by default: the supported sharing pattern is several
+    manifests initialized against ONE bootstrap index, and the token
+    naming that makes fold-created generations manifest-private does
+    not protect the shared bootstrap — an automatic drop here would
+    silently destroy another pipeline's current index (a policy-run
+    ``gc_keep`` must stay safe under sharing). Pass
+    ``include_bootstrap=True`` only from an operator context that KNOWS
+    no other manifest references it."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     gens = _list_generations(spark, manifest_root)
     dropped = []
     for g in gens[:-keep]:
         entry = _read_entry(spark, manifest_root, g)
+        if entry["name"] == entry["base_name"] and not include_bootstrap:
+            continue  # shared-by-design; manual reclamation only
         if fs_exists(spark, entry["path"]):
             _clear_generation(spark, entry)
             dropped.append(entry["name"])

@@ -481,8 +481,11 @@ def test_near_dup_ledger_guard_trips(spark, tmp_path):
 
 
 def test_gc_index_generations(spark, tmp_path):
-    """Superseded generations' tables + dirs are reclaimed; the newest
-    `keep` stay readable."""
+    """Superseded FOLD-CREATED generations are reclaimed (by the policy
+    gc_keep and by manual calls); the BOOTSTRAP generation is never
+    auto-reclaimed — it may be shared by other manifests, which the
+    token naming protects only for fold-created generations — and goes
+    only under the explicit include_bootstrap operator flag."""
     from bigdatapipelne_spark.operators.dedup import (
         build_fingerprint_index,
         save_fingerprint_index,
@@ -494,11 +497,15 @@ def test_gc_index_generations(spark, tmp_path):
         init_index_manifest,
         run_managed_exact_drain,
     )
-    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+    from bigdatapipelne_spark.streaming.scd import (
+        stage_one_more_file,
+        stage_ordered_files,
+    )
 
     docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     delta = docs.filter(F.col("doc_id") % 3 == 0).limit(3)
+    delta2 = docs.filter(F.col("doc_id") % 3 == 0).limit(9).subtract(delta)
 
     name = "fp_gc_t"
     try:
@@ -512,20 +519,39 @@ def test_gc_index_generations(spark, tmp_path):
         out = str(tmp_path / "out")
         stage_ordered_files([delta], staging)
         # gc_keep=1: the managed drain's fold policy reclaims superseded
-        # generations itself — the full self-operating maintenance loop
+        # generations itself — but NOT the shared-by-design bootstrap
         run_managed_exact_drain(
             spark, staging, mroot, out, fold_threshold_bytes=1, gc_keep=1
         )
-        assert current_index_entry(spark, mroot)["generation"] == 2
-        assert not fs_exists(spark, path)  # bootstrap gen reclaimed
+        gen2 = current_index_entry(spark, mroot)
+        assert gen2["generation"] == 2
+        assert fs_exists(spark, path)  # bootstrap survives policy gc
+        assert gc_index_generations(spark, mroot, keep=1) == []
 
-        dropped = gc_index_generations(spark, mroot, keep=1)
-        assert dropped == []  # already clean — policy gc is idempotent
+        # a second fold makes gen 2 (fold-created, manifest-private)
+        # superseded: the policy gc reclaims IT
+        stage_one_more_file(delta2, staging)
+        run_managed_exact_drain(
+            spark, staging, mroot, out, fold_threshold_bytes=1, gc_keep=1
+        )
+        assert current_index_entry(spark, mroot)["generation"] == 3
+        assert not spark.catalog.tableExists(gen2["name"])
+        assert not fs_exists(spark, gen2["path"])
+        assert fs_exists(spark, path)  # bootstrap STILL survives
+
+        # operator-context reclamation: include_bootstrap drops it
+        dropped = gc_index_generations(
+            spark, mroot, keep=1, include_bootstrap=True
+        )
+        assert dropped == [name]
+        assert not fs_exists(spark, path)
         # the current generation still reads
         cur = current_index_entry(spark, mroot)["name"]
         assert spark.table(cur).count() > 0
         # idempotent
-        assert gc_index_generations(spark, mroot, keep=1) == []
+        assert gc_index_generations(
+            spark, mroot, keep=1, include_bootstrap=True
+        ) == []
     finally:
         _drop_gens(spark, name)
 

@@ -99,9 +99,12 @@ from bigdatapipelne_spark.streaming.dedup_stream import (
 # policy-run stream folds long before a guard can trip.
 FOLD_THRESHOLD_BYTES = 128 * 1024 * 1024
 
-_KINDS = ("near_dup", "fingerprint")
+_KINDS = ("near_dup", "fingerprint", "ivf")
 # which batched sinks each drain kind accumulates under out_root — the
-# post-fold maintenance sweep compacts these (round-12 verdict #4)
+# post-fold maintenance sweep compacts these (round-12 verdict #4).
+# The ivf kind has no drain, ledger, or sinks: its "fold" is a
+# quantizer RETRAIN (ivf_refresh_if_due) and its policy input is the
+# index's own insert meta, not a ledger directory.
 _SINKS = {"near_dup": ("corpus_pairs", "delta_pairs"), "fingerprint": ("classified",)}
 _LEDGER_PREFIX = {"near_dup": "ledger_g", "fingerprint": "seen_g"}
 
@@ -170,10 +173,13 @@ def init_index_manifest(
     path: str,
     n_buckets: int = 32,
     max_band_bucket: int | None = MINHASH_MAX_BAND_BUCKET,
+    ivf_params: dict | None = None,
 ) -> dict:
     """Write generation 1 pointing at an ALREADY-SAVED bootstrap index
     (``save_near_dup_index`` / ``save_fingerprint_index`` layout under
-    catalog name ``name`` at ``path``). Later generations live at
+    catalog name ``name`` at ``path``; for kind ``ivf`` a
+    ``save_ivf_index`` layout, where ``name`` is a label — the IVF
+    index is path-addressed). Later generations live at
     sibling dirs ``<path>_m{token}_g{N}p{pid}`` with catalog names
     ``<name>_m{token}_g{N}p{pid}`` — siblings, never nested inside a live table's
     location (the round-12 advisor's nested-'folded' finding).
@@ -216,6 +222,20 @@ def init_index_manifest(
     }
     if kind == "near_dup":
         entry["max_band_bucket"] = max_band_bucket
+    if kind == "ivf":
+        # config fidelity for retrains (the max_band_bucket lesson): the
+        # quantizer refresh must replay the bootstrap's OWN parameters,
+        # never silently revert to defaults
+        if not ivf_params or "id_col" not in ivf_params:
+            raise ValueError(
+                "kind='ivf' needs ivf_params with at least id_col "
+                "(plus the build's n_centroids/iters for refresh fidelity)"
+            )
+        entry["ivf"] = {
+            "id_col": ivf_params["id_col"],
+            "n_centroids": ivf_params.get("n_centroids"),
+            "iters": ivf_params.get("iters", 2),
+        }
     _write_entry(spark, manifest_root, entry)
     return entry
 
@@ -397,6 +417,12 @@ def fold_if_due(
     size it to cover the longest-running reader, the store.py VACUUM
     discipline; ``None`` leaves GC a manual step)."""
     entry = current_index_entry(spark, manifest_root)
+    if entry["kind"] == "ivf":
+        raise ValueError(
+            "fold_if_due is the dedup drains' policy; an ivf manifest's "
+            "maintenance step is a quantizer retrain — use "
+            "ivf_refresh_if_due"
+        )
     _check_out_root(entry, out_root, manifest_root)
     ledger = _ledger_dir(entry, out_root)
     if _dir_bytes(spark, ledger) < fold_threshold_bytes:
@@ -463,6 +489,11 @@ def run_managed_near_dup_drain(
     gate query (``near_dup_managed_drain``) replays the exact manual
     sequence ``near_dup_fold_drain`` certifies, under the same oracle."""
     entry = current_index_entry(spark, manifest_root)
+    if entry["kind"] != "near_dup":
+        raise ValueError(
+            f"manifest {manifest_root} holds a {entry['kind']} index, "
+            "not a near_dup one"
+        )
     _check_out_root(entry, out_root, manifest_root)
     _sweep_stale_ledgers(spark, entry, out_root)
     run_near_dup_probe_stream(
@@ -502,6 +533,11 @@ def run_managed_exact_drain(
     ``run_exact_probe_stream`` (same resolve -> sweep -> drain ->
     fold-if-due sequence; gate: ``incremental_dedup_managed_drain``)."""
     entry = current_index_entry(spark, manifest_root)
+    if entry["kind"] != "fingerprint":
+        raise ValueError(
+            f"manifest {manifest_root} holds a {entry['kind']} index, "
+            "not a fingerprint one"
+        )
     _check_out_root(entry, out_root, manifest_root)
     _sweep_stale_ledgers(spark, entry, out_root)
     run_exact_probe_stream(
@@ -521,6 +557,65 @@ def run_managed_exact_drain(
         os.path.join(out_root, "classified"),
         "doc_id long, status string",
     )
+
+
+def ivf_refresh_if_due(
+    spark: SparkSession,
+    manifest_root: str,
+    factor: float = 0.5,
+    gc_keep: int | None = None,
+) -> dict | None:
+    """The IVF manifest's maintenance policy — the vector-index analog
+    of ``fold_if_due``, with retrain in place of fold: once assign-only
+    inserts (``operators/similarity.ivf_insert``) reach ``factor`` of
+    the trained row count (``ivf_retrain_due``), rebuild the quantizer
+    FROM THE INVERTED FILE ITSELF — the assignments already hold every
+    vector L2-normalized, so the retrain reads fixed-width (id, vn)
+    rows and never touches the original corpus — save the refreshed
+    index as the next generation (siblings of the bootstrap path,
+    token+pid named), and CAS-advance the pointer. Returns the new
+    entry, or ``None`` when no retrain is due.
+
+    Crash-safety mirrors the fold exactly: the new generation's
+    directory is unreferenced until the CAS (the commit point); a
+    crash before it leaves the old pointer fully intact — the
+    "ledger" here IS the old generation's assignments, carried whole
+    into the rebuild — and the orphaned build is reclaimed by the next
+    refresh's dead-pid sweep. Config fidelity: the rebuild replays the
+    n_centroids/iters recorded at init, never silent defaults. Same
+    single-maintenance-host contract as the fold (the sweep's pid
+    liveness is host-local)."""
+    import os
+
+    from bigdatapipelne_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_retrain_due,
+        save_ivf_index,
+    )
+
+    entry = current_index_entry(spark, manifest_root)
+    if entry["kind"] != "ivf":
+        raise ValueError(
+            f"manifest {manifest_root} holds a {entry['kind']} index — "
+            "ivf_refresh_if_due maintains ivf manifests only"
+        )
+    if not ivf_retrain_due(spark, entry["path"], factor):
+        return None
+    nxt = _next_generation(entry)
+    _sweep_dead_fold_leftovers(spark, manifest_root, entry)
+    p = entry["ivf"]
+    asg = spark.read.parquet(
+        os.path.join(entry["path"], "assignments")
+    ).select(p["id_col"], "vn")
+    ix = build_ivf_index(
+        asg, p["id_col"], "vn",
+        n_centroids=p["n_centroids"], iters=p["iters"],
+    )
+    save_ivf_index(ix, p["id_col"], nxt["path"])
+    _write_entry(spark, manifest_root, nxt)  # the commit point (CAS)
+    if gc_keep is not None:
+        gc_index_generations(spark, manifest_root, keep=gc_keep)
+    return nxt
 
 
 def gc_index_generations(

@@ -612,3 +612,82 @@ def test_manifest_bound_to_one_pipeline(spark, tmp_path):
         assert got.count() > 0
     finally:
         _drop_gens(spark, name)
+
+
+def test_ivf_manifest_refresh_rotates_on_drift(spark, tmp_path):
+    """The manifest's third kind: an IVF index under the same pointer
+    pattern, with quantizer RETRAIN as the maintenance step. Inserts
+    below the drift factor leave the pointer alone; past it,
+    ivf_refresh_if_due rebuilds the quantizer FROM THE INVERTED FILE
+    (no corpus rescan), saves generation 2 as a sibling, CAS-advances,
+    resets the drift meta, and the rotated index serves the inserted
+    vectors. The dedup policies and drains refuse an ivf manifest (and
+    vice versa) instead of misreading it."""
+    from bigdatapipelne_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_insert,
+        ivf_query_topk,
+        ivf_retrain_due,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        current_index_entry,
+        fold_if_due,
+        init_index_manifest,
+        ivf_refresh_if_due,
+        run_managed_exact_drain,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+
+    path = str(tmp_path / "ivf")
+    ix = build_ivf_index(base, "vec_id", "embedding", n_centroids=8, iters=1)
+    save_ivf_index(ix, "vec_id", path)
+    mroot = str(tmp_path / "manifest")
+
+    # config fidelity is mandatory at init
+    with pytest.raises(ValueError, match="ivf_params"):
+        init_index_manifest(spark, str(tmp_path / "m0"), "ivf", "ivf_ix", path)
+    init_index_manifest(
+        spark, mroot, "ivf", "ivf_ix", path,
+        ivf_params={"id_col": "vec_id", "n_centroids": 8, "iters": 1},
+    )
+
+    # nothing inserted -> no refresh due
+    assert ivf_refresh_if_due(spark, mroot) is None
+    assert current_index_entry(spark, mroot)["generation"] == 1
+
+    # bulk insert (~100% of trained) -> refresh rotates to generation 2
+    ivf_insert(spark, path, delta, "vec_id", "embedding")
+    nxt = ivf_refresh_if_due(spark, mroot)
+    assert nxt is not None and nxt["generation"] == 2
+    entry = current_index_entry(spark, mroot)
+    assert entry["path"].startswith(path + "_m")
+    # refreshed baseline: drift meter reset, trained = full population
+    assert not ivf_retrain_due(spark, entry["path"])
+    total = load_ivf_index(spark, entry["path"]).assignments.count()
+    assert total == emb.count()
+    # idempotent: nothing more due against the fresh baseline
+    assert ivf_refresh_if_due(spark, mroot) is None
+
+    # the rotated index serves an inserted (delta-side) vector
+    one = delta.limit(1).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    target = delta.limit(1).first().vec_id
+    got = ivf_query_topk(
+        one, load_ivf_index(spark, entry["path"]), "vec_id", "embedding",
+        k=1, n_probe=1,
+    )
+    assert [r.neighbor_id for r in got.collect()] == [target]
+
+    # kind guards both ways
+    with pytest.raises(ValueError, match="ivf_refresh_if_due"):
+        fold_if_due(spark, mroot, str(tmp_path / "out"), 1)
+    with pytest.raises(ValueError, match="not a fingerprint"):
+        run_managed_exact_drain(
+            spark, str(tmp_path / "staging"), mroot, str(tmp_path / "out")
+        )

@@ -264,6 +264,7 @@ SKIP = {
     "ivf_topk_recall": "exact twin capped at TOPK_RECALL_CAP; measures the cap",
     "ivf_index_topk_recall": "exact twin capped at TOPK_RECALL_CAP; measures the cap",
     "ivf_insert_topk_recall": "exact twin capped at TOPK_RECALL_CAP; measures the cap",
+    "managed_ivf_insert_recall": "exact twin capped at TOPK_RECALL_CAP; measures the cap",
     "ivfpq_topk_recall": "exact twin capped at TOPK_RECALL_CAP; measures the cap",
     "embedding_near_dup": "O(N^2) exact all-pairs baseline",
     "embedding_ann_recall": "embeds the O(N^2) exact pair set certificate",

@@ -428,31 +428,75 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
 
 
 def _ivf_meta_path(path: str) -> str:
+    # legacy single-file location (pre numbered generations) — read-only
+    # fallback so indexes written by earlier versions keep their counters
     import os
 
     return os.path.join(path, "META.json")
 
 
+def _list_ivf_meta_gens(spark, path: str) -> list[int]:
+    from bigdatapipelne_spark.sources.io import hadoop_fs
+
+    fs, hroot = hadoop_fs(spark, path)
+    if not fs.exists(hroot):
+        return []
+    gens = []
+    for st in fs.listStatus(hroot):
+        nm = st.getPath().getName()
+        if nm.startswith("META_") and nm.endswith(".json") and nm[5:-5].isdigit():
+            gens.append(int(nm[5:-5]))
+    return sorted(gens)
+
+
 def _read_ivf_meta(spark, path: str) -> dict | None:
+    import os
+
     from bigdatapipelne_spark.sources.io import read_small_json
 
+    gens = _list_ivf_meta_gens(spark, path)
+    if gens:
+        return read_small_json(
+            spark, os.path.join(path, f"META_{gens[-1]:08d}.json")
+        )
     return read_small_json(spark, _ivf_meta_path(path))
 
 
 def _write_ivf_meta(spark, path: str, meta: dict) -> None:
+    """Numbered META generations (the index_manifest pointer discipline):
+    the new counter lands as ``META_{N+1}.json`` via the shared
+    temp-then-rename CAS writer, and only THEN are superseded
+    generations (and the legacy ``META.json``) deleted best-effort —
+    a crash at any point leaves at least one complete meta readable, so
+    the insert counter can never be lost to the old
+    delete-before-publish window (``ivf_retrain_due`` under-reporting
+    drift was the failure mode). Readers take the highest number; a
+    failed CAS means a second maintenance writer, which the meta
+    contract forbids (see ``ivf_insert``) — raise, don't guess."""
     import os
 
     from bigdatapipelne_spark.sources.io import hadoop_fs, write_small_json
 
-    # overwrite semantics (single maintenance writer — see ivf_insert):
-    # pre-delete the destination, then the shared temp-then-rename
-    # writer publishes the new content atomically
-    fs, hdst = hadoop_fs(spark, _ivf_meta_path(path))
-    fs.delete(hdst, False)
+    gens = _list_ivf_meta_gens(spark, path)
+    nxt = (gens[-1] if gens else 0) + 1
     if not write_small_json(
-        spark, _ivf_meta_path(path), meta, f".META_{os.getpid()}.tmp"
+        spark,
+        os.path.join(path, f"META_{nxt:08d}.json"),
+        meta,
+        f".META_{os.getpid()}_{nxt}.tmp",
     ):
-        raise IOError(f"could not update IVF meta at {path}")
+        raise IOError(
+            f"could not update IVF meta at {path}: generation {nxt} "
+            "already claimed — a second maintenance writer is racing this "
+            "one, which the single-writer meta contract forbids"
+        )
+    fs, _ = hadoop_fs(spark, path)
+    for g in gens:  # best-effort history cleanup, after the publish
+        fs.delete(
+            hadoop_fs(spark, os.path.join(path, f"META_{g:08d}.json"))[1],
+            False,
+        )
+    fs.delete(hadoop_fs(spark, _ivf_meta_path(path))[1], False)
 
 
 def init_ivf_meta(spark, path: str) -> dict:

@@ -299,10 +299,12 @@ def merge_spec_batch(
         # NULL dim vs an empty-string dim, or a dim value containing the
         # separator, can never collide (round-12 advisor finding). DECIMAL
         # cast to string renders deterministically; groups are few, one
-        # tiny aggregate. Note: marts whose stored signature predates this
-        # format raise on a true same-id replay instead of skipping — loud
-        # and safe; rebuild the mart or restore the checkpoint.
-        return aggregated.agg(
+        # tiny aggregate. The signature is VERSIONED ("v2:" prefix): a
+        # mart whose stored signature predates the struct format keeps
+        # its replay-skip semantics through the legacy recomputes in
+        # _legacy_sig_matches instead of raising on its first
+        # post-upgrade replay (round-13 advisor finding).
+        return "v2:" + aggregated.agg(
             F.md5(
                 F.to_json(
                     F.sort_array(
@@ -318,6 +320,35 @@ def merge_spec_batch(
                 )
             )
         ).first()[0]
+
+    def _legacy_sig_matches(aggregated: DataFrame, stored_sig: str, v2sig: str):
+        # stored signatures written before the "v2:" marker are bare
+        # md5s in one of two historical formats: the unprefixed struct
+        # form (the format's first release) or the concat_ws("|") line
+        # form before that. A genuine same-batch replay against either
+        # must stay a no-op — recompute BOTH (the struct md5 is already
+        # inside v2sig; only the line form costs one extra tiny
+        # aggregate, and only on this rare migration path).
+        if stored_sig.startswith("v2:"):
+            return False
+        if stored_sig == v2sig.removeprefix("v2:"):
+            return True
+        v1 = aggregated.agg(
+            F.md5(
+                F.to_json(
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(
+                                "|",
+                                *SPEC_DIMS,
+                                F.col("sum_valor_dec").cast("string"),
+                            )
+                        )
+                    )
+                )
+            )
+        ).first()[0]
+        return stored_sig == v1
 
     stored = None
     sig = None
@@ -336,8 +367,14 @@ def merge_spec_batch(
                         if "__batch_sig" in stored.columns
                         else None
                     )
-                    if stored_sig is None or sig == stored_sig:
+                    if (
+                        stored_sig is None
+                        or sig == stored_sig
+                        or _legacy_sig_matches(part, stored_sig, sig)
+                    ):
                         # at-least-once replay of the just-merged batch
+                        # (legacy-format stored signatures accepted via
+                        # their own recompute — no rebuild on upgrade)
                         return
                     mismatch = (
                         f"batch {batch_id} matches the stored id but not "

@@ -829,7 +829,17 @@ _GATE_PRIORITY = [
     # plus the q2/q20/q22 standing rows). Its slot seats ivf_topk_recall,
     # churned by the round-10 _dedup_and_rank_topk fusion in ivf_topk
     # (one exchange for the pair dedup + rank window instead of two).
-    "ivf_topk_recall",
+    # ROUND 14 — ivf_topk_recall rotates out (r13 green; ivf_topk itself
+    # is unchanged this round — the IVF meta/manifest edits touch only
+    # the persisted-index paths, and those re-gate below via
+    # ivf_index_topk_recall + ivf_insert_topk_recall; the IVF family
+    # stays anchored in-gate by both plus ivfpq_topk_recall). Its slot
+    # seats managed_ivf_insert_recall, the NEW managed-ingestion gate
+    # (round-13 verdict #1): run_managed_ivf_insert resolves the
+    # manifest pointer, inserts assign-only, the drift policy retrains
+    # + CAS-rotates MID-SEQUENCE, and the recall certificate is served
+    # from the post-retrain generation.
+    "managed_ivf_insert_recall",
     # incremental_near_dup re-gates for the late-round-6 minhash rework
     # (tokenize-once hash-row reuse, seeded-md5-over-shingle-hash
     # signatures — the oracle mirrors the new scheme — band-bucket cap,

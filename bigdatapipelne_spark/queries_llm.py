@@ -906,6 +906,77 @@ def ivf_insert_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_recall_certificate(emb, ann, IVF_TOPK_RECALL_FLOOR)
 
 
+@query("managed_ivf_insert_recall", oracle=_TOPK_EXACT_COUNT_SQL)
+def managed_ivf_insert_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANAGED IVF ingestion path, gate-certified (round-13 verdict
+    #1 — the vector-side twin of near_dup_managed_drain): vectors
+    arrive in batches through run_managed_ivf_insert
+    (streaming/index_manifest.py) — resolve the manifest pointer,
+    assign-only insert into the CURRENT generation, retrain policy —
+    with the drift threshold tripping MID-sequence. The bootstrap
+    quantizer is trained on a QUARTER of the corpus; three
+    quarter-batches arrive managed at factor 1.5, so batch 1 leaves the
+    pointer alone (drift 1.0), batch 2 trips the retrain (drift 2.0 —
+    the quantizer rebuilds from the inverted file itself and the
+    pointer CAS-rotates to generation 2), and batch 3 inserts into the
+    ROTATED generation without tripping again (drift 0.33) — the no-op
+    path pinned on both sides of the rotation, in-gate. The recall
+    certificate is served from the post-retrain pointer
+    (current_ivf_index), same exact-twin floor as ivf_topk_recall.
+    Reference posture: ddk_app/custom/historical.py:443-449 —
+    bookmark-driven orchestration, each invocation resuming from
+    durable state, re-expressed for the vector index."""
+    import os
+    import tempfile
+
+    from bigdatapipelne_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_topk,
+        save_ivf_index,
+    )
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        current_index_entry,
+        current_ivf_index,
+        init_index_manifest,
+        run_managed_ivf_insert,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < TOPK_RECALL_CAP)
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    ix = build_ivf_index(base, "vec_id", "embedding", n_centroids=16, iters=1)
+    tmp = tempfile.mkdtemp(prefix="ivf_mgd_")
+    root = os.path.join(tmp, "ivf")
+    save_ivf_index(ix, "vec_id", root)
+    mroot = os.path.join(tmp, "manifest")
+    init_index_manifest(
+        spark, mroot, "ivf", "ivf_mgd_ix", root,
+        ivf_params={
+            "id_col": "vec_id", "vec_col": "embedding",
+            "n_centroids": 16, "iters": 1,
+        },
+    )
+    rotated = [
+        run_managed_ivf_insert(
+            spark, mroot, emb.filter(F.col("vec_id") % 4 == r), factor=1.5
+        )["rotated"]
+        for r in (1, 2, 3)
+    ]
+    if rotated != [False, True, False]:
+        raise AssertionError(
+            f"retrain policy must trip exactly on batch 2, got {rotated}"
+        )
+    entry = current_index_entry(spark, mroot)
+    if entry["generation"] != 2 or entry["path"] == root:
+        raise AssertionError(
+            "the pointer must serve the post-retrain generation"
+        )
+    ann = ivf_query_topk(
+        emb, current_ivf_index(spark, mroot), "vec_id", "embedding",
+        k=5, n_probe=4, scorer="arrow",
+    )
+    return _topk_recall_certificate(emb, ann, IVF_TOPK_RECALL_FLOOR)
+
+
 _CHUNKS_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     ch AS (
@@ -2399,7 +2470,15 @@ def _sweep_leaked_index_tables(
     sharing a warehouse concurrently never delete each other's live index
     mid-query. Names with no parseable PID (pre-r9 leftovers) are treated
     as orphans. ``rm_parent`` removes the location's parent dir (the
-    NearDupIndex keeps its three tables under one root)."""
+    NearDupIndex keeps its three tables under one root).
+
+    Contract: HOST-LOCAL by design. These are gate-query EPHEMERA — the
+    tables exist only for the duration of one registered query against
+    one driver session's warehouse, never as shared standing state — so
+    pid liveness on this host is the right reclamation gate. The
+    production standing-index surface (streaming/index_manifest.py) is
+    where multi-host sweeps matter, and its generation names carry the
+    creator's host tag for exactly that reason."""
     import os
     import shutil
 

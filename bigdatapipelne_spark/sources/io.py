@@ -236,6 +236,19 @@ def pid_alive(pid: int) -> bool:
     return True
 
 
+def host_tag() -> str:
+    """Six-hex-char tag of THIS host's name, embedded next to creator
+    pids in generation/artifact names: ``pid_alive`` is host-local, so a
+    sweep must be able to tell "a pid from my host that died" (safe to
+    reclaim) from "a pid from ANOTHER driver host" (unknowable here —
+    treat as alive). A hash instead of the raw hostname keeps the tag a
+    fixed-width, charset-safe token for catalog table names."""
+    import hashlib
+    import socket
+
+    return hashlib.md5(socket.gethostname().encode()).hexdigest()[:6]
+
+
 def fs_rmtree(spark: SparkSession, path: str) -> None:
     """Scheme-aware recursive delete (no-op when absent) — the
     ``shutil.rmtree`` twin for arbitrary Hadoop filesystems."""

@@ -818,6 +818,12 @@ def compact_batched_sink(
 
     _assert_no_parked_swap(spark, path)  # fail BEFORE reading/writing
     fs, hpath = hadoop_fs(spark, path)
+    # a sink whose directory was never created (zero staged batches —
+    # e.g. run_decontaminate_stream(compact_sink_bytes=...) over an
+    # empty staging dir) has nothing to compact; listFiles on a missing
+    # path raises a raw FileNotFoundException, so guard existence first
+    if not fs.exists(hpath):
+        return 0
     # an all-empty sink (every batch wrote zero rows: partition dirs +
     # _SUCCESS markers, no data files) has no schema to read back and
     # nothing to compact — no-op instead of an inference error

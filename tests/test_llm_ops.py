@@ -1588,7 +1588,26 @@ def test_ivf_insert_bounded_maintenance_and_retrain_policy(spark, tmp_path):
     ivf_insert(spark, root, rest, "vec_id", "embedding")
     assert ivf_retrain_due(spark, root)
 
+    # crash-proof counter (numbered META generations): exactly one
+    # generation file remains after the post-publish cleanup, the legacy
+    # single-file location is gone, and a leftover OLDER generation
+    # (crash between publish and cleanup) never shadows the newest one
+    metas = _glob.glob(os.path.join(root, "META_*.json"))
+    assert len(metas) == 1 and not os.path.exists(
+        os.path.join(root, "META.json")
+    )
+    from bigdatapipelne_spark.operators.similarity import _read_ivf_meta
+
+    cur = _read_ivf_meta(spark, root)
+    stale = os.path.join(root, "META_00000001.json")
+    assert not os.path.exists(stale)  # cleanup consumed it
+    with open(stale, "w") as f:
+        f.write('{"trained_rows": 1, "inserted_rows": 0}')
+    assert _read_ivf_meta(spark, root) == cur  # highest number wins
+    os.remove(stale)
+
     # pre-meta layout: loud, not a silent False
-    os.remove(os.path.join(root, "META.json"))
+    for p in metas:
+        os.remove(p)
     with _pytest.raises(ValueError, match="no META.json"):
         ivf_retrain_due(spark, root)

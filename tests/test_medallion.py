@@ -271,3 +271,67 @@ def test_merge_spec_batch_same_id_different_content_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="content signature"):
         merge_spec_batch(spark, other, 0, spec_path)
     assert sorted(map(tuple, spec_mart_view(spark, spec_path).collect())) == once
+
+
+def test_merge_spec_batch_accepts_legacy_signature_formats(spark, tmp_path):
+    """Signature-format migration (round-13 advisor): a mart whose stored
+    __batch_sig predates the versioned "v2:" struct format — either the
+    unprefixed struct md5 or the older concat_ws("|") line md5 — must
+    keep replay-skip semantics on a genuine same-id replay (no rebuild
+    on upgrade), while a same-id DIFFERENT-content batch still raises."""
+    import shutil
+
+    from bigdatapipelne_spark.plans.medallion import (
+        merge_spec_batch,
+        spec_mart_view,
+        stage_transform,
+    )
+
+    raw = card_raw_from_events(load_table(spark, SF_SMALL, "events"))
+    b0 = stage_transform(raw.filter(F.col("transaction_id") % 2 == 0))
+    other = stage_transform(raw)
+    spec_path = str(tmp_path / "spec")
+    merge_spec_batch(spark, b0, 0, spec_path)
+    once = sorted(map(tuple, spec_mart_view(spark, spec_path).collect()))
+
+    part = b0.groupBy(*SPEC_DIMS).agg(
+        F.sum(F.col("valor").cast("decimal(18,2)")).alias("sum_valor_dec")
+    )
+    v1_sig = part.agg(
+        F.md5(
+            F.to_json(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(
+                            "|", *SPEC_DIMS, F.col("sum_valor_dec").cast("string")
+                        )
+                    )
+                )
+            )
+        )
+    ).first()[0]
+    stored_v2 = (
+        spark.read.parquet(spec_path).agg(F.max("__batch_sig")).first()[0]
+    )
+    assert stored_v2.startswith("v2:")
+
+    def rewrite_sig(legacy_sig):
+        df = spark.read.parquet(spec_path).withColumn(
+            "__batch_sig", F.lit(legacy_sig)
+        )
+        tmp = str(tmp_path / "rewrite")
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(spec_path)
+        shutil.move(tmp, spec_path)
+
+    for legacy in (stored_v2.removeprefix("v2:"), v1_sig):
+        rewrite_sig(legacy)
+        merge_spec_batch(spark, b0, 0, spec_path)  # replay: must no-op
+        assert (
+            sorted(map(tuple, spec_mart_view(spark, spec_path).collect()))
+            == once
+        )
+        # the no-op path leaves the legacy sig in place: different
+        # content under the same id still raises against it
+        with pytest.raises(ValueError, match="content signature"):
+            merge_spec_batch(spark, other, 0, spec_path)

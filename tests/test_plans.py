@@ -74,6 +74,7 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         "ivf_topk_recall",   # capped exact top-k twin inside the certificate
         "ivf_index_topk_recall",  # capped exact top-k twin inside the certificate
         "ivf_insert_topk_recall",  # capped exact top-k twin inside the certificate
+        "managed_ivf_insert_recall",  # capped exact top-k twin inside the certificate
         "ivfpq_topk_recall",  # capped exact top-k twin inside the certificate
         "embedding_topk",
         "q11_value_concentration",

@@ -1032,6 +1032,12 @@ def test_compact_batched_sink_preserves_rows_and_cuts_files(spark, tmp_path):
     final = sorted(map(tuple, _read_batched(spark, sink, schema).collect()))
     assert final == sorted(before_rows + [(i, "s9") for i in range(90, 95)])
 
+    # a sink directory that was never created (zero staged batches) is a
+    # no-op, not a raw FileNotFoundException from listFiles (r13 ADVICE:
+    # run_decontaminate_stream(compact_sink_bytes=...) over an empty
+    # staging dir hits exactly this)
+    assert compact_batched_sink(spark, str(tmp_path / "never_written")) == 0
+
 
 def test_hll_rollup_replay_union_is_idempotent(spark):
     """Round-12 foreachBatch replay audit for the HLL sketch store: a

@@ -293,7 +293,17 @@ def main() -> None:
             if n not in SKIP and n not in existing_cells
         ]
     elif len(sys.argv) > 1:
-        only = sys.argv[1].split(",")
+        # explicit subsets CONSULT SKIP too (the r13 leak: a subset pass
+        # bypassed it and re-timed a capped certificate into `queries`
+        # while it was also listed as skipped)
+        req = sys.argv[1].split(",")
+        only = [n for n in req if n not in SKIP]
+        dropped = sorted(set(req) & set(SKIP))
+        if dropped:
+            print(
+                f"# subset names in SKIP, not timed: {', '.join(dropped)}",
+                file=sys.stderr,
+            )
     else:
         only = [n for n in sorted(QUERIES) if n not in SKIP]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -346,14 +356,32 @@ def main() -> None:
         out[name] = cell
         print(json.dumps({name: out[name]}), flush=True)
 
+    _write_record(out, only, partial=len(sys.argv) > 1)
+    spark.stop()
+
+
+def _write_record(
+    out: dict[str, dict], only: list[str] | None, partial: bool
+) -> None:
+    """Merge ``out`` into BENCH_sf10.json and rewrite it with the record
+    invariant enforced: ``queries`` and the live SKIP list PARTITION the
+    registry — no cell for a SKIP-listed query (the r13 subset-pass leak
+    put ivfpq_topk_recall in both maps), ``skipped`` regenerated from
+    the live list on every write (tests/test_bench_records.py pins the
+    invariant on the committed file)."""
+    from bigdatapipelne_spark.queries import QUERIES, finalize_registry
+
+    finalize_registry()
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_sf10.json")
     existing = {}
-    partial = len(sys.argv) > 1
     if os.path.exists(path) and partial:
         with open(path) as f:
             existing = json.load(f).get("queries", {})
-        existing = {k: v for k, v in existing.items() if k in QUERIES}
     existing.update(out)
+    # the invariant filter: registered, benchable cells only
+    existing = {
+        k: v for k, v in existing.items() if k in QUERIES and k not in SKIP
+    }
     # Standing attributions attach to every cell they name on ANY record
     # write (not only when that cell is in the rerun subset), so a known
     # cell can't shed its explanation by being skipped in a partial pass.
@@ -394,7 +422,7 @@ def main() -> None:
         "away on a long-running stream, so drain sf-ratios overstate "
         "scaling honesty only in the conservative direction."
     )
-    if partial:
+    if partial and only:
         note = f"last rerun subset: {sorted(only)}; " + note
     record = {
         "metric": "sf10_scale_check",
@@ -406,8 +434,13 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
         f.write("\n")
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--repair-record":
+        # rewrite the committed record under the live invariant (drops
+        # SKIP-leaked / unregistered cells, regenerates `skipped`) with
+        # no Spark session and no re-timing
+        _write_record({}, None, partial=True)
+    else:
+        main()

@@ -48,9 +48,20 @@ def _load(ref: str) -> dict:
         return json.load(fh)
 
 
+def _identity(rec: dict) -> float | None:
+    """The record's box-speed probe: the median of the
+    ``identity_drain_secs`` probe list when present (round-13 verdict
+    #3 — three probes spread across the sweep, robust to one outlier),
+    else the legacy single ``identity_drain_sec``."""
+    probes = rec.get("identity_drain_secs")
+    if probes:
+        return sorted(probes)[len(probes) // 2]
+    return rec.get("identity_drain_sec")
+
+
 def compare(old: dict, new: dict) -> dict:
     drift = None
-    oid, nid = old.get("identity_drain_sec"), new.get("identity_drain_sec")
+    oid, nid = _identity(old), _identity(new)
     if oid and nid:
         drift = nid / oid
     oq, nq = old["queries"], new["queries"]
@@ -69,6 +80,9 @@ def compare(old: dict, new: dict) -> dict:
                     # a 0.0 old cell (placeholder / rounded-down) still
                     # reports as a regression, just without a ratio
                     "norm_ratio": round(n_norm / o, 2) if o else None,
+                    # the raw (un-normalized) ratio beside it, so a
+                    # reader can see how much of the flag is drift math
+                    "raw_ratio": round(n / o, 2) if o else None,
                 }
             )
         elif o > n_norm * RATIO_BAR and o - n_norm > ABS_BAR_SEC:

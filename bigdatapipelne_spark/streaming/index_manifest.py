@@ -94,12 +94,14 @@ from bigdatapipelne_spark.sources.io import (
 )
 from bigdatapipelne_spark.streaming.dedup_stream import (
     PROBE_EXCHANGE_BUDGET,
+    _DECON_SCHEMA,
     _PAIR_SCHEMA,
     _dir_bytes,
     _read_batched,
     compact_batched_sink,
     fold_ledger_into_index,
     fold_seen_into_fingerprint_index,
+    run_decontaminate_stream,
     run_exact_probe_stream,
     run_near_dup_probe_stream,
 )
@@ -110,14 +112,23 @@ from bigdatapipelne_spark.streaming.dedup_stream import (
 # policy-run stream folds long before a guard can trip.
 FOLD_THRESHOLD_BYTES = 128 * 1024 * 1024
 
-_KINDS = ("near_dup", "fingerprint", "ivf")
+_KINDS = ("near_dup", "fingerprint", "ivf", "benchmark")
 # which batched sinks each drain kind accumulates under out_root — the
 # post-fold maintenance sweep compacts these (round-12 verdict #4).
 # The ivf kind has no drain, ledger, or sinks: its "fold" is a
 # quantizer RETRAIN (ivf_refresh_if_due) and its policy input is the
-# index's own insert meta, not a ledger directory.
+# index's own insert meta, not a ledger directory. The benchmark kind
+# has a drain and a pairs sink but NO ledger (the suite is static
+# between versions): its rotation is a suite-version REBUILD
+# (benchmark_refresh) and its sink maintenance is batch-count
+# thresholded inside run_managed_decontaminate_drain.
 _SINKS = {"near_dup": ("corpus_pairs", "delta_pairs"), "fingerprint": ("classified",)}
 _LEDGER_PREFIX = {"near_dup": "ledger_g", "fingerprint": "seen_g"}
+# per-kind part-table suffixes (generation clear + protected-name set)
+_TABLE_SUFFIXES = {
+    "near_dup": ("_bands", "_shingles", "_sizes", ""),
+    "benchmark": ("_shingles", "_sizes", ""),
+}
 
 
 # Schemes where FileSystem.rename is NOT an atomic fail-if-exists claim
@@ -215,12 +226,14 @@ def init_index_manifest(
     n_buckets: int = 32,
     max_band_bucket: int | None = MINHASH_MAX_BAND_BUCKET,
     ivf_params: dict | None = None,
+    bench_params: dict | None = None,
 ) -> dict:
     """Write generation 1 pointing at an ALREADY-SAVED bootstrap index
-    (``save_near_dup_index`` / ``save_fingerprint_index`` layout under
-    catalog name ``name`` at ``path``; for kind ``ivf`` a
-    ``save_ivf_index`` layout, where ``name`` is a label — the IVF
-    index is path-addressed). Later generations live at
+    (``save_near_dup_index`` / ``save_fingerprint_index`` /
+    ``save_benchmark_index`` layout under catalog name ``name`` at
+    ``path``; for kind ``ivf`` a ``save_ivf_index`` layout, where
+    ``name`` is a label — the IVF index is path-addressed). Later
+    generations live at
     sibling dirs ``<path>_m{token}_g{N}p{pid}`` with catalog names
     ``<name>_m{token}_g{N}p{pid}`` — siblings, never nested inside a live table's
     location (the round-12 advisor's nested-'folded' finding).
@@ -282,6 +295,21 @@ def init_index_manifest(
             "n_centroids": ivf_params.get("n_centroids"),
             "iters": ivf_params.get("iters", 2),
         }
+    if kind == "benchmark":
+        # config fidelity again: a suite-version refresh must shingle
+        # the new suite with the bootstrap's OWN n (and id/text cols),
+        # or post-rotation probes would silently compare different
+        # n-gram widths against the sizes table
+        if not bench_params or not {"id_col", "text_col"} <= set(bench_params):
+            raise ValueError(
+                "kind='benchmark' needs bench_params with id_col and "
+                "text_col (plus the build's shingle width n, default 3)"
+            )
+        entry["benchmark"] = {
+            "id_col": bench_params["id_col"],
+            "text_col": bench_params["text_col"],
+            "n": bench_params.get("n", 3),
+        }
     _write_entry(spark, manifest_root, entry)
     return entry
 
@@ -325,11 +353,7 @@ def _clear_generation(spark: SparkSession, entry: dict) -> None:
     crash/CAS-loser leftovers of a fold that never advanced the pointer
     (the tables are unreferenced by construction) and (b)
     ``gc_index_generations`` on superseded entries."""
-    suffixes = (
-        ("_bands", "_shingles", "_sizes", "")
-        if entry["kind"] == "near_dup"
-        else ("",)
-    )
+    suffixes = _TABLE_SUFFIXES.get(entry["kind"], ("",))
     for s in suffixes:
         spark.sql(f"DROP TABLE IF EXISTS `{entry['name']}{s}`")
     fs_rmtree(spark, entry["path"])
@@ -487,6 +511,13 @@ def fold_if_due(
             "maintenance step is a quantizer retrain — use "
             "ivf_refresh_if_due"
         )
+    if entry["kind"] == "benchmark":
+        raise ValueError(
+            "fold_if_due is the dedup drains' policy; a benchmark "
+            "manifest has no ledger — its rotation is a suite-version "
+            "rebuild (benchmark_refresh), its sink maintenance lives in "
+            "run_managed_decontaminate_drain"
+        )
     _check_out_root(entry, out_root, manifest_root)
     ledger = _ledger_dir(entry, out_root)
     if _dir_bytes(spark, ledger) < fold_threshold_bytes:
@@ -621,6 +652,120 @@ def run_managed_exact_drain(
         os.path.join(out_root, "classified"),
         "doc_id long, status string",
     )
+
+
+def benchmark_refresh(
+    spark: SparkSession, manifest_root: str, new_suite: DataFrame,
+    gc_keep: int | None = None,
+) -> dict:
+    """The benchmark manifest's rotation step — the decontamination
+    analog of the fold (round-13 verdict #5, closing the "a growing
+    benchmark suite has no rotation story" gap): a NEW suite VERSION
+    arrives, its ``BenchmarkIndex`` is built and saved as the next
+    token+pid+host-named sibling generation, and the pointer
+    CAS-advances — the next managed drain invocation probes the new
+    suite without the caller touching index names. Unlike the fold this
+    is not size-triggered: a suite version change is an operator event
+    (new eval release), so the refresh is unconditional when called.
+
+    Crash ordering mirrors the fold: the new generation's tables are
+    unreferenced until the CAS, a crash before it leaves the old
+    pointer fully intact, and the orphaned build is reclaimed by a
+    later refresh's dead-pid sweep. Config fidelity: the new suite is
+    shingled with the n (and id/text columns) recorded at init — a
+    refresh can never silently change the n-gram width the containment
+    scores are computed over."""
+    from bigdatapipelne_spark.operators.checkpoint import release_checkpoint
+    from bigdatapipelne_spark.operators.dedup import (
+        build_benchmark_index,
+        save_benchmark_index,
+    )
+
+    entry = current_index_entry(spark, manifest_root)
+    if entry["kind"] != "benchmark":
+        raise ValueError(
+            f"manifest {manifest_root} holds a {entry['kind']} index — "
+            "benchmark_refresh rotates benchmark manifests only"
+        )
+    p = entry["benchmark"]
+    nxt = _next_generation(entry)
+    _sweep_dead_fold_leftovers(spark, manifest_root, entry)
+    ix = build_benchmark_index(
+        new_suite, p["id_col"], p["text_col"], n=p["n"]
+    )
+    save_benchmark_index(
+        ix, nxt["name"], nxt["path"], n_buckets=entry["n_buckets"]
+    )
+    release_checkpoint(ix.shingles)
+    _write_entry(spark, manifest_root, nxt)  # the commit point (CAS)
+    if gc_keep is not None:
+        gc_index_generations(spark, manifest_root, keep=gc_keep)
+    return nxt
+
+
+def _batch_partition_count(spark: SparkSession, sink: str) -> int:
+    """How many per-micro-batch partition dirs a ``_write_batch`` sink
+    has accumulated since its last compaction (the compacted base
+    ``__batch_id=-1`` excluded) — the small-files tax the compaction
+    policy is thresholded on (dir COUNT, not bytes: the tax is listing
+    and per-file open overhead, which scales with batch count even when
+    each batch is tiny)."""
+    fs, hroot = hadoop_fs(spark, sink)
+    if not fs.exists(hroot):
+        return 0
+    n = 0
+    for st in fs.listStatus(hroot):
+        nm = st.getPath().getName()
+        if nm.startswith("__batch_id=") and nm != "__batch_id=-1":
+            n += 1
+    return n
+
+
+def run_managed_decontaminate_drain(
+    spark: SparkSession,
+    staging_dir: str,
+    manifest_root: str,
+    out_root: str,
+    threshold: float = 0.5,
+    exchange_budget: int | None = None,
+    compact_after_batches: int | None = 16,
+    compact_target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """``run_decontaminate_stream`` with the BenchmarkIndex resolved
+    through the manifest and the sink-compaction policy applied after a
+    clean drain: resolve pointer -> drain against the current suite
+    generation (same checkpoint across invocations and across
+    ``benchmark_refresh`` rotations — each micro-batch is decontaminated
+    against the suite version current AT ITS TIME, which is exactly the
+    rolling semantics a training pipeline wants) -> compact the pairs
+    sink once it has accumulated more than ``compact_after_batches``
+    per-batch partitions (the decon drain has no ledger and no fold, so
+    batch-count-thresholded compaction IS its entire maintenance loop;
+    ``None`` disables it). The shingle width replays the value recorded
+    at init."""
+    entry = current_index_entry(spark, manifest_root)
+    if entry["kind"] != "benchmark":
+        raise ValueError(
+            f"manifest {manifest_root} holds a {entry['kind']} index, "
+            "not a benchmark one"
+        )
+    run_decontaminate_stream(
+        spark,
+        staging_dir,
+        entry["name"],
+        out_root,
+        threshold,
+        n=entry["benchmark"]["n"],
+        exchange_budget=exchange_budget,
+    )
+    sink = os.path.join(out_root, "pairs")
+    if (
+        compact_after_batches is not None
+        and _batch_partition_count(spark, sink) > compact_after_batches
+    ):
+        compact_batched_sink(spark, sink, compact_target_bytes)
+    # fresh post-compaction listing (see run_managed_near_dup_drain)
+    return _read_batched(spark, sink, _DECON_SCHEMA)
 
 
 def ivf_refresh_if_due(

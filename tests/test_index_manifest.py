@@ -766,6 +766,132 @@ def test_ivf_manifest_refresh_rotates_on_drift(spark, tmp_path):
         )
 
 
+def test_benchmark_manifest_rotation_and_managed_decon(spark, tmp_path):
+    """The manifest's fourth kind (round-13 verdict #5): a benchmark
+    suite under the same pointer pattern, with suite-version REBUILD as
+    the rotation step. The managed decon drain resolves the pointer,
+    probes, and compacts its pairs sink past the batch-count threshold
+    (value-neutral — the compacted read equals the one-shot
+    decontaminate); benchmark_refresh builds the new suite version as a
+    sibling generation with the init-recorded shingle width and
+    CAS-advances, and the RESUMED drain (same checkpoint) probes the new
+    generation while earlier batches' pairs stand (rolling semantics).
+    The dedup fold refuses a benchmark manifest and vice versa."""
+    import glob as _glob
+
+    from bigdatapipelne_spark.operators.dedup import (
+        build_benchmark_index,
+        decontaminate,
+        save_benchmark_index,
+    )
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        benchmark_refresh,
+        current_index_entry,
+        fold_if_due,
+        init_index_manifest,
+        run_managed_decontaminate_drain,
+    )
+    from bigdatapipelne_spark.streaming.scd import (
+        stage_one_more_file,
+        stage_ordered_files,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    v1 = docs.filter(F.col("doc_id") < 12)
+    v2 = docs.filter((F.col("doc_id") >= 12) & (F.col("doc_id") < 25))
+    name = "bm_mfst_t"
+    try:
+        save_benchmark_index(
+            build_benchmark_index(v1, "doc_id", "text"),
+            name,
+            str(tmp_path / "bmix"),
+            n_buckets=8,
+        )
+        # config fidelity is mandatory at init
+        with pytest.raises(ValueError, match="bench_params"):
+            init_index_manifest(
+                spark, str(tmp_path / "m0"), "benchmark", name,
+                str(tmp_path / "bmix"),
+            )
+        mroot = str(tmp_path / "manifest")
+        init_index_manifest(
+            spark, mroot, "benchmark", name, str(tmp_path / "bmix"),
+            n_buckets=8,
+            bench_params={"id_col": "doc_id", "text_col": "text", "n": 3},
+        )
+        staging = str(tmp_path / "staging")
+        out = str(tmp_path / "out")
+        b1 = corpus.filter(F.col("doc_id") % 2 == 0)
+        b2 = corpus.filter(F.col("doc_id") % 2 == 1)
+        stage_ordered_files([b1, b2], staging)
+        # compact_after_batches=0: compact as soon as ANY per-batch
+        # partition exists (a zero-pair batch writes no partition dir,
+        # so only one of the two staged batches materializes one here)
+        got1 = run_managed_decontaminate_drain(
+            spark, staging, mroot, out,
+            threshold=0.15, compact_after_batches=0,
+        )
+        assert _glob.glob(os.path.join(out, "pairs", "__batch_id=-1")), (
+            "pairs sink not compacted past the batch-count threshold"
+        )
+        want1 = sorted(
+            map(tuple, decontaminate(
+                corpus, v1, "doc_id", "text", threshold=0.15
+            ).collect())
+        )
+        assert sorted(map(tuple, got1.collect())) == want1  # value-neutral
+
+        # ROTATION: a new suite version arrives
+        entry2 = benchmark_refresh(spark, mroot, v2)
+        assert entry2["generation"] == 2
+        assert entry2["name"].startswith(name + "_m")
+        assert entry2["benchmark"]["n"] == 3  # init config replayed
+        assert current_index_entry(spark, mroot)["name"] == entry2["name"]
+
+        # the resumed drain (same checkpoint) probes the NEW generation:
+        # the post-rotation batch's pairs are v2 containments, while the
+        # pre-rotation batches' v1 pairs stand in the sink
+        re_b1 = b1.select(
+            (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text"
+        )
+        stage_one_more_file(re_b1, staging)
+        got2 = run_managed_decontaminate_drain(
+            spark, staging, mroot, out,
+            threshold=0.15, compact_after_batches=None,
+        )
+        rows = got2.collect()
+        new_rows = sorted(
+            (r.corpus_id, r.bench_id, r.containment)
+            for r in rows if r.corpus_id >= (1 << 40)
+        )
+        want2 = sorted(
+            map(tuple, decontaminate(
+                re_b1, v2, "doc_id", "text", threshold=0.15
+            ).collect())
+        )
+        assert new_rows == want2 and len(new_rows) > 0
+        assert all(12 <= b < 25 for _, b, _ in new_rows)  # v2 suite only
+        assert sorted(
+            (r.corpus_id, r.bench_id, r.containment)
+            for r in rows if r.corpus_id < (1 << 40)
+        ) == want1  # rolling history intact
+
+        # kind guards both ways
+        with pytest.raises(ValueError, match="benchmark_refresh"):
+            fold_if_due(spark, mroot, out, 1)
+        mroot_f = str(tmp_path / "mf")
+        init_index_manifest(
+            spark, mroot_f, "fingerprint", "fp_bm_x", str(tmp_path / "fpx")
+        )
+        with pytest.raises(ValueError, match="not a benchmark"):
+            run_managed_decontaminate_drain(spark, staging, mroot_f, out)
+        with pytest.raises(ValueError, match="benchmark manifests only"):
+            benchmark_refresh(spark, mroot_f, v2)
+    finally:
+        _drop_gens(spark, name)
+
+
 def test_managed_ivf_insert_composes_insert_and_retrain(spark, tmp_path):
     """run_managed_ivf_insert (round-13 verdict #1): the composed
     vector-ingestion path — resolve pointer -> assign-only insert into

@@ -666,7 +666,16 @@ _GATE_PRIORITY = [
     # incremental_dedup_fold_drain).
     "incremental_dedup_managed_drain",
     "simhash_near_dups",
-    "winnowed_doc_pairs",
+    # ROUND 14 — winnowed_doc_pairs rotates out (r13 green, winnowing
+    # code unchanged this round; pair mining stays anchored in-gate by
+    # minhash_near_dups, simhash_near_dups and ngram_jaccard_pairs).
+    # Its slot seats decon_managed_drain, the benchmark manifest's NEW
+    # gate (round-13 verdict #5): the managed decontamination drain
+    # whose suite lives under the manifest pointer — in-gate sink
+    # compaction, a benchmark_refresh suite-version rotation (v1 -> v2)
+    # mid-sequence, and the resumed checkpoint probing the rotated
+    # generation, pinned pair-for-pair by the two-suite oracle.
+    "decon_managed_drain",
     # The sf10 rehearsal's stop-shingle fix (NGRAM_MAX_DOC_FREQ default)
     # churns every n-gram-index consumer: the pair miner itself, both CC
     # variants and the min-id dedup view re-gate; user_scd2_stream_drain

@@ -66,10 +66,12 @@ The crash-leftover sweep decides "dead creator" by HOST-LOCAL pid
 liveness, but generation names embed the creator's host tag and the
 sweep judges ONLY names carrying its own tag (foreign-host names are
 treated as alive unconditionally), so concurrent folds are safe across
-driver hosts sharing one warehouse. The one residual manual step:
-STALE foreign-host leftovers — a fold that crashed on a host that
-never came back — are not auto-reclaimed; clear them from that host,
-or by hand (``_sweep_dead_fold_leftovers`` documents this). And one
+driver hosts sharing one warehouse. The one residual class the
+automatic sweep never touches — STALE foreign-host leftovers, a fold
+that crashed on a host that never came back — has an explicit,
+operator-invoked reclaim: ``gc_foreign_leftovers``, age-thresholded
+on write activity (newest file mtime across the generation tree),
+which is host-independent where pid liveness is not. And one
 manifest serves one drain pipeline: generations record the
 ``out_root`` whose ledger they folded, and resolving the manifest with
 a different pipeline's ``out_root`` raises instead of silently
@@ -377,8 +379,9 @@ def _sweep_dead_fold_leftovers(
     swept, letting it win the CAS pointing at dropped tables). The
     enforced contract is therefore: concurrent folds are safe across
     hosts; only STALE foreign-host leftovers (a crashed fold on a host
-    that never came back) need manual gc — ``_clear_generation`` on the
-    orphaned name, or a fold run from that host. Legacy names without a
+    that never came back) escape this sweep — reclaim them explicitly
+    with ``gc_foreign_leftovers`` (age-thresholded on write activity,
+    host-independent), or run a fold from that host. Legacy names without a
     host tag are judged as local (the pre-tag behavior, correct on the
     single-host deployments that created them)."""
     import re
@@ -437,6 +440,101 @@ def _sweep_dead_fold_leftovers(
         if not _dead_local_creator(m):
             continue
         fs_rmtree(spark, os.path.join(parent, nm))
+
+
+def gc_foreign_leftovers(
+    spark: SparkSession,
+    manifest_root: str,
+    min_age_sec: float = 7 * 86400.0,
+) -> list[str]:
+    """Explicit, operator-invoked reclaim of STALE foreign-host fold
+    leftovers — the one crash-residue class the automatic sweep
+    deliberately never touches (pid liveness is host-local, so
+    ``_sweep_dead_fold_leftovers`` treats every foreign-host name as
+    alive unconditionally). The staleness signal here is WRITE
+    ACTIVITY, which is host-independent: an in-progress fold is writing
+    its generation's files, so a generation whose newest file mtime has
+    not moved for ``min_age_sec`` (default 7 days — keep it well above
+    the longest plausible fold/retrain wall plus clock skew) on a host
+    that never came back is crash residue. Committed generations (named
+    by any manifest entry) are never candidates, and same-host names
+    are left to the automatic dead-pid sweep, which judges them exactly
+    (pid liveness beats any age heuristic where it is available).
+    A foreign-host catalog table whose data directory is GONE is
+    reclaimed regardless of age — ``saveAsTable`` registers the table
+    only after its data committed, so a dir-less table is a dangling
+    entry, not an in-progress build. Returns the reclaimed generation
+    stems (dir basenames / dangling table names)."""
+    import re
+    import time
+
+    entry = current_index_entry(spark, manifest_root)
+    entries = [
+        _read_entry(spark, manifest_root, g)
+        for g in _list_generations(spark, manifest_root)
+    ]
+    committed = {
+        e["name"] + sfx
+        for e in entries
+        for sfx in ("", "_bands", "_shingles", "_sizes")
+    }
+    committed_dirs = {os.path.basename(e["path"]) for e in entries}
+    local = host_tag()
+    suffixes = _TABLE_SUFFIXES.get(entry["kind"], ("",))
+    cleared: list[str] = []
+
+    def _foreign(m: re.Match) -> bool:
+        host = m.group(2)
+        return host is not None and host != local
+
+    parent = os.path.dirname(entry["base_path"]) or "."
+    base = os.path.basename(entry["base_path"])
+    dpat = re.compile(
+        rf"^{re.escape(base)}(_m{entry['token']}"
+        rf"_g\d+p(?:\d+)(?:h([0-9a-f]{{6}}))?.*)$"
+    )
+    now_ms = time.time() * 1000.0
+    fs, hparent = hadoop_fs(spark, parent)
+    if fs.exists(hparent):
+        for st in fs.listStatus(hparent):
+            nm = st.getPath().getName()
+            m = dpat.match(nm)
+            if not m or nm in committed_dirs or not _foreign(m):
+                continue
+            # newest mtime across the generation's whole tree: any file
+            # a live foreign fold writes bumps this past the threshold
+            newest = st.getModificationTime()
+            it = fs.listFiles(st.getPath(), True)
+            while it.hasNext():
+                newest = max(newest, it.next().getModificationTime())
+            if now_ms - newest < min_age_sec * 1000.0:
+                continue
+            stem = m.group(1)
+            for sfx in suffixes:
+                spark.sql(
+                    f"DROP TABLE IF EXISTS `{entry['base_name']}{stem}{sfx}`"
+                )
+            fs_rmtree(spark, os.path.join(parent, nm))
+            cleared.append(nm)
+    # dangling foreign tables: catalog entry present, data dir gone
+    tpat = re.compile(
+        rf"^{re.escape(entry['base_name'])}_m{entry['token']}"
+        rf"_g\d+p(?:\d+)(?:h([0-9a-f]{{6}}))?"
+    )
+    for tbl in spark.catalog.listTables():
+        m = tpat.match(tbl.name)
+        if not m or tbl.isTemporary or tbl.name in committed:
+            continue
+        host = m.group(1)
+        if host is None or host == local:
+            continue
+        loc = spark.sql(f"DESCRIBE TABLE EXTENDED `{tbl.name}`").filter(
+            "col_name = 'Location'"
+        ).collect()
+        if loc and not fs_exists(spark, loc[0]["data_type"]):
+            spark.sql(f"DROP TABLE `{tbl.name}`")
+            cleared.append(tbl.name)
+    return cleared
 
 
 def _check_out_root(entry: dict, out_root: str, manifest_root: str) -> None:

@@ -469,6 +469,69 @@ def test_foreign_host_leftover_survives_sweep(spark, tmp_path):
         _drop_gens(spark, name)
 
 
+def test_gc_foreign_leftovers_age_thresholded(spark, tmp_path):
+    """The explicit reclaim for the one crash-residue class the
+    automatic sweep never touches: STALE foreign-host leftovers. The
+    staleness signal is write activity (newest file mtime across the
+    generation tree — host-independent), so a RECENT foreign build
+    survives any pass, a stale one is reclaimed past the age threshold,
+    committed generations and same-host leftovers are never candidates
+    (the latter belong to the exact dead-pid sweep), and a dangling
+    foreign table whose data dir is gone is reclaimed regardless of age
+    (saveAsTable registers only after its data committed)."""
+    import subprocess
+
+    from bigdatapipelne_spark.sources.io import fs_exists, host_tag
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        gc_foreign_leftovers,
+        init_index_manifest,
+    )
+
+    name = "fp_fgc_t"
+    base_path = str(tmp_path / "fpix")
+    try:
+        mroot = str(tmp_path / "manifest")
+        entry = init_index_manifest(spark, mroot, "fingerprint", name, base_path)
+        dead = subprocess.Popen(["true"])
+        dead.wait()
+        token = entry["token"]
+        foreign = "ab12cd" if host_tag() != "ab12cd" else "ef34ab"
+        f_name = f"{name}_m{token}_g2p{dead.pid}h{foreign}"
+        f_path = f"{base_path}_m{token}_g2p{dead.pid}h{foreign}"
+        l_name = f"{name}_m{token}_g3p{dead.pid}h{host_tag()}"
+        l_path = f"{base_path}_m{token}_g3p{dead.pid}h{host_tag()}"
+        for nm, p in ((f_name, f_path), (l_name, l_path)):
+            spark.range(1).write.option("path", p).saveAsTable(nm)
+
+        # fresh foreign build: survives even a zero'd... no — survives a
+        # REALISTIC threshold (its files were just written)
+        assert gc_foreign_leftovers(spark, mroot, min_age_sec=3600) == []
+        assert spark.catalog.tableExists(f_name) and fs_exists(spark, f_path)
+
+        # stale foreign build: reclaimed once nothing has written for
+        # longer than the threshold
+        cleared = gc_foreign_leftovers(spark, mroot, min_age_sec=0.0)
+        assert os.path.basename(f_path) in cleared
+        assert not spark.catalog.tableExists(f_name)
+        assert not fs_exists(spark, f_path)
+        # the same-host leftover is NOT this tool's business...
+        assert spark.catalog.tableExists(l_name) and fs_exists(spark, l_path)
+        # ...and the committed bootstrap generation is untouched
+        assert fs_exists(spark, mroot)
+
+        # dangling foreign table (dir gone): reclaimed at ANY threshold
+        d_name = f"{name}_m{token}_g4p{dead.pid}h{foreign}"
+        d_path = f"{base_path}_m{token}_g4p{dead.pid}h{foreign}"
+        spark.range(1).write.option("path", d_path).saveAsTable(d_name)
+        import shutil
+
+        shutil.rmtree(d_path)
+        cleared = gc_foreign_leftovers(spark, mroot, min_age_sec=3600)
+        assert d_name in cleared and not spark.catalog.tableExists(d_name)
+    finally:
+        _drop_gens(spark, name)
+
+
 def test_ledger_guard_trips_with_fold_instruction(spark, tmp_path):
     """Round-12 verdict #3: an over-grown ledger aborts the drain at
     batch start with a descriptive error naming the fold — the exact

@@ -135,6 +135,13 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         # stricter than this sweep, like their manual twins.
         "near_dup_managed_drain",
         "incremental_dedup_managed_drain",
+        # Reviewed round 14: the benchmark-manifest gate — the managed
+        # decontamination drain (run_decontaminate_stream under the
+        # manifest pointer), so every micro-batch carries the same
+        # in-stream structural zero-index-shuffle audit as
+        # decontaminated_overlap_stream_drain, on BOTH sides of the
+        # benchmark_refresh suite rotation; stricter than this sweep.
+        "decon_managed_drain",
     }
     assert {n for n in QUERIES if n.endswith("_drain")} <= streaming_drains, (
         "new *_drain query must be explicitly reviewed and added to the "

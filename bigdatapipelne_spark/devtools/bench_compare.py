@@ -59,11 +59,26 @@ def _identity(rec: dict) -> float | None:
     return rec.get("identity_drain_sec")
 
 
+def _identity_kind(rec: dict) -> str:
+    return "median3" if rec.get("identity_drain_secs") else "legacy_start"
+
+
 def compare(old: dict, new: dict) -> dict:
     drift = None
+    boundary = False
     oid, nid = _identity(old), _identity(new)
     if oid and nid:
-        drift = nid / oid
+        if _identity_kind(old) == _identity_kind(new):
+            drift = nid / oid
+        else:
+            # probe-FORMAT boundary (r13 -> r14): a legacy record's single
+            # probe ran at the START of the sweep (coldest point — reads
+            # systematically high), a median-of-3 record's value is spread
+            # across the warm sweep. Their ratio measures the probe
+            # methodology, not the box — normalizing by it inflates every
+            # flat cell (measured: drift 0.78, 153 untouched cells pushed
+            # toward the bar). Compare RAW across the boundary and say so.
+            boundary = True
     oq, nq = old["queries"], new["queries"]
     shared = sorted(set(oq) & set(nq))
     regressions, improvements = [], []
@@ -96,6 +111,10 @@ def compare(old: dict, new: dict) -> dict:
             )
     return {
         "identity_drift": round(drift, 3) if drift else None,
+        # True when exactly one side is a legacy single-probe record:
+        # drift is ill-defined across the format boundary, so the diff
+        # above is RAW (drift None, no normalization applied)
+        "identity_format_boundary": boundary,
         "old_identity_sec": oid,
         "new_identity_sec": nid,
         "n_shared": len(shared),

@@ -50,3 +50,30 @@ def test_compare_normalizes_by_median_and_reports_raw_ratio():
     # identity measurement) must not skew the drift factor
     new_outlier = dict(new, identity_drain_secs=[1.3, 0.3, 1.3])
     assert compare(old, new_outlier)["identity_drift"] == 2.0
+
+
+def test_compare_goes_raw_across_probe_format_boundary():
+    """A legacy record's single probe ran at the sweep's coldest point;
+    a median-of-3 record's value is spread across the warm sweep — their
+    ratio measures probe methodology, not box drift (the r13->r14
+    compare read 0.78 'drift' on a flat-cell session and pushed every
+    untouched cell toward the bar). Across the boundary the compare must
+    go RAW: drift None, boundary flagged, bars applied un-normalized."""
+    old = {
+        "identity_drain_sec": 0.525,  # legacy single start-probe
+        "queries": {"a": 3.0, "b": 2.0},
+    }
+    new = {
+        # warm median 0.4 — NOT comparable to the legacy start probe
+        "identity_drain_secs": [0.9, 0.4, 0.41],
+        "identity_drain_sec": 0.4,
+        "queries": {"a": 4.1, "b": 6.0},  # a: raw 1.37x (noise), b: 3x
+    }
+    res = compare(old, new)
+    assert res["identity_format_boundary"] is True
+    assert res["identity_drift"] is None
+    # a's 1.37x raw stays under the bar (normalizing by 0.4/0.525 would
+    # have flagged it); b's genuine 3x raw is still caught
+    assert [r["query"] for r in res["regressions_past_bar"]] == ["b"]
+    # same-format records never set the flag
+    assert compare(new, new)["identity_format_boundary"] is False

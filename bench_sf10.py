@@ -395,12 +395,19 @@ def _write_record(
     ]
     ratios.sort()
     errors = sum(1 for c in existing.values() if "error" in c)
+    # an empty/ratio-less record (fresh checkout --repair-record, or the
+    # invariant filter dropped everything) still writes cleanly
+    ratio_txt = (
+        f"median ratio {ratios[len(ratios) // 2]:.2f}x / "
+        f"max {max(ratios):.1f}x"
+        if ratios
+        else "no ratio-bearing cells yet"
+    )
     note = (
         "synthetic sf10 from make_sf10.py (100x sf0.1, all 10 tables; 60M "
         "lineitem / 500k docs / 200k vectors); single warm pass per cell; "
         f"{len(existing)} cells (full registry minus capped exact "
-        f"baselines), {errors} errors, median ratio "
-        f"{ratios[len(ratios) // 2]:.2f}x / max {max(ratios):.1f}x at 100x "
+        f"baselines), {errors} errors, {ratio_txt} at 100x "
         "data. Cells carrying a 'sessions' field are the "
         "session-consistent (sf0.1, sf10) pair with the minimal sf10 "
         "wall across that many same-code sessions — the round-10 box "

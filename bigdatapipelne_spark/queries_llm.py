@@ -1774,6 +1774,10 @@ def decon_managed_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     mroot = os.path.join(tmp, "manifest")
     init_index_manifest(
         spark, mroot, "benchmark", name, root,
+        # the bootstrap's OWN bucket count (save_benchmark_index default)
+        # — init introspects the saved table and raises on a mismatch,
+        # so a refresh can never silently change the physical layout
+        n_buckets=8,
         bench_params={"id_col": "doc_id", "text_col": "text", "n": 3},
     )
     staging = os.path.join(tmp, "staging")

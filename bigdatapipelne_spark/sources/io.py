@@ -237,16 +237,34 @@ def pid_alive(pid: int) -> bool:
 
 
 def host_tag() -> str:
-    """Six-hex-char tag of THIS host's name, embedded next to creator
-    pids in generation/artifact names: ``pid_alive`` is host-local, so a
-    sweep must be able to tell "a pid from my host that died" (safe to
-    reclaim) from "a pid from ANOTHER driver host" (unknowable here —
-    treat as alive). A hash instead of the raw hostname keeps the tag a
-    fixed-width, charset-safe token for catalog table names."""
+    """Six-hex-char tag of THIS host's identity, embedded next to
+    creator pids in generation/artifact names: ``pid_alive`` is
+    host-local, so a sweep must be able to tell "a pid from my host
+    that died" (safe to reclaim) from "a pid from ANOTHER driver host"
+    (unknowable here — treat as alive). The tag hashes the MACHINE ID
+    (``/etc/machine-id`` — unique per installed OS instance) TOGETHER
+    with the hostname: hostname alone collides across hosts cloned
+    from one image or containers reporting a default name, and a tag
+    collision silently re-enables the cross-host sweep hazard the tag
+    exists to prevent (round-14 review finding). Hosts without a
+    readable machine-id fall back to hostname-only — same risk class
+    as before, no worse. A hash keeps the tag a fixed-width,
+    charset-safe token for catalog table names; changing the identity
+    source only makes PRE-UPGRADE local leftovers read as foreign
+    (never swept automatically — reclaimed by ``gc_foreign_leftovers``'
+    age path), the conservative direction."""
     import hashlib
     import socket
 
-    return hashlib.md5(socket.gethostname().encode()).hexdigest()[:6]
+    ident = socket.gethostname()
+    for p in ("/etc/machine-id", "/var/lib/dbus/machine-id"):
+        try:
+            with open(p) as fh:
+                ident += "|" + fh.read().strip()
+            break
+        except OSError:
+            continue
+    return hashlib.md5(ident.encode()).hexdigest()[:6]
 
 
 def fs_rmtree(spark: SparkSession, path: str) -> None:

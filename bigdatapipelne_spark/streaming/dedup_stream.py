@@ -278,6 +278,7 @@ def _drive_staged_stream(
     probe_fn,
     cp_dir: str,
     progress_out: list | None = None,
+    source_schema: str = "doc_id long, text string",
 ) -> None:
     """The shared drain scaffold: one staged file per micro-batch through
     ``foreachBatch(probe_fn)`` with an availableNow trigger — the
@@ -285,9 +286,12 @@ def _drive_staged_stream(
     processes only files staged since the last run. ``progress_out``
     (bench instrumentation) collects per-micro-batch
     ``{batch, rows_in, trigger_ms}`` rows from the query's progress
-    feed — how bench_fold.py measures the ledger-growth curve."""
+    feed — how bench_fold.py measures the ledger-growth curve.
+    ``source_schema`` names the staged columns — the dedup drains use the
+    standard (doc_id, text) contract; the decon drain derives it from the
+    staged files so custom id/text column names flow through."""
     src = (
-        spark.readStream.schema("doc_id long, text string")
+        spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staging_dir)
     )
@@ -475,9 +479,6 @@ def read_delta_pairs(spark: SparkSession, out_root: str) -> DataFrame:
     return _read_batched(spark, path, _DELTA_PAIR_SCHEMA)
 
 
-_DECON_SCHEMA = "corpus_id long, bench_id long, containment double"
-
-
 def run_decontaminate_stream(
     spark: SparkSession,
     staging_dir: str,
@@ -487,6 +488,8 @@ def run_decontaminate_stream(
     n: int = 3,
     exchange_budget: int | None = None,
     compact_sink_bytes: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """The third streaming standing-index member: per-micro-batch
     benchmark DECONTAMINATION of an arriving corpus stream against the
@@ -516,7 +519,15 @@ def run_decontaminate_stream(
     post-completion is its natural small-files maintenance point; the
     same replay-safety argument applies (committed batches never
     replay, later batches write beside the compacted base). ``None``
-    leaves maintenance to the caller."""
+    leaves maintenance to the caller.
+
+    ``id_col`` / ``text_col`` name the staged corpus columns (the
+    managed drain passes the values recorded in its manifest — config
+    fidelity on the probe side, not just the build side); the stream
+    source schema and the pair-sink read schema are DERIVED from the
+    staged files and the index's sizes table, so non-default names and
+    non-long id types flow through rather than silently probing the
+    wrong column."""
     from bigdatapipelne_spark.operators.dedup import (
         decontaminate,
         load_benchmark_index,
@@ -524,10 +535,13 @@ def run_decontaminate_stream(
 
     idx = load_benchmark_index(spark, index_name)
     sink = os.path.join(out_root, "pairs")
+    source_schema, pair_schema = decon_stream_schemas(
+        spark, staging_dir, id_col, text_col, idx.sizes
+    )
 
     def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
         pairs = decontaminate(
-            batch_df, None, "doc_id", "text", n=n, threshold=threshold,
+            batch_df, None, id_col, text_col, n=n, threshold=threshold,
             benchmark_index=idx,
         )
         _assert_probe_plan(
@@ -536,11 +550,42 @@ def run_decontaminate_stream(
         _write_batch(pairs, sink, batch_id)
 
     _drive_staged_stream(
-        spark, staging_dir, _probe_batch, os.path.join(out_root, "cp")
+        spark, staging_dir, _probe_batch, os.path.join(out_root, "cp"),
+        source_schema=source_schema,
     )
     if compact_sink_bytes is not None:
         compact_batched_sink(spark, sink, compact_sink_bytes)
-    return _read_batched(spark, sink, _DECON_SCHEMA)
+    return _read_batched(spark, sink, pair_schema)
+
+
+def decon_stream_schemas(
+    spark: SparkSession,
+    staging_dir: str,
+    id_col: str,
+    text_col: str,
+    sizes: DataFrame,
+) -> tuple[str, str]:
+    """(stream source schema, pair-sink read schema) for a decon drain:
+    the corpus id's TYPE comes from the staged parquet footers (loud
+    error when the named columns are absent — the alternative is a
+    per-batch AnalysisException or, worse, probing a same-named wrong
+    column), bench_id's from the index's sizes table. Shared by
+    ``run_decontaminate_stream`` and the managed drain's post-compaction
+    re-read so the two can never disagree."""
+    staged = spark.read.parquet(staging_dir)
+    missing = [c for c in (id_col, text_col) if c not in staged.columns]
+    if missing:
+        raise ValueError(
+            f"staged corpus at {staging_dir} has no column(s) "
+            f"{missing} — staged files carry {staged.columns}; pass the "
+            "id_col/text_col the stage was written with"
+        )
+    id_type = staged.schema[id_col].dataType.simpleString()
+    bench_type = sizes.schema["bench_id"].dataType.simpleString()
+    return (
+        f"`{id_col}` {id_type}, `{text_col}` string",
+        f"corpus_id {id_type}, bench_id {bench_type}, containment double",
+    )
 
 
 def fold_ledger_into_index(

@@ -96,11 +96,11 @@ from bigdatapipelne_spark.sources.io import (
 )
 from bigdatapipelne_spark.streaming.dedup_stream import (
     PROBE_EXCHANGE_BUDGET,
-    _DECON_SCHEMA,
     _PAIR_SCHEMA,
     _dir_bytes,
     _read_batched,
     compact_batched_sink,
+    decon_stream_schemas,
     fold_ledger_into_index,
     fold_seen_into_fingerprint_index,
     run_decontaminate_stream,
@@ -312,8 +312,58 @@ def init_index_manifest(
             "text_col": bench_params["text_col"],
             "n": bench_params.get("n", 3),
         }
+    _validate_bootstrap_buckets(spark, kind, name, n_buckets)
     _write_entry(spark, manifest_root, entry)
     return entry
+
+
+# which catalog table carries the bootstrap's bucket spec, per kind —
+# the ivf index is path-addressed (no bucketed catalog tables)
+_BUCKET_PROBE_TABLE = {
+    "near_dup": "{name}_shingles",
+    "fingerprint": "{name}",
+    "benchmark": "{name}_shingles",
+}
+
+
+def _table_num_buckets(spark: SparkSession, table: str) -> int | None:
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED `{table}`").collect():
+        if r.col_name == "Num Buckets":
+            try:
+                return int(r.data_type)
+            except ValueError:
+                return None
+    return None
+
+
+def _validate_bootstrap_buckets(
+    spark: SparkSession, kind: str, name: str, n_buckets: int
+) -> None:
+    """The recorded ``n_buckets`` is REPLAYED by every fold / refresh
+    (``save_*_index(n_buckets=entry['n_buckets'])``), so recording a
+    value that differs from the bootstrap's actual bucket spec makes the
+    first rotation silently change the physical layout — e.g. a
+    ``save_benchmark_index`` default (8) bootstrap inited with the
+    manifest default (32) would re-bucket on refresh, changing the
+    shuffle-avoidance profile the bucketed probe depends on (round-14
+    review finding). Introspect the saved table and raise on mismatch;
+    a manifest inited before the bootstrap table exists (tests do this
+    for pointer-mechanics coverage) skips the check."""
+    fmt = _BUCKET_PROBE_TABLE.get(kind)
+    if fmt is None:
+        return
+    table = fmt.format(name=name)
+    if not spark.catalog.tableExists(table):
+        return
+    actual = _table_num_buckets(spark, table)
+    if actual is not None and actual != n_buckets:
+        raise ValueError(
+            f"init_index_manifest(n_buckets={n_buckets}) does not match "
+            f"the bootstrap index's actual bucket spec ({actual} on "
+            f"`{table}`) — pass exactly what the save_*_index call was "
+            "given, or the first fold/refresh would silently rebuild "
+            "the index with a different physical layout"
+        )
 
 
 def current_index_entry(spark: SparkSession, manifest_root: str) -> dict:
@@ -361,6 +411,46 @@ def _clear_generation(spark: SparkSession, entry: dict) -> None:
     fs_rmtree(spark, entry["path"])
 
 
+def _family_state(
+    spark: SparkSession, manifest_root: str
+) -> tuple[list[dict], set[str], set[str]]:
+    """(entries, committed table names, committed dir basenames) for a
+    manifest's generation family — the protected sets every leftover
+    sweep checks BEFORE judging liveness/staleness. EXACT names (a
+    prefix test would protect everything: the gen-1 base name prefixes
+    every later generation's name). One implementation shared by the
+    dead-pid sweep and the foreign-host gc so the protection can never
+    desynchronize between them (round-14 review finding)."""
+    entries = [
+        _read_entry(spark, manifest_root, g)
+        for g in _list_generations(spark, manifest_root)
+    ]
+    committed = {
+        e["name"] + sfx
+        for e in entries
+        for sfx in ("", "_bands", "_shingles", "_sizes")
+    }
+    committed_dirs = {os.path.basename(e["path"]) for e in entries}
+    return entries, committed, committed_dirs
+
+
+def _gen_pattern(prefix: str, token: str):
+    """Matcher for one manifest family's generation names — tables when
+    ``prefix`` is the base_name, data dirs when it is base_path's
+    basename. NAMED groups (``pid`` / ``host`` / ``stem``) so every
+    consumer reads fields by name; the three hand-kept positional
+    regexes this replaces had already diverged once (the h-tag had to be
+    threaded through each). ``host`` is None on pre-tag legacy names;
+    ``stem`` is the full generation suffix (reconstructs sibling table
+    names from a dir name: ``base_name + stem``)."""
+    import re
+
+    return re.compile(
+        rf"^{re.escape(prefix)}(?P<stem>_m{token}"
+        rf"_g\d+p(?P<pid>\d+)(?:h(?P<host>[0-9a-f]{{6}}))?.*)$"
+    )
+
+
 def _sweep_dead_fold_leftovers(
     spark: SparkSession, manifest_root: str, entry: dict
 ) -> None:
@@ -386,34 +476,19 @@ def _sweep_dead_fold_leftovers(
     single-host deployments that created them)."""
     import re
 
-    entries = [
-        _read_entry(spark, manifest_root, g)
-        for g in _list_generations(spark, manifest_root)
-    ]
-    # EXACT protected names (entry name + its part-table suffixes) — a
-    # prefix test would protect everything, since the gen-1 base name
-    # prefixes every later generation's name
-    committed = {
-        e["name"] + sfx
-        for e in entries
-        for sfx in ("", "_bands", "_shingles", "_sizes")
-    }
-    committed_dirs = {os.path.basename(e["path"]) for e in entries}
+    _, committed, committed_dirs = _family_state(spark, manifest_root)
     local = host_tag()
 
     def _dead_local_creator(m: re.Match) -> bool:
-        host = m.group(2)
+        host = m.group("host")
         if host is not None and host != local:
             return False  # foreign host: unknowable here, treat as alive
-        pid = int(m.group(1))
+        pid = int(m.group("pid"))
         return pid == os.getpid() or not pid_alive(pid)
 
     # token-scoped: only THIS manifest's generation family is swept —
     # a second manifest sharing the bootstrap index has its own token
-    pat = re.compile(
-        rf"^{re.escape(entry['base_name'])}_m{entry['token']}"
-        rf"_g\d+p(\d+)(?:h([0-9a-f]{{6}}))?"
-    )
+    pat = _gen_pattern(entry["base_name"], entry["token"])
     for tbl in spark.catalog.listTables():
         m = pat.match(tbl.name)
         if not m or tbl.isTemporary:
@@ -425,10 +500,7 @@ def _sweep_dead_fold_leftovers(
         spark.sql(f"DROP TABLE IF EXISTS `{tbl.name}`")
     # the matching data dirs: siblings of base_path named like the tables
     parent = os.path.dirname(entry["base_path"]) or "."
-    base = os.path.basename(entry["base_path"])
-    dpat = re.compile(
-        rf"^{re.escape(base)}_m{entry['token']}_g\d+p(\d+)(?:h([0-9a-f]{{6}}))?"
-    )
+    dpat = _gen_pattern(os.path.basename(entry["base_path"]), entry["token"])
     fs, hparent = hadoop_fs(spark, parent)
     if not fs.exists(hparent):
         return
@@ -469,30 +541,17 @@ def gc_foreign_leftovers(
     import time
 
     entry = current_index_entry(spark, manifest_root)
-    entries = [
-        _read_entry(spark, manifest_root, g)
-        for g in _list_generations(spark, manifest_root)
-    ]
-    committed = {
-        e["name"] + sfx
-        for e in entries
-        for sfx in ("", "_bands", "_shingles", "_sizes")
-    }
-    committed_dirs = {os.path.basename(e["path"]) for e in entries}
+    _, committed, committed_dirs = _family_state(spark, manifest_root)
     local = host_tag()
     suffixes = _TABLE_SUFFIXES.get(entry["kind"], ("",))
     cleared: list[str] = []
 
     def _foreign(m: re.Match) -> bool:
-        host = m.group(2)
+        host = m.group("host")
         return host is not None and host != local
 
     parent = os.path.dirname(entry["base_path"]) or "."
-    base = os.path.basename(entry["base_path"])
-    dpat = re.compile(
-        rf"^{re.escape(base)}(_m{entry['token']}"
-        rf"_g\d+p(?:\d+)(?:h([0-9a-f]{{6}}))?.*)$"
-    )
+    dpat = _gen_pattern(os.path.basename(entry["base_path"]), entry["token"])
     now_ms = time.time() * 1000.0
     fs, hparent = hadoop_fs(spark, parent)
     if fs.exists(hparent):
@@ -509,7 +568,7 @@ def gc_foreign_leftovers(
                 newest = max(newest, it.next().getModificationTime())
             if now_ms - newest < min_age_sec * 1000.0:
                 continue
-            stem = m.group(1)
+            stem = m.group("stem")
             for sfx in suffixes:
                 spark.sql(
                     f"DROP TABLE IF EXISTS `{entry['base_name']}{stem}{sfx}`"
@@ -517,16 +576,12 @@ def gc_foreign_leftovers(
             fs_rmtree(spark, os.path.join(parent, nm))
             cleared.append(nm)
     # dangling foreign tables: catalog entry present, data dir gone
-    tpat = re.compile(
-        rf"^{re.escape(entry['base_name'])}_m{entry['token']}"
-        rf"_g\d+p(?:\d+)(?:h([0-9a-f]{{6}}))?"
-    )
+    tpat = _gen_pattern(entry["base_name"], entry["token"])
     for tbl in spark.catalog.listTables():
         m = tpat.match(tbl.name)
         if not m or tbl.isTemporary or tbl.name in committed:
             continue
-        host = m.group(1)
-        if host is None or host == local:
+        if not _foreign(m):
             continue
         loc = spark.sql(f"DESCRIBE TABLE EXTENDED `{tbl.name}`").filter(
             "col_name = 'Location'"
@@ -847,14 +902,21 @@ def run_managed_decontaminate_drain(
             f"manifest {manifest_root} holds a {entry['kind']} index, "
             "not a benchmark one"
         )
+    p = entry["benchmark"]
     run_decontaminate_stream(
         spark,
         staging_dir,
         entry["name"],
         out_root,
         threshold,
-        n=entry["benchmark"]["n"],
+        n=p["n"],
         exchange_budget=exchange_budget,
+        # config fidelity on the PROBE side too: the columns recorded at
+        # init are what every micro-batch is decontaminated over — not a
+        # hardcoded (doc_id, text) contract the manifest only pretended
+        # to parametrize (round-14 review finding)
+        id_col=p["id_col"],
+        text_col=p["text_col"],
     )
     sink = os.path.join(out_root, "pairs")
     if (
@@ -862,8 +924,15 @@ def run_managed_decontaminate_drain(
         and _batch_partition_count(spark, sink) > compact_after_batches
     ):
         compact_batched_sink(spark, sink, compact_target_bytes)
-    # fresh post-compaction listing (see run_managed_near_dup_drain)
-    return _read_batched(spark, sink, _DECON_SCHEMA)
+    # fresh post-compaction listing (see run_managed_near_dup_drain),
+    # with the SAME derived schema the drain wrote under
+    from bigdatapipelne_spark.operators.dedup import load_benchmark_index
+
+    _, pair_schema = decon_stream_schemas(
+        spark, staging_dir, p["id_col"], p["text_col"],
+        load_benchmark_index(spark, entry["name"]).sizes,
+    )
+    return _read_batched(spark, sink, pair_schema)
 
 
 def ivf_refresh_if_due(

@@ -955,6 +955,68 @@ def test_benchmark_manifest_rotation_and_managed_decon(spark, tmp_path):
         _drop_gens(spark, name)
 
 
+def test_benchmark_manifest_custom_columns_and_bucket_guard(spark, tmp_path):
+    """Config fidelity holds on the PROBE side, not just the build side
+    (round-14 review finding #1): a suite keyed (qid, question) with a
+    corpus staged under the same names flows through the managed drain —
+    the drain passes the manifest-recorded id/text columns into every
+    micro-batch probe and derives the stream/pair schemas from the
+    staged files, instead of hardcoding (doc_id, text). And init
+    introspects the bootstrap's bucket spec (finding #4): recording an
+    n_buckets that differs from the saved table raises instead of
+    letting the first refresh silently rebuild with a different
+    physical layout."""
+    from bigdatapipelne_spark.operators.dedup import (
+        build_benchmark_index,
+        decontaminate,
+        save_benchmark_index,
+    )
+    from bigdatapipelne_spark.streaming.index_manifest import (
+        init_index_manifest,
+        run_managed_decontaminate_drain,
+    )
+    from bigdatapipelne_spark.streaming.scd import stage_ordered_files
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("question")
+    )
+    suite = docs.filter(F.col("qid") < 12)
+    corpus = docs.filter(F.col("qid") >= 25)
+    name = "bm_cols_t"
+    try:
+        save_benchmark_index(
+            build_benchmark_index(suite, "qid", "question"),
+            name, str(tmp_path / "ix"), n_buckets=8,
+        )
+        # bucket guard: init with a non-matching count refuses
+        with pytest.raises(ValueError, match="bucket spec"):
+            init_index_manifest(
+                spark, str(tmp_path / "mbad"), "benchmark", name,
+                str(tmp_path / "ix"), n_buckets=32,
+                bench_params={"id_col": "qid", "text_col": "question"},
+            )
+        mroot = str(tmp_path / "m")
+        init_index_manifest(
+            spark, mroot, "benchmark", name, str(tmp_path / "ix"),
+            n_buckets=8,
+            bench_params={"id_col": "qid", "text_col": "question"},
+        )
+        staging = str(tmp_path / "staging")
+        stage_ordered_files([corpus], staging)
+        got = run_managed_decontaminate_drain(
+            spark, staging, mroot, str(tmp_path / "out"), threshold=0.15,
+            compact_after_batches=None,
+        )
+        want = sorted(
+            map(tuple, decontaminate(
+                corpus, suite, "qid", "question", threshold=0.15
+            ).collect())
+        )
+        assert sorted(map(tuple, got.collect())) == want and want
+    finally:
+        _drop_gens(spark, name)
+
+
 def test_managed_ivf_insert_composes_insert_and_retrain(spark, tmp_path):
     """run_managed_ivf_insert (round-13 verdict #1): the composed
     vector-ingestion path — resolve pointer -> assign-only insert into

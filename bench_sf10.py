@@ -268,6 +268,7 @@ SKIP = {
     "ivfpq_topk_recall": "exact twin capped at TOPK_RECALL_CAP; measures the cap",
     "embedding_near_dup": "O(N^2) exact all-pairs baseline",
     "embedding_ann_recall": "embeds the O(N^2) exact pair set certificate",
+    "semdedup_recall": "embeds the O(N^2) exact pair set certificate",
 }
 
 SF01 = "/root/testdata/sf0.1"

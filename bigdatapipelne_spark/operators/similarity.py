@@ -1394,3 +1394,144 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-scoped exact cosine.
+# ---------------------------------------------------------------------------
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    n_clusters: int | None = None,
+    n_probe: int = 1,
+    iters: int = 2,
+    scorer: str = "arrow",
+) -> DataFrame:
+    """Semantic-duplicate pairs the SemDeDup way (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with the deterministic
+    k-means coarse quantizer (``ivf_assignments`` — md5-seeded, RNG-free),
+    then score EXACT cosine only within each cluster and keep pairs at or
+    above ``threshold``. Output contract matches ``near_duplicate_pairs``
+    (``id_a < id_b, cosine``); the approximation is only which pairs are
+    ever *scored* (cross-cluster pairs are not), so with the Catalyst
+    scorer the result is a strict SUBSET of the exact pair set.
+
+    Scale shape: cost is sum over clusters of ``|c|^2`` — with
+    ``n_clusters ~ sqrt(N)`` that is ``O(N^1.5)`` worst case and ~linear
+    on real clustered data — never the ``N^2`` all-pairs scan. Vectors
+    cross the shuffle once per cluster membership (``n_probe`` times with
+    multi-assignment); each cluster is scored as one numpy matmul via the
+    shared cogrouped Arrow scorer.
+
+    ``n_probe > 1`` assigns each vector to its ``n_probe`` best cells and
+    unions the within-cell pairs — the recall knob for near-threshold
+    pairs that straddle a k-means boundary (the paper's single-assignment
+    form is ``n_probe=1``). Pairs found in several shared cells are
+    deduplicated.
+
+    ``scorer="catalyst"`` re-derives each side from the RAW vector column
+    with the exact ``cosine_from_norms`` expression ``near_duplicate_pairs``
+    uses — bit-identical scores, so certificate callers can assert strict
+    subset-ness at the threshold boundary. The default Arrow scorer
+    computes the same cosines as one matmul per cluster (final-ulp
+    divergence only) for the production path.
+    """
+    if n_clusters is None:
+        n_clusters = max(2, math.isqrt(df.count()))
+    assigned, centroids = ivf_assignments(df, id_col, vec_col, n_clusters, iters)
+    if n_probe <= 1:
+        membership = assigned.select(
+            F.col(id_col), "vn", F.col("cluster").alias("bucket")
+        )
+    else:
+        membership = assigned.select(
+            F.col(id_col),
+            "vn",
+            F.explode(
+                _cell_scores_udf(centroids, min(n_probe, n_clusters))(F.col("vn"))
+            ).alias("bucket"),
+        )
+
+    if scorer == "arrow":
+        a_side = membership.select(
+            F.col(id_col).alias("id_a"),
+            F.col("vn").alias("va"),
+            F.lit(1.0).alias("na"),
+            "bucket",
+        )
+        b_side = membership.select(
+            F.col(id_col).alias("id_b"),
+            F.col("vn").alias("vb"),
+            F.lit(1.0).alias("nb"),
+            "bucket",
+        )
+        pairs = _score_buckets_pairs_arrow(a_side, b_side, threshold)
+        return pairs.dropDuplicates(["id_a", "id_b"]) if n_probe > 1 else pairs
+
+    # Catalyst scorer: raw vectors + the near_duplicate_pairs expression,
+    # joined within cluster only. Same pinned bucket partitioning as the
+    # SRP pair path (AQE would coalesce the small shuffle under the
+    # quadratic per-bucket scoring).
+    raw = df.select(F.col(id_col), F.col(vec_col))
+    memb = membership.select(F.col(id_col), "bucket").join(raw, id_col)
+    a_side = memb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(vec_col).alias("na"),
+        "bucket",
+    )
+    b_side = memb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(vec_col).alias("nb"),
+        "bucket",
+    )
+    return (
+        _pin_bucket_partitions(a_side)
+        .join(_pin_bucket_partitions(b_side), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_from_norms("va", "vb", "na", "nb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    n_clusters: int | None = None,
+    n_probe: int = 1,
+    iters: int = 2,
+    scorer: str = "arrow",
+) -> DataFrame:
+    """SemDeDup survivors: drop every document that has a semantic
+    duplicate (same-cluster cosine >= ``threshold``) with a SMALLER id.
+
+    Keep-lowest-id is the repo's canonical-first-id convention (exact and
+    MinHash dedup use it too) — deterministic and one-survivor-per-
+    duplicate-chain, where the paper keeps the member farthest from the
+    cluster centroid (an aesthetic choice its authors report as
+    near-equivalent). The pruned-id set is exactly ``id_b`` of
+    ``semdedup_pairs``: id_a < id_b means every non-minimal member of a
+    duplicate group appears as some pair's right side."""
+    pairs = semdedup_pairs(
+        df,
+        id_col,
+        vec_col,
+        threshold=threshold,
+        n_clusters=n_clusters,
+        n_probe=n_probe,
+        iters=iters,
+        scorer=scorer,
+    )
+    pruned = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(pruned, id_col, "left_anti")

@@ -732,7 +732,15 @@ _GATE_PRIORITY = [
     # in-gate). Its slot seats near_dup_clusters_pd, churned by the
     # ngram size-riding rewrite (_shingle_hash_rows_with_size feeds its
     # pair mining).
-    "near_dup_clusters_pd",
+    # ROUND 14 (late) — near_dup_clusters_pd rotates out (r13 green, the
+    # pointer-doubling CC code unchanged; CC stays anchored in-gate by
+    # near_dup_clusters, which shares its recursive-CTE oracle). Its slot
+    # seats semdedup_recall, the NEW SemDeDup certificate (Abbas et al.
+    # 2023): cluster-scoped exact-cosine pairs must be a strict SUBSET of
+    # the exact pair set (Catalyst-scorer bit-parity) AND cover >= the
+    # measured recall floor — the hash-checked twin bounding the
+    # rows-only embedding_semdedup production path.
+    "semdedup_recall",
     # wave-3 narrow-scan widens (doc_chunks 34.6x, doc_repetition 38.0x,
     # doc_collapse_repeats 27.0x at sf10) re-gate; slots from
     # medallion_audit / salted_skew_join / stream_versioned_sink_drain
@@ -784,7 +792,14 @@ _GATE_PRIORITY = [
     # and purchase_view_outer_drain, churned by the avro codec's varint
     # int64 bound (_decode_long is in every drain's reachable set via
     # the bus seam).
-    "store_time_travel",
+    # ROUND 14 (late) — store_time_travel rotates out (r13 green, the
+    # versioned store unchanged this round; the store family stays
+    # anchored in-gate by store_vacuum and stream_versioned_sink_drain).
+    # Its slot seats embedding_semdedup, the SemDeDup PRODUCTION path
+    # (rows-only by design like the other approximate ANN paths — its
+    # value evidence is the hash-checked semdedup_recall certificate twin
+    # gating above), so the new surface earns a driver row this round.
+    "embedding_semdedup",
     "stream_versioned_sink_drain",
     "purchase_view_outer_drain",
     "user_scd2_stream_drain",
@@ -997,7 +1012,15 @@ _GATE_PRIORITY = [
     # LID keeps local parity). Its slot seats enriched_stream_drain,
     # churned by the avro varint bound like the other drains (its r06
     # row predates _decode_long's new int64 guard).
-    "enriched_stream_drain",
+    # ROUND 14 (late) — enriched_stream_drain rotates out (r13 green,
+    # code unchanged this round; streaming stays anchored in-gate by the
+    # fraud/session/dedup/purchase-view/SCD2/versioned-sink drains, and
+    # stream-static enrichment's broadcast join shape is pinned in
+    # test_streaming.py). Its slot seats dsir_selected, the NEW DSIR
+    # data-selection gate (Xie et al. 2023): hashed unigram+bigram
+    # importance weights vs a target sample, fully replayed by the DuckDB
+    # oracle through the cross-engine md5->BIGINT hash idiom.
+    "dsir_selected",
     # Streaming / pipeline anchors + round-3 additions. card_medallion_disk
     # supersedes card_spec_mart in-gate (same oracle, adds the disk
     # round-trip); card_spec_mart, serving_upsert and fraud_stream_drain

@@ -610,6 +610,86 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Certificate floor for the SemDeDup cluster-scoped pair miner. Measured
+# recall vs the exact pair set at n_clusters=8 / n_probe=3: 1.000 at
+# sf0.001, 1.000 at sf0.01, 0.964 at sf0.1 — this synthetic corpus's
+# 0.42-threshold pairs are WIDE-angle (max cosine ~0.51, ~65 degrees), the
+# hard case for cluster-scoped scoring (real SemDeDup thresholds ~0.99 are
+# narrow-angle and co-cluster almost surely). 0.85 leaves margin without
+# letting single-probe-grade recall (0.30-0.44 measured) pass.
+SEMDEDUP_RECALL_FLOOR = 0.85
+
+
+@query(
+    "semdedup_recall",
+    oracle=f"""
+    SELECT (SELECT COUNT(*)
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND a.vec_id < {EXACT_NEAR_DUP_CAP} AND b.vec_id < {EXACT_NEAR_DUP_CAP}
+              AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.42
+           ) AS n_exact_pairs,
+           TRUE AS subset_ok,
+           TRUE AS recall_ge_floor
+    """,
+)
+def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked certificate for the SemDeDup path
+    (operators/similarity.py semdedup_pairs — cluster-scoped exact cosine,
+    Abbas et al. 2023): the oracle computes the exact near-dup pair count
+    in SQL; the Spark side emits subset_ok = TRUE only if EVERY SemDeDup
+    pair is in the exact pair set (the Catalyst scorer makes the scores
+    bit-identical to near_duplicate_pairs, so this is a strict claim at
+    the threshold boundary) and recall_ge_floor = TRUE only if the
+    cluster-scoped pairs cover >= SEMDEDUP_RECALL_FLOOR of it. A recall
+    or containment regression flips a boolean and the driver's hash check
+    fails — the same certificate pattern as embedding_ann_recall."""
+    from bigdatapipelne_spark.operators.similarity import (
+        near_duplicate_pairs as _exact_pairs,
+        semdedup_pairs,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < EXACT_NEAR_DUP_CAP)
+    emb = _widen_narrow_input(emb)
+    exact = _exact_pairs(emb, "vec_id", "embedding", threshold=0.42)
+    sem = semdedup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=0.42, n_clusters=8, n_probe=3, scorer="catalyst",
+    )
+    found = sem.join(exact, ["id_a", "id_b"], "left_semi")
+    extra = sem.join(exact, ["id_a", "id_b"], "left_anti")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found"))
+    nx = extra.agg(F.count(F.lit(1)).alias("n_extra"))
+    return ne.crossJoin(nf).crossJoin(nx).select(
+        "n_exact_pairs",
+        (F.col("n_extra") == 0).alias("subset_ok"),
+        (
+            F.col("n_found")
+            >= F.lit(SEMDEDUP_RECALL_FLOOR) * F.col("n_exact_pairs")
+        ).alias("recall_ge_floor"),
+    )
+
+
+@query("embedding_semdedup")  # cluster-scoped approximation -> rows-only;
+# value-bounded by the hash-checked semdedup_recall certificate twin
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors over the full embeddings table — the production
+    semantic-dedup path (operators/similarity.py semdedup_prune):
+    deterministic k-means cells (~sqrt(N) clusters), within-cell exact
+    cosine via one Arrow matmul per cell, keep-lowest-id per duplicate
+    relation. Cost is sum of cell^2, never N^2; recall and strict
+    subset-ness vs the exact pair set are driver-gated via
+    semdedup_recall."""
+    from bigdatapipelne_spark.operators.similarity import semdedup_prune
+
+    emb = _widen_narrow_input(t(spark, sf_dir, "embeddings"))
+    survivors = semdedup_prune(
+        emb, "vec_id", "embedding", threshold=0.42, n_probe=2
+    )
+    return survivors.select("vec_id", "label")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------
@@ -1480,6 +1560,84 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_distinct_chars"),
             F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
         )
+    )
+
+
+def _dsir_oracle(k: int, n_buckets: int) -> str:
+    """DuckDB replay of operators/importance.py exactly: same tokens, same
+    real-bigrams-only rule, same md5->BIGINT bucket hash (bit-equal conv
+    idiom), same add-one smoothing over the full bucket domain, same
+    sum(n * logratio) with 6 dp rounding before the (score DESC, doc_id)
+    rank."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_tgt, {_SQL_TOKS} AS w FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, is_tgt, unnest(w) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, is_tgt,
+             unnest(CASE WHEN len(w) >= 2
+                    THEN list_transform(generate_series(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i + 1])
+                    ELSE [] END) AS f
+      FROM toks
+    ),
+    cells AS (
+      SELECT doc_id, is_tgt,
+             CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % {n_buckets}
+               AS bucket
+      FROM feats
+    ),
+    doc_cells AS (
+      SELECT doc_id, is_tgt, bucket, COUNT(*) AS n
+      FROM cells GROUP BY doc_id, is_tgt, bucket
+    ),
+    raw AS (SELECT bucket, SUM(n) AS n_raw FROM doc_cells GROUP BY bucket),
+    tgt AS (SELECT bucket, SUM(n) AS n_tgt FROM doc_cells WHERE is_tgt GROUP BY bucket),
+    tots AS (
+      SELECT (SELECT SUM(n) FROM doc_cells) AS tot_raw,
+             (SELECT SUM(n) FROM doc_cells WHERE is_tgt) AS tot_tgt
+    ),
+    lr AS (
+      SELECT r.bucket,
+             ln((COALESCE(t.n_tgt, 0) + 1.0) / (tots.tot_tgt + {n_buckets}.0))
+           - ln((r.n_raw + 1.0) / (tots.tot_raw + {n_buckets}.0)) AS logratio
+      FROM raw r LEFT JOIN tgt t USING (bucket), tots
+    ),
+    scored AS (
+      SELECT doc_id, ROUND(SUM(n * logratio), 6) AS dsir_score
+      FROM doc_cells JOIN lr USING (bucket)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, dsir_score FROM scored
+    ORDER BY dsir_score DESC, doc_id LIMIT {k}
+    """
+
+
+DSIR_SELECT_K = 100
+
+
+@query("dsir_selected", oracle=_dsir_oracle(DSIR_SELECT_K, 4096))
+def dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/importance.py, Xie et al. 2023,
+    arXiv:2302.03169): hashed unigram+bigram bag-of-ngrams models for a
+    TARGET sample (here the English subset — the 'look like the target
+    distribution' selector) vs the raw corpus; each document scored by
+    its log importance weight and the top-k kept deterministically
+    ((rounded score DESC, doc_id) — TakeOrdered, never a global sort).
+    Text never shuffles: documents reduce to (id, bucket) count cells;
+    both distributions are <= n_buckets rows and the log-ratio table
+    broadcasts. The oracle replays the identical hashed pipeline in SQL
+    (the cross-engine md5->BIGINT idiom), so the hash match certifies the
+    operator end to end."""
+    from bigdatapipelne_spark.operators.importance import dsir_select_topk
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "is_tgt", F.col("lang") == "en"
+    )
+    return dsir_select_topk(
+        docs, "doc_id", "text", "is_tgt", k=DSIR_SELECT_K
     )
 
 

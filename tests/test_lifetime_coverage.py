@@ -37,6 +37,7 @@ NO_ORACLE_TWINS = {
     "embedding_ann": "ann_topk_recall",
     "embedding_ivf": "ivf_topk_recall",
     "embedding_ivfpq": "ivfpq_topk_recall",
+    "embedding_semdedup": "semdedup_recall",
 }
 
 

@@ -1611,3 +1611,84 @@ def test_ivf_insert_bounded_maintenance_and_retrain_policy(spark, tmp_path):
         os.remove(p)
     with _pytest.raises(ValueError, match="no META.json"):
         ivf_retrain_due(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-scoped semantic dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_pairs_subset_and_recall(spark):
+    """Catalyst-scored SemDeDup pairs are a strict subset of the exact
+    pair set (bit-identical scoring expression) and cover the certificate
+    floor at the gate parameters."""
+    from bigdatapipelne_spark.operators.similarity import semdedup_pairs
+    from bigdatapipelne_spark.queries_llm import SEMDEDUP_RECALL_FLOOR
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = near_duplicate_pairs(emb, "vec_id", "embedding", threshold=0.42)
+    sem = semdedup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=0.42, n_clusters=8, n_probe=3, scorer="catalyst",
+    )
+    n_exact = exact.count()
+    n_extra = sem.join(exact, ["id_a", "id_b"], "left_anti").count()
+    n_found = sem.join(exact, ["id_a", "id_b"], "left_semi").count()
+    assert n_extra == 0, "SemDeDup emitted a pair outside the exact set"
+    assert n_exact > 0
+    assert n_found >= SEMDEDUP_RECALL_FLOOR * n_exact
+
+
+def test_semdedup_probe_monotone(spark):
+    """Multi-assignment only ADDS memberships (top-1 cell is contained in
+    the top-3 cells), so the pair set grows monotonically with n_probe."""
+    from bigdatapipelne_spark.operators.similarity import semdedup_pairs
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    p1 = semdedup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=0.42, n_clusters=8, n_probe=1, scorer="catalyst",
+    )
+    p3 = semdedup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=0.42, n_clusters=8, n_probe=3, scorer="catalyst",
+    )
+    missing = p1.select("id_a", "id_b").exceptAll(p3.select("id_a", "id_b"))
+    assert missing.count() == 0
+
+
+def test_semdedup_arrow_matches_catalyst_pairs(spark):
+    """The Arrow per-cluster matmul finds the same pairs as the Catalyst
+    expression; any symmetric difference must sit at the threshold
+    boundary (final-ulp divergence is the documented contract)."""
+    from bigdatapipelne_spark.operators.similarity import semdedup_pairs
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    kw = dict(threshold=0.42, n_clusters=8, n_probe=2)
+    cat = semdedup_pairs(emb, "vec_id", "embedding", scorer="catalyst", **kw)
+    arr = semdedup_pairs(emb, "vec_id", "embedding", scorer="arrow", **kw)
+    only_cat = cat.join(arr, ["id_a", "id_b"], "left_anti").collect()
+    only_arr = arr.join(cat, ["id_a", "id_b"], "left_anti").collect()
+    for r in only_cat + only_arr:
+        assert abs(r.cosine - 0.42) < 1e-9, r
+
+
+def test_semdedup_prune_keeps_min_id(spark):
+    """Crafted duplicate group: identical vectors collapse to the lowest
+    id; distinct vectors all survive."""
+    from bigdatapipelne_spark.operators.similarity import semdedup_prune
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # dup of 1
+        (3, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 1/2
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_prune(
+        df, "vec_id", "embedding",
+        threshold=0.99, n_clusters=2, n_probe=2, scorer="catalyst",
+    )
+    kept = sorted(r.vec_id for r in out.collect())
+    assert kept == [1, 4, 5]

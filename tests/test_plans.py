@@ -89,6 +89,10 @@ def test_no_cartesian_or_rowwise_python_on_registered_paths(spark):
         "vocab_coverage",
         "doc_unigram_logprob",  # 1-row corpus-token-total broadcast
         "value_drift_psi",   # 1-row global min/max stats broadcast
+        "dsir_selected",     # two 1-row smoothing-total broadcasts
+        # 1-row x 1-row certificate-count joins (embeds the capped exact
+        # baseline like embedding_ann_recall)
+        "semdedup_recall",
     }
     # Queries that RUN a stream when their DataFrame is constructed are
     # audited in their own tests. The exemption list is EXPLICIT (not a

@@ -825,7 +825,14 @@ def simhash_near_duplicates(
     """
     if max_hamming >= bands:
         raise ValueError("pigeonhole requires max_hamming < bands")
-    sigs = simhash_signatures(df, id_col, text_col)
+    # One row per document, consumed by THREE branches below (the distinct
+    # signature table + both doc-expansion sides). Without the barrier the
+    # whole signature computation — text scan, token explode, md5, 64-sum
+    # aggregate — is planned and executed three times (no ReusedExchange:
+    # each branch projects different columns; guide §7.2). Checkpoint the
+    # per-doc signatures once; everything downstream is proportional to
+    # K distinct signatures and the output pair set.
+    sigs = simhash_signatures(df, id_col, text_col).transform(eager_checkpoint)
 
     # Match at the DISTINCT-SIGNATURE level, then expand back to documents.
     # Near-dup corpora collapse many documents onto few signatures (that is

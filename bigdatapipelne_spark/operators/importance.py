@@ -87,11 +87,23 @@ def hashed_ngram_cells(
         *[F.col(c) for c in carry],
         F.explode(F.concat(F.col("__w"), bigrams)).alias("__f"),
     )
+    # bucket = conv(md5[:15], 16, 10) % n_buckets, computed over the
+    # SHORTEST hex suffix that preserves the residue: when 16^L is a
+    # multiple of n_buckets, the higher digits of the 15-digit prefix
+    # contribute multiples of n_buckets and drop out of the mod, so only
+    # the last L digits need the (expensive, per-occurrence) string base
+    # conversion. For the default 4096 = 16^3 that is 3 digits instead of
+    # 15 — bit-identical buckets (asserted against the full-width form in
+    # tests/test_importance.py), and the oracle SQL keeps the full-width
+    # idiom, so the driver hash gate re-proves the equivalence per run.
+    suffix = next((k for k in range(1, 16) if (16**k) % n_buckets == 0), 15)
     return feats.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
         (
-            F.conv(F.substring(F.md5("__f"), 1, 15), 16, 10).cast("long")
+            F.conv(
+                F.substring(F.md5("__f"), 16 - suffix, suffix), 16, 10
+            ).cast("long")
             % n_buckets
         ).alias("bucket"),
     )

@@ -590,7 +590,12 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression flips the boolean and the driver's hash check fails —
     converting the ANN path's evidence from rows-only to value-checked."""
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < EXACT_NEAR_DUP_CAP)
-    exact = near_duplicate_pairs(emb, "vec_id", "embedding", threshold=0.42)
+    # Checkpoint the exact pair set: it feeds both the semi-join and the
+    # n_exact_pairs count, and without the barrier the O(N^2) Catalyst
+    # scoring subtree is planned (and executed) twice — guide §7.2.
+    exact = eager_checkpoint(
+        near_duplicate_pairs(emb, "vec_id", "embedding", threshold=0.42)
+    )
     # hasher matches the production path (embedding_near_dup_ann) so the
     # certificate bounds the candidates that path actually generates; the
     # hashed output is the floor boolean, insensitive to ulp-boundary
@@ -651,10 +656,18 @@ def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < EXACT_NEAR_DUP_CAP)
     emb = _widen_narrow_input(emb)
-    exact = _exact_pairs(emb, "vec_id", "embedding", threshold=0.42)
-    sem = semdedup_pairs(
-        emb, "vec_id", "embedding",
-        threshold=0.42, n_clusters=8, n_probe=3, scorer="catalyst",
+    # Both pair sets are consumed by multiple branches (found/extra/counts);
+    # checkpoint each once or the O(N^2) exact scoring runs 3x and the
+    # cluster-scoped scoring 2x inside one plan (guide §7.2 — the before
+    # plan held 10 CartesianProduct nodes; after: 1 exact + 1 sem pass).
+    exact = eager_checkpoint(
+        _exact_pairs(emb, "vec_id", "embedding", threshold=0.42)
+    )
+    sem = eager_checkpoint(
+        semdedup_pairs(
+            emb, "vec_id", "embedding",
+            threshold=0.42, n_clusters=8, n_probe=3, scorer="catalyst",
+        )
     )
     found = sem.join(exact, ["id_a", "id_b"], "left_semi")
     extra = sem.join(exact, ["id_a", "id_b"], "left_anti")
@@ -850,9 +863,17 @@ def _topk_recall_certificate(
     fold-vs-BLAS final-ulp rank swaps that forbid Arrow on score-hashed
     queries are harmless here — and the interpreted per-pair fold would
     otherwise dominate the whole sweep (49 s -> ~4 s at sf0.1)."""
-    exact = brute_force_topk(
-        emb, emb, "vec_id", "embedding", k=5, scorer="arrow"
-    ).select("query_id", "neighbor_id")
+    # The exact twin (O(C^2) matmul) feeds BOTH the semi-join probe and
+    # the n_exact_pairs count; without a materialization barrier Catalyst
+    # plans it as two independent subtrees and the quadratic scoring runs
+    # twice per certificate (guide §7.2, duplicated subtrees — the
+    # "before" plans in plans/r14/ show the doubled CartesianProduct).
+    # One eager localCheckpoint of the k*C-row pair set halves the cell.
+    exact = eager_checkpoint(
+        brute_force_topk(
+            emb, emb, "vec_id", "embedding", k=5, scorer="arrow"
+        ).select("query_id", "neighbor_id")
+    )
     found = ann.select("query_id", "neighbor_id").join(
         exact, ["query_id", "neighbor_id"], "left_semi"
     )

@@ -177,14 +177,31 @@ def write_bucketed_table(
     n_buckets: int,
     path: str,
     sort_cols: list[str] | None = None,
+    align_partitions: bool = True,
 ) -> None:
     """Bucketed table for co-located joins: both sides bucketed by the join
     key join with ZERO shuffle (asserted in tests/test_bucketing.py) — the
     storage-layout lever for repeated 100 TB fact-fact joins where even one
-    shuffle dominates the job."""
+    shuffle dominates the job.
+
+    ``align_partitions`` hash-repartitions the input on the bucket columns
+    into ``n_buckets`` partitions before the write. Spark's bucket id is
+    ``pmod(murmur3(bucket_cols), n_buckets)`` — the SAME mapping a
+    ``repartition(n_buckets, cols)`` shuffle uses — so each write task then
+    holds exactly one bucket and the table lands as one file per bucket.
+    Without it a bucketed write fans out to (input tasks x buckets
+    present) files: measured on the sf0.1 near-dup shingle table, 1,019
+    files of ~9 KB for 9 MB of data, and every standing-index probe,
+    fold and reload re-paid the per-file open/commit constant (guide §6
+    small-files: this is the Iceberg hash distribution-mode trade — one
+    bounded shuffle of the index rows at write time buys a file count
+    that equals the bucket count). ``n_buckets`` stays the caller's
+    scaling knob: a production deployment sizes it to data volume, which
+    sizes both files and write parallelism with it."""
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    out = df.repartition(n_buckets, *bucket_cols) if align_partitions else df
     writer = (
-        df.write.mode("overwrite")
+        out.write.mode("overwrite")
         .format("parquet")
         .option("path", path)
         .bucketBy(n_buckets, *bucket_cols)

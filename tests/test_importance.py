@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from bigdatapipelne_spark.operators.importance import (
     dsir_scores,
     dsir_select_topk,
+    hashed_ngram_cells,
 )
 
 
@@ -118,3 +119,24 @@ def test_dsir_topk_plan_is_take_ordered(spark):
     )
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan, plan
+
+
+def test_hashed_cells_suffix_conv_matches_full_width(spark):
+    """The mod-residue shortcut (conv over the shortest hex suffix with
+    16^L % n_buckets == 0) must equal the full 15-digit conversion for
+    every feature — for a dividing bucket count (64: L=2) AND a
+    non-dividing one (100: falls back to the full width)."""
+    df = _frame(spark)
+    for n_buckets in (64, 100, 4096):
+        got = sorted(
+            (r.doc_id, r.bucket)
+            for r in hashed_ngram_cells(
+                df, "doc_id", "text", n_buckets=n_buckets
+            ).collect()
+        )
+        want = sorted(
+            (r.doc_id, b)
+            for r in df.select("doc_id", "text").collect()
+            for b in _py_buckets(r.text, n_buckets)
+        )
+        assert got == want, n_buckets

@@ -391,7 +391,22 @@ def run_near_dup_probe_stream(
         try:
             pairs = probe_near_dup_index(shb, idx, threshold, bands=bb)
             _assert_probe_plan(pairs, index_name, exchange_budget)
-            _write_batch(pairs, corpus_sink, batch_id)
+            # All of this batch's writes — the gated standing-index pairs,
+            # the ledger-probe pairs, and the three ledger admissions —
+            # read only the two checkpointed frames (plus the standing
+            # index / the ALREADY-LISTED ledger) and target five distinct
+            # directories, each idempotent per batch id. They are
+            # submitted together from a thread pool so Spark overlaps
+            # them (guide §2.6: actions are only sequential because the
+            # driver calls them sequentially); measured at sf0.1 this
+            # collapses three sequential job waves per micro-batch into
+            # one. Safe orderings preserved by construction: the ledger
+            # probe's parquet file listing happens EAGERLY on the main
+            # thread (spark.read at frame-construction time) before any
+            # admission job starts, and its __batch_id < batch filter
+            # excludes this batch's own admissions even on an
+            # at-least-once replay.
+            writes = [(pairs, corpus_sink)]
 
             if fs_exists(spark, ledger["bands"]):
                 # Probe only STRICTLY EARLIER batches' admissions: an
@@ -419,17 +434,13 @@ def run_near_dup_probe_stream(
                     shingles=_led("shingles", "corpus_id long, sh string"),
                     sizes=_led("sizes", "corpus_id long, sz_c long"),
                 )
-                _write_batch(
-                    probe_near_dup_index(shb, led, threshold, bands=bb)
-                    .withColumnRenamed("corpus_id", "ledger_id"),
-                    delta_sink,
-                    batch_id,
+                writes.append(
+                    (
+                        probe_near_dup_index(shb, led, threshold, bands=bb)
+                        .withColumnRenamed("corpus_id", "ledger_id"),
+                        delta_sink,
+                    )
                 )
-            # Ledger admission AFTER the ledger probe. The three writes
-            # read only the two checkpointed frames and target distinct
-            # directories, so they run concurrently (thread-submitted
-            # jobs — the save_near_dup_index pattern); each is
-            # idempotent per batch id like the sinks.
             admissions = [
                 (
                     bb.select(
@@ -450,10 +461,11 @@ def run_near_dup_probe_stream(
                     ledger["sizes"],
                 ),
             ]
-            with ThreadPoolExecutor(max_workers=3) as pool:
+            writes.extend(admissions)
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
                 for f in [
                     pool.submit(_write_batch, d, p, batch_id)
-                    for d, p in admissions
+                    for d, p in writes
                 ]:
                     f.result()
         finally:
@@ -761,14 +773,25 @@ def run_exact_probe_stream(
         # batch's sink rows and double-admit its fingerprints.
         classified = classified.transform(eager_checkpoint)
         try:
-            _write_batch(classified.select("doc_id", "status"), sink, batch_id)
-            # ledger maintenance: a fingerprint enters the ledger exactly
-            # when it first classifies 'new' — one row per fp for the run.
-            _write_batch(
-                classified.filter(F.col("status") == "new").select("__fp"),
-                seen_dir,
-                batch_id,
-            )
+            # Both writes read only the checkpointed frame and target
+            # distinct directories (each idempotent per batch id) — run
+            # them concurrently (guide §2.6), one job wave per batch
+            # instead of two. Ledger maintenance: a fingerprint enters
+            # the ledger exactly when it first classifies 'new' — one
+            # row per fp for the run.
+            writes = [
+                (classified.select("doc_id", "status"), sink),
+                (
+                    classified.filter(F.col("status") == "new").select("__fp"),
+                    seen_dir,
+                ),
+            ]
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for f in [
+                    pool.submit(_write_batch, d, p, batch_id)
+                    for d, p in writes
+                ]:
+                    f.result()
         finally:
             release_checkpoint(classified)
 

@@ -648,7 +648,6 @@ _GATE_PRIORITY = [
     # member: per-batch BenchmarkIndex probe with the pinned-budget
     # zero-index-shuffle audit).
     "decontaminated_overlap_stream_drain",
-    "asof_purchase_view",
     "embedding_near_dup",
     "near_dup_clusters",
     "minhash_near_dups",
@@ -666,6 +665,31 @@ _GATE_PRIORITY = [
     # incremental_dedup_fold_drain).
     "incremental_dedup_managed_drain",
     "simhash_near_dups",
+    # ROUND 15 — asof_purchase_view rotates out (r14 green, code
+    # unchanged this round; the as-of family keeps its fresh r14 row plus
+    # the cogroup twin's oracle in the local parity sweep). Its slot
+    # seats ann_topk_recall: its reachable implementation changed in
+    # round 14 (_topk_recall_certificate's checkpoint, commit 327618a)
+    # while it held no gate slot — the r14 verdict's churn violation
+    # (item 1). This round touches the certificate again (release of the
+    # checkpoint + exact-twin reuse), so the slot is load-bearing twice.
+    "ann_topk_recall",
+    # ROUND 15 — value_anomalies rotates out (r14 green, operators/
+    # profile.py unchanged this round; the profiling family keeps the
+    # fresh row + local parity). Its slot seats ivf_topk_recall — the
+    # same r14 churn violation as ann_topk_recall (certificate changed,
+    # no slot, AND it was rotated out in the same round its code
+    # changed: the worst ordering, per the verdict). Re-gated alongside
+    # this round's second certificate change.
+    "ivf_topk_recall",
+    # ROUND 15 — chunk_dup_docs rotates out (r14 green, the chunk window
+    # rewrite unchanged this round; the text family stays anchored by
+    # doc_repetition and quality_deciles in-gate). Its slot seats
+    # bucketed_join_disk, the third r14 churn violation: its reachable
+    # write_bucketed_table gained align_partitions in 327618a with no
+    # slot — and this round's standing-index write changes reach it
+    # again.
+    "bucketed_join_disk",
     # ROUND 14 — winnowed_doc_pairs rotates out (r13 green, winnowing
     # code unchanged this round; pair mining stays anchored in-gate by
     # minhash_near_dups, simhash_near_dups and ngram_jaccard_pairs).
@@ -676,6 +700,17 @@ _GATE_PRIORITY = [
     # mid-sequence, and the resumed checkpoint probing the rotated
     # generation, pinned pair-for-pair by the two-suite oracle.
     "decon_managed_drain",
+    # ROUND 15 — the five r13-green queries the partial build round's
+    # rotation dropped in one sweep (r14 verdict item 3) start cycling
+    # back: winnowed_doc_pairs and enriched_stream_drain re-gate first
+    # because their families (winnowing fingerprints; stream-static
+    # broadcast enrichment) have ZERO other in-gate anchor — the other
+    # three drops stay covered by in-gate family twins
+    # (near_dup_clusters_pd by near_dup_clusters's shared recursive-CTE
+    # oracle, store_time_travel by store_vacuum +
+    # stream_versioned_sink_drain, ivf_topk_recall re-gates above).
+    "winnowed_doc_pairs",
+    "enriched_stream_drain",
     # The sf10 rehearsal's stop-shingle fix (NGRAM_MAX_DOC_FREQ default)
     # churns every n-gram-index consumer: the pair miner itself, both CC
     # variants and the min-id dedup view re-gate; user_scd2_stream_drain
@@ -705,7 +740,6 @@ _GATE_PRIORITY = [
     # lifetime row + pytest coverage). Its slot seats deduped_documents,
     # churned by the ngram size-riding rewrite.
     "deduped_documents",
-    "value_anomalies",
     # pii_redaction / doc_char_entropy re-gate for the round-6 widen (the
     # sf10 rehearsal found their regex/char-explode stages one-core on
     # the narrow scan). Slots from ann_topk_recall / ivf_topk_recall
@@ -799,7 +833,19 @@ _GATE_PRIORITY = [
     # (rows-only by design like the other approximate ANN paths — its
     # value evidence is the hash-checked semdedup_recall certificate twin
     # gating above), so the new surface earns a driver row this round.
-    "embedding_semdedup",
+    # ROUND 15 — embedding_semdedup rotates OUT (r14 verdict item 2: a
+    # query with err=no_oracle burns a verification slot — the sole
+    # reason r14 fell 50 -> 49). It gets the SAME treatment as the four
+    # older rows-only ANN paths (embedding_ann/embedding_ivf/
+    # embedding_ivfpq/embedding_topk), which are kept out of the window
+    # precisely because they cannot hash-match: its value evidence is
+    # the hash-checked semdedup_recall certificate twin in-gate (strict
+    # subset-ness + recall floor over the same semdedup_pairs core). A
+    # DuckDB oracle was considered and rejected: the survivors depend on
+    # float64 k-means means whose summation ORDER differs across engines
+    # (Spark partition-order avg vs DuckDB's), so cell assignments —
+    # and therefore the survivor set — cannot be made bit-identical
+    # cross-engine without weakening the operator.
     "stream_versioned_sink_drain",
     "purchase_view_outer_drain",
     "user_scd2_stream_drain",
@@ -821,7 +867,8 @@ _GATE_PRIORITY = [
     # chunk_duplicate_stats window rewrite (min!=max over the hash
     # window instead of a doc-freq groupBy joined back — the
     # no-ReusedExchange hazard tokenized the corpus twice).
-    "chunk_dup_docs",
+    # ROUND 15 — chunk_dup_docs rotates out; see its seat (bucketed_
+    # join_disk) above.
     # ROUND 7 — enriched_stream_drain rotates out (r06 green; this
     # round's bus.py edits touch only the avro decode_payload/
     # encode_payload branches, which no file-format drain reaches — the
@@ -832,7 +879,10 @@ _GATE_PRIORITY = [
     # (same oracle as incremental_near_dup; the probe plan reads zero
     # corpus text).
     "incremental_near_dup_indexed",
-    "hll_stream_rollup",
+    # ROUND 15 — hll_stream_rollup rotates out (r14 green, code
+    # unchanged this round; the sketch family keeps the fresh row plus
+    # hll_users_rollup's standing bounded-error row). Its slot funds the
+    # r13-drop re-gating above (enriched_stream_drain).
     # store_vacuum: round-6 version-retention certificate (gc_versions
     # keep-last-N + bit-identical retained reads), new query.
     "store_vacuum",

@@ -192,6 +192,80 @@ def near_duplicate_pairs(
     )
 
 
+def near_duplicate_pairs_fast(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    margin: float = 1e-6,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Bit-identical to ``near_duplicate_pairs`` — same pair set, same
+    Catalyst-fold ``cosine`` doubles — at a fraction of the cost. Two
+    stages (guide §4.2: vectorize the quadratic term, keep the
+    bit-deterministic expression on the pairs that matter):
+
+    1. CANDIDATES: the O(N^2) scoring runs as one numpy matmul per shard
+       (``_score_buckets_pairs_arrow``; the a-side hashes into
+       ``n_shards`` buckets, the b-side replicates per shard, so each
+       unordered pair is scored exactly once) thresholded at
+       ``threshold - margin``.
+    2. RESCORE: the surviving ~k candidate pairs re-derive ``cosine``
+       from the RAW vectors with the exact ``cosine_from_norms`` fold the
+       baseline uses and filter at ``threshold``.
+
+    Stage 1 can only ADD sub-threshold candidates, never lose a true
+    pair: numpy and the Catalyst fold evaluate the same float64 cosine of
+    the same operands, so they differ by summation order alone — bounded
+    by ~n*eps ~ 1e-14 for 64-dim vectors, eight orders of magnitude
+    inside the 1e-6 margin. Stage 2 then decides the threshold boundary
+    with the baseline's own expression, so the emitted set AND scores
+    are bit-equal (pinned by tests/test_llm_ops.py).
+
+    Used by the recall certificates, whose exact twins dominated their
+    cells as interpreted per-pair folds; the production
+    ``near_duplicate_pairs`` keeps its single-expression form."""
+    n = df.count()
+    if n > NEAR_DUP_MAX_ROWS:
+        raise ValueError(
+            f"near_duplicate_pairs_fast is O(N^2) and input has {n} rows "
+            f"(max {NEAR_DUP_MAX_ROWS}); use srp_bucket_ann for the "
+            "candidate generation instead"
+        )
+    spark = df.sparkSession
+    shards = int(n_shards or spark.sparkContext.defaultParallelism)
+    a_side = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(vec_col).alias("na"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(shards)).alias("bucket"),
+    )
+    b_side = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(vec_col).alias("nb"),
+        F.explode(F.array(*[F.lit(i) for i in range(shards)])).alias("bucket"),
+    )
+    cand = _score_buckets_pairs_arrow(
+        a_side, b_side, threshold - margin
+    ).select("id_a", "id_b")
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        l2_norm(vec_col).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        l2_norm(vec_col).alias("nb"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", cosine_from_norms("va", "vb", "na", "nb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _dot_lit(vec: F.Column, lit_arr: F.Column) -> F.Column:
     """Dot product of a vector column with a literal array column."""
     return F.aggregate(
@@ -392,24 +466,47 @@ def save_ivf_index(
         )
     else:
         a = a.repartition(F.col("cluster"))
-    a.write.partitionBy("cluster").parquet(os.path.join(path, "assignments"))
-    spark = index.assignments.sparkSession
-    rows = [(ci, list(c)) for ci, c in enumerate(index.centroids)]
-    # repartition(1), NOT coalesce(1): createDataFrame parallelizes the
-    # local rows across defaultParallelism pickle slices, and coalesce(1)
-    # makes ONE task drain all of them through serial Python-runner
-    # round-trips (measured 4.8s for 16 rows on local[32] vs 0.7s with
-    # the shuffle — the whole cost of the sf0.1 gate cell's save step).
-    spark.createDataFrame(
-        rows, "cluster int, centroid array<double>"
-    ).repartition(1).write.parquet(os.path.join(path, "centroids"))
     # maintenance meta: how many rows the quantizer was TRAINED on vs
     # appended assign-only since (ivf_insert) — feeds ivf_retrain_due.
-    # Counted from the WRITTEN parquet (footer row counts, no recompute
-    # of the assignment UDF pipeline).
-    trained = spark.read.parquet(os.path.join(path, "assignments")).count()
+    # Counted by an Observation riding the write job itself: the
+    # assignment pipeline is evaluated exactly once (by the write), and
+    # no read-back listing+count job is paid (guide §1.2 — one fewer
+    # job wave per save; accumulator updates in actions are applied
+    # exactly once per partition, so retries/speculation cannot skew it).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    a = a.observe(obs, F.count(F.lit(1)).alias("n"))
+    spark = index.assignments.sparkSession
+    rows = [(ci, list(c)) for ci, c in enumerate(index.centroids)]
+    # ONE explicit slice, NOT repartition(1)/coalesce(1): createDataFrame
+    # parallelizes local rows across defaultParallelism pickle slices, so
+    # coalesce(1) drains them through serial Python-runner round-trips
+    # (measured 4.8s for 16 rows on local[32]) and repartition(1) pays a
+    # full 32-task shuffle wave (~0.5s warm) to move a few KB. A
+    # single-slice parallelize is one task, no shuffle.
+    cents_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "cluster int, centroid array<double>",
+    )
+    # The two writes are independent (distinct directories) — submit them
+    # together so the tiny centroid task back-fills the assignment
+    # write's commit tail (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [
+            pool.submit(
+                a.write.partitionBy("cluster").parquet,
+                os.path.join(path, "assignments"),
+            ),
+            pool.submit(
+                cents_df.write.parquet, os.path.join(path, "centroids")
+            ),
+        ]:
+            f.result()
     _write_ivf_meta(
-        spark, path, {"trained_rows": trained, "inserted_rows": 0}
+        spark, path, {"trained_rows": int(obs.get["n"]), "inserted_rows": 0}
     )
 
 
@@ -543,13 +640,18 @@ def ivf_insert(
     it) — silently skipping the count would make these inserts
     permanently invisible to the retrain policy.
 
-    Returns the number of vectors inserted, counted from the WRITTEN
-    parquet footers (before/after delta): the assignment pipeline is
-    evaluated exactly ONCE — by the write — so a nondeterministic
-    input batch (.sample(), unordered .limit()) can never make the
-    recorded count diverge from the rows actually appended, and no
-    second Arrow pass is paid."""
+    Returns the number of vectors inserted, counted by an Observation
+    riding the append job itself: the assignment pipeline is evaluated
+    exactly ONCE — by the write — so a nondeterministic input batch
+    (.sample(), unordered .limit()) can never make the recorded count
+    diverge from the rows actually appended, no second Arrow pass is
+    paid, and (unlike the earlier before/after footer-count delta) no
+    two extra listing+count jobs bracket the append. Accumulator
+    updates inside actions are applied exactly once per partition, so
+    task retries/speculation cannot skew the count."""
     import os
+
+    from pyspark.sql import Observation
 
     meta = _read_ivf_meta(spark, path)
     if meta is None:
@@ -559,18 +661,19 @@ def ivf_insert(
             "current contents as the trained baseline"
         )
     apath = os.path.join(path, "assignments")
-    before = spark.read.parquet(apath).count()  # footer counts, cheap
     cents = (
         spark.read.parquet(os.path.join(path, "centroids"))
         .orderBy("cluster")
         .collect()
     )
     centroids = [list(r.centroid) for r in cents]
+    obs = Observation()
     assigned = (
         new_vectors.select(
             F.col(id_col), _normalized(vec_col).alias("vn")
         )
         .withColumn("cluster", _cell_scores_udf(centroids, 1)(F.col("vn")))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
     )
     (
         assigned.repartition(F.col("cluster"))
@@ -578,7 +681,7 @@ def ivf_insert(
         .partitionBy("cluster")
         .parquet(apath)
     )
-    n = spark.read.parquet(apath).count() - before
+    n = int(obs.get["n"])
     meta["inserted_rows"] = meta.get("inserted_rows", 0) + n
     _write_ivf_meta(spark, path, meta)
     return n
@@ -1473,32 +1576,48 @@ def semdedup_pairs(
         pairs = _score_buckets_pairs_arrow(a_side, b_side, threshold)
         return pairs.dropDuplicates(["id_a", "id_b"]) if n_probe > 1 else pairs
 
-    # Catalyst scorer: raw vectors + the near_duplicate_pairs expression,
-    # joined within cluster only. Same pinned bucket partitioning as the
-    # SRP pair path (AQE would coalesce the small shuffle under the
-    # quadratic per-bucket scoring).
-    raw = df.select(F.col(id_col), F.col(vec_col))
-    memb = membership.select(F.col(id_col), "bucket").join(raw, id_col)
-    a_side = memb.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        l2_norm(vec_col).alias("na"),
-        "bucket",
+    # Catalyst scorer, two stages (same pattern as
+    # near_duplicate_pairs_fast, guide §4.2): the quadratic within-cell
+    # scoring runs as one numpy matmul per cell over the already-held
+    # normalized vectors at (threshold - 1e-6) — candidates only; the
+    # surviving ~k pairs then re-derive ``cosine`` from the RAW vectors
+    # with the exact near_duplicate_pairs expression and decide the
+    # threshold boundary there. numpy and the fold differ by summation
+    # order alone (~1e-14 for 64-dim), so no true pair can miss the
+    # candidate cut, and the emitted set and scores stay bit-identical
+    # to the earlier interpreted per-pair form — the certificate's
+    # strict subset claim at the boundary is unweakened. (That earlier
+    # form evaluated the fold per within-cell pair: the dominant cost
+    # of the semdedup_recall cell.)
+    cand = (
+        _score_buckets_pairs_arrow(
+            membership.select(
+                F.col(id_col).alias("id_a"), F.col("vn").alias("va"),
+                F.lit(1.0).alias("na"), "bucket",
+            ),
+            membership.select(
+                F.col(id_col).alias("id_b"), F.col("vn").alias("vb"),
+                F.lit(1.0).alias("nb"), "bucket",
+            ),
+            threshold - 1e-6,
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    b_side = memb.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        l2_norm(vec_col).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
         l2_norm(vec_col).alias("nb"),
-        "bucket",
     )
     return (
-        _pin_bucket_partitions(a_side)
-        .join(_pin_bucket_partitions(b_side), "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("cosine", cosine_from_norms("va", "vb", "na", "nb"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

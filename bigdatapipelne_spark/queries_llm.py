@@ -589,12 +589,19 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     never trusts subset-ness) cover >= ANN_RECALL_FLOOR of it. A recall
     regression flips the boolean and the driver's hash check fails —
     converting the ANN path's evidence from rows-only to value-checked."""
+    from bigdatapipelne_spark.operators.similarity import (
+        near_duplicate_pairs_fast,
+    )
+
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < EXACT_NEAR_DUP_CAP)
     # Checkpoint the exact pair set: it feeds both the semi-join and the
     # n_exact_pairs count, and without the barrier the O(N^2) Catalyst
     # scoring subtree is planned (and executed) twice — guide §7.2.
+    # The _fast form is bit-identical to near_duplicate_pairs (arrow
+    # candidate matmul + exact Catalyst rescore at the boundary) without
+    # the interpreted per-pair fold — guide §4.2.
     exact = eager_checkpoint(
-        near_duplicate_pairs(emb, "vec_id", "embedding", threshold=0.42)
+        near_duplicate_pairs_fast(emb, "vec_id", "embedding", threshold=0.42)
     )
     # hasher matches the production path (embedding_near_dup_ann) so the
     # certificate bounds the candidates that path actually generates; the
@@ -607,12 +614,17 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = ann.join(exact, ["id_a", "id_b"], "left_semi")
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     nf = found.agg(F.count(F.lit(1)).alias("n_found"))
-    return ne.crossJoin(nf).select(
+    out = ne.crossJoin(nf).select(
         "n_exact_pairs",
         (F.col("n_found") >= F.lit(ANN_RECALL_FLOOR) * F.col("n_exact_pairs")).alias(
             "recall_ge_floor"
         ),
     )
+    # Materialize the 1-row verdict, release the pair checkpoint (§5):
+    # the returned frame is local rows — no leaked RDD blocks.
+    rows = out.collect()
+    release_checkpoint(exact)
+    return spark.createDataFrame(rows, out.schema)
 
 
 # Certificate floor for the SemDeDup cluster-scoped pair miner. Measured
@@ -650,7 +662,7 @@ def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     or containment regression flips a boolean and the driver's hash check
     fails — the same certificate pattern as embedding_ann_recall."""
     from bigdatapipelne_spark.operators.similarity import (
-        near_duplicate_pairs as _exact_pairs,
+        near_duplicate_pairs_fast as _exact_pairs,
         semdedup_pairs,
     )
 
@@ -674,7 +686,7 @@ def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     nf = found.agg(F.count(F.lit(1)).alias("n_found"))
     nx = extra.agg(F.count(F.lit(1)).alias("n_extra"))
-    return ne.crossJoin(nf).crossJoin(nx).select(
+    out = ne.crossJoin(nf).crossJoin(nx).select(
         "n_exact_pairs",
         (F.col("n_extra") == 0).alias("subset_ok"),
         (
@@ -682,6 +694,12 @@ def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(SEMDEDUP_RECALL_FLOOR) * F.col("n_exact_pairs")
         ).alias("recall_ge_floor"),
     )
+    # Materialize the 1-row verdict, release BOTH pair checkpoints (§5):
+    # the returned frame is local rows — no leaked RDD blocks.
+    rows = out.collect()
+    release_checkpoint(sem)
+    release_checkpoint(exact)
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query("embedding_semdedup")  # cluster-scoped approximation -> rows-only;
@@ -879,12 +897,20 @@ def _topk_recall_certificate(
     )
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     nf = found.agg(F.count(F.lit(1)).alias("n_found"))
-    return ne.crossJoin(nf).select(
+    out = ne.crossJoin(nf).select(
         "n_exact_pairs",
         (F.col("n_found") >= F.lit(floor) * F.col("n_exact_pairs")).alias(
             "recall_ge_floor"
         ),
     )
+    # Materialize the 1-row verdict, then RELEASE the pair checkpoint
+    # deterministically (§5 hygiene: localCheckpoint blocks otherwise
+    # wait for driver GC + ContextCleaner) — the returned frame is local
+    # rows, so no RDD blocks outlive the call.
+    rows = out.collect()
+    spark = exact.sparkSession
+    release_checkpoint(exact)
+    return spark.createDataFrame(rows, out.schema)
 
 
 _TOPK_EXACT_COUNT_SQL = f"""

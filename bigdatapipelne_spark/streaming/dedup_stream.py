@@ -374,6 +374,15 @@ def run_near_dup_probe_stream(
     }
 
     def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Empty micro-batch (idle trigger / empty staged file): nothing to
+        # probe, nothing to admit, and skipping the writes leaves every
+        # sink byte-identical (a _write_batch of an empty frame creates no
+        # partition dir either) — while a full pass still pays the two
+        # checkpoint jobs, the plan audit and five write waves (~1-2 s of
+        # pure per-batch machinery, guide §1.2). Replay-safe: a replayed
+        # empty batch skips again.
+        if batch_df.isEmpty():
+            return
         _guard_ledger(
             spark,
             os.path.join(out_root, ledger_subdir),
@@ -552,6 +561,8 @@ def run_decontaminate_stream(
     )
 
     def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # idle trigger: sinks byte-identical
+            return
         pairs = decontaminate(
             batch_df, None, id_col, text_col, n=n, threshold=threshold,
             benchmark_index=idx,
@@ -714,6 +725,8 @@ def run_exact_probe_stream(
     seen_dir = os.path.join(out_root, seen_subdir)
 
     def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # idle trigger: sinks byte-identical
+            return
         _guard_ledger(
             spark, seen_dir, max_ledger_bytes,
             "fold_seen_into_fingerprint_index",

@@ -708,10 +708,22 @@ def fold_if_due(
     _write_entry(spark, manifest_root, nxt)  # the commit point (CAS)
     fs_rmtree(spark, ledger)  # best-effort; swept at next drain if missed
     if compact_sinks:
-        for sink in _SINKS[entry["kind"]]:
-            p = os.path.join(out_root, sink)
-            if fs_exists(spark, p):
-                compact_batched_sink(spark, p, compact_target_bytes)
+        # The sinks are distinct directories with independent staging
+        # swaps — compact them concurrently (guide §2.6: one read+write
+        # job wave instead of one per sink).
+        from concurrent.futures import ThreadPoolExecutor
+
+        sinks = [
+            p
+            for sink in _SINKS[entry["kind"]]
+            if fs_exists(spark, (p := os.path.join(out_root, sink)))
+        ]
+        with ThreadPoolExecutor(max_workers=max(1, len(sinks))) as pool:
+            for f in [
+                pool.submit(compact_batched_sink, spark, p, compact_target_bytes)
+                for p in sinks
+            ]:
+                f.result()
     if gc_keep is not None:
         gc_index_generations(spark, manifest_root, keep=gc_keep)
     return nxt

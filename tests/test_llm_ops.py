@@ -105,6 +105,95 @@ def test_near_dup_guard_refuses_large_input(spark, monkeypatch):
         near_duplicate_pairs(emb, "vec_id", "embedding", 0.5)
 
 
+def test_near_duplicate_pairs_fast_bit_parity(spark):
+    """The two-stage certificate form (arrow candidate matmul + exact
+    Catalyst rescore) emits the SAME pair set with the SAME cosine BITS
+    as the single-expression baseline — the property that lets the
+    hash-checked recall certificates use it. Checked at two thresholds
+    (the gate's 0.42 and a looser 0.3 that admits ~10x more pairs)."""
+    from bigdatapipelne_spark.operators.similarity import (
+        near_duplicate_pairs_fast,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    for thr in (0.42, 0.3):
+        base = {
+            (r.id_a, r.id_b): r.cosine
+            for r in near_duplicate_pairs(
+                emb, "vec_id", "embedding", thr
+            ).collect()
+        }
+        fast = {
+            (r.id_a, r.id_b): r.cosine
+            for r in near_duplicate_pairs_fast(
+                emb, "vec_id", "embedding", threshold=thr
+            ).collect()
+        }
+        assert base.keys() == fast.keys()
+        assert len(base) > 0
+        for k, v in base.items():
+            # bit equality, not approx: the rescore must be the same fold
+            assert v == fast[k] and str(v) == str(fast[k]), (k, v, fast[k])
+
+
+def test_certificate_queries_release_checkpoint_blocks(spark):
+    """§5 hygiene (round-14 verdict item 6): the recall certificates
+    materialize their verdict and release their pair checkpoints before
+    returning — no RDD blocks may outlive the call waiting for driver GC
+    (the failure mode checkpoint.py documents: multi-GB orphaned block
+    accumulation across a 158-query sweep)."""
+    import gc
+
+    from bigdatapipelne_spark.queries import QUERIES, finalize_registry
+
+    finalize_registry()
+
+    def ckpt_blocks() -> int:
+        # localCheckpoint blocks surface as bare 'MapPartitionsRDD'
+        # entries; SQL CacheManager entries (e.g. ivf_assignments'
+        # normed.cache(), evicted LRU and reused across calls) carry
+        # their plan string as the name — only the former are the
+        # GC-dependent leak class this guards.
+        return sum(
+            1
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if "RDD" in i.name()
+        )
+
+    # Allowed leaks: the SRP paths checkpoint their hashed table frame
+    # INSIDE _srp_table_frame (shared with ungated rows-only consumers,
+    # so its release stays with the driver-GC/ContextCleaner pattern the
+    # bench's per-query gc.collect() drains) — exactly one block. The
+    # certificate-level pair checkpoints this round released must not
+    # appear at all.
+    allowed = {
+        "semdedup_recall": 0,
+        "embedding_ann_recall": 1,  # _srp_table_frame internal
+        "ivf_topk_recall": 0,
+    }
+    for name, allow in allowed.items():
+        gc.collect()  # settle blocks left by earlier queries/tests
+        baseline = ckpt_blocks()
+        res = QUERIES[name](spark, SF_SMALL)
+        res.collect()
+        del res
+        leaked = ckpt_blocks() - baseline
+        assert leaked <= allow, (
+            f"{name} leaked {leaked} localCheckpoint RDD(s) past its "
+            f"return (allowed {allow}) — release_checkpoint its "
+            "checkpointed intermediates"
+        )
+
+
+def test_near_duplicate_pairs_fast_guard(spark, monkeypatch):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    monkeypatch.setattr(similarity, "NEAR_DUP_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="O\\(N\\^2\\)"):
+        similarity.near_duplicate_pairs_fast(
+            emb, "vec_id", "embedding", threshold=0.5
+        )
+
+
 def test_srp_buckets_is_projection_no_join(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     out = srp_buckets(emb, "vec_id", "embedding", dim=64, nbits=4)

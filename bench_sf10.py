@@ -240,6 +240,25 @@ RATIO_NOTES = {
         "25-doc index — the same irreducible single pass as the batch "
         "form, paid in thirds"
     ),
+    "dsir_selected": (
+        "re-measured r15 after the round-14 suffix-conv fix (the 258.3s "
+        "/ 22.8x record cell predated the change that targeted it): the "
+        "per-occurrence hash stage now converts 3 hex digits instead of "
+        "15; the remaining sf10 wall is the irreducible "
+        "tokenize+explode+md5 occurrence stream (54M cells), one narrow "
+        "projection ahead of the per-doc (bucket,count) collapse"
+    ),
+    "embedding_semdedup": (
+        "cold single-pass convention dominates this cell: warm phase "
+        "attribution at sf10 (r15) is ~10s k-means assignments (2 Lloyd "
+        "passes over 200k x 64 doubles), ~5s cluster-scoped Arrow "
+        "matmul pair scan, ~12s full prune end-to-end — the N^1.5 "
+        "design shape with the quadratic term vectorized; the recorded "
+        "wall is mostly fresh-JVM/Arrow-worker spin-up and first-touch "
+        "codegen, swinging 86-137s across same-code sessions, and the "
+        "ratio is denominator-driven (the sf0.1 cell swings 12-28s on "
+        "the same code)"
+    ),
     "near_dup_managed_drain": (
         "everything near_dup_fold_drain pays (two bucketed index saves, "
         "two stream invocations, audited probes) PLUS manifest init, "

@@ -1141,8 +1141,9 @@ def srp_near_duplicate_pairs(
     if scorer == "arrow":
         # ulp-level score divergence from the Catalyst fold means the
         # output is no longer guaranteed a strict SUBSET of the exact pair
-        # set at the threshold boundary — certificate callers
-        # (embedding_ann_recall) keep the default scorer.
+        # set at the threshold boundary — callers that assert subset-ness
+        # keep the default scorer; embedding_ann_recall may use arrow
+        # because its semi-join-and-floor form never trusts subset-ness.
         return _score_buckets_pairs_arrow(a_side, b_side, threshold).dropDuplicates(
             ["id_a", "id_b"]
         )

@@ -603,13 +603,17 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = eager_checkpoint(
         near_duplicate_pairs_fast(emb, "vec_id", "embedding", threshold=0.42)
     )
-    # hasher matches the production path (embedding_near_dup_ann) so the
-    # certificate bounds the candidates that path actually generates; the
-    # hashed output is the floor boolean, insensitive to ulp-boundary
-    # bucket moves. Scorer stays Catalyst: exact thresholding.
+    # hasher AND scorer match the production path (embedding_near_dup_ann)
+    # so the certificate bounds the candidates that path actually
+    # generates. The arrow scorer is safe HERE because the claim never
+    # trusts subset-ness: candidates are semi-joined against the exact
+    # set (a boundary-ulp extra is dropped by the join; a boundary-ulp
+    # miss costs 1/n of recall against a floor with 10% margin), and the
+    # emitted row is the floor boolean. semdedup_recall's subset_ok twin
+    # keeps the Catalyst boundary decision — that one IS a subset claim.
     ann = srp_near_duplicate_pairs(
         emb, "vec_id", "embedding", dim=EMBEDDING_DIM, threshold=0.42,
-        n_tables=8, hasher="arrow",
+        n_tables=8, hasher="arrow", scorer="arrow",
     )
     found = ann.join(exact, ["id_a", "id_b"], "left_semi")
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))

@@ -169,6 +169,24 @@ def read_json_with_errors(
     return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
 
+def _bucket_parallelism_warning(
+    cores: int, n_buckets: int, name: str
+) -> str | None:
+    """Warning text when an aligned bucketed write would serialize on a
+    bucket count far below the cluster's task slots (>8x) — None when
+    the configuration is healthy. Pure so the policy is unit-testable at
+    any simulated cluster width."""
+    if cores > 8 * n_buckets:
+        return (
+            f"write_bucketed_table({name!r}): align_partitions collapses "
+            f"the write to {n_buckets} tasks (one per bucket) but the "
+            f"cluster offers {cores} slots — if this write is "
+            "parallelism-bound, raise n_buckets (it sizes both file "
+            "count and write parallelism)"
+        )
+    return None
+
+
 def write_bucketed_table(
     spark: SparkSession,
     df: DataFrame,
@@ -199,6 +217,23 @@ def write_bucketed_table(
     scaling knob: a production deployment sizes it to data volume, which
     sizes both files and write parallelism with it."""
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    if align_partitions:
+        # align_partitions caps write parallelism at n_buckets tasks. At
+        # real scale a small bucket count would silently serialize the
+        # whole write even when the cluster has far more cores — warn so
+        # a misconfigured production write surfaces (the fix is a bigger
+        # n_buckets, which sizes files AND parallelism together; the
+        # round-14 advisor finding). defaultParallelism is the free
+        # proxy for cluster width — df.rdd.getNumPartitions() would pay
+        # a plan->RDD conversion per write, the very planning constant
+        # the save paths just shed.
+        msg = _bucket_parallelism_warning(
+            spark.sparkContext.defaultParallelism, n_buckets, name
+        )
+        if msg:
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
     out = df.repartition(n_buckets, *bucket_cols) if align_partitions else df
     writer = (
         out.write.mode("overwrite")

@@ -41,6 +41,37 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_bucketed_write_warns_when_buckets_cap_parallelism(spark, tmp_path):
+    """align_partitions collapses the write to n_buckets tasks; when the
+    cluster offers far more slots (>8x), the write must say so loudly —
+    n_buckets is the production knob that sizes files AND parallelism
+    (round-14 advisor finding). The policy is pure
+    (_bucket_parallelism_warning) so the >8x boundary is pinned at a
+    simulated production width; the write path is checked silent at the
+    local session's healthy config."""
+    import warnings
+
+    from bigdatapipelne_spark.sources.io import _bucket_parallelism_warning
+
+    # policy: 512-slot cluster, 32 buckets -> serialized write, warn
+    msg = _bucket_parallelism_warning(512, 32, "t")
+    assert msg and "raise n_buckets" in msg
+    # boundary: exactly 8x stays silent (the cap is >8x, not >=)
+    assert _bucket_parallelism_warning(256, 32, "t") is None
+    assert _bucket_parallelism_warning(8, 32, "t") is None
+    # write path: healthy local config emits nothing
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            write_bucketed_table(
+                spark, df, "warn_b2", ["k"], 8, str(tmp_path / "wb2")
+            )
+        assert not [w for w in caught if "raise n_buckets" in str(w.message)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS warn_b2")
+
+
 def test_read_json_with_errors_routes_bad_lines(spark, tmp_path):
     import glob
     import gzip
